@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+collect/driver materialization — the shape a cluster job has).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streamforge_data_pipeline_spark.registry import REGISTRY  # noqa: E402
+from streamforge_data_pipeline_spark.session import get_session  # noqa: E402
+
+HEADLINE = [
+    "error_counts",       # flagship ingest: validate + dedup + agg
+    "upload_summary",
+    "first_wins_dedup",
+    "anti_join_dedup",
+    "pricing_summary",
+    "top_revenue",
+    "region_sales",
+    "exact_dedup",
+    "near_dedup",
+    "minhash_lsh_dedup",
+    "simhash",
+    "topk_cosine",
+    "embedding_near_dup",
+    "term_counts",
+    "lang_id",
+    "quality_score",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("streamforge-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen path once so per-query numbers measure the
+    # queries, not session startup.
+    REGISTRY["error_counts"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        t0 = time.time()
+        REGISTRY[key].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

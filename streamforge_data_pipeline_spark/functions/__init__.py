@@ -1,0 +1,80 @@
+"""Engine-portable column functions.
+
+The correctness oracle runs the same logic in DuckDB, so the helpers
+here are restricted to constructs with bit-identical semantics in both
+engines (md5 hex, integer arithmetic, IEEE double ops in a fixed
+order). No Python UDFs — everything is a Column expression that stays
+inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# 2^31 - 1, Mersenne prime: keeps a*h+b < 2^62 (no 64-bit overflow in
+# either engine, and no ANSI overflow error in Spark 4).
+MERSENNE31 = 2_147_483_647
+
+
+def hash60(col: Column | str) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5, as a bigint.
+
+    DuckDB equivalent: CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT).
+    Used as the base hash for MinHash/SimHash so signatures are
+    oracle-checkable across engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_hash60(expr: str) -> str:
+    """DuckDB SQL text of :func:`hash60` over ``expr``."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash_perm(h: Column, perm: Column) -> Column:
+    """Universal-hash permutation for MinHash: ((2j+1)*(h%p) + (j*7919+12345)) % p.
+
+    Deterministic in both engines; ``h`` is :func:`hash60` output.
+    """
+    a = perm * 2 + 1
+    b = perm * 7919 + 12345
+    return (a * (h % MERSENNE31) + b) % MERSENNE31
+
+
+def sql_minhash_perm(h_expr: str, perm_expr: str) -> str:
+    return (
+        f"(({perm_expr}*2+1) * ({h_expr} % {MERSENNE31}) "
+        f"+ ({perm_expr}*7919+12345)) % {MERSENNE31}"
+    )
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased alnum tokens; empty strings filtered.
+
+    DuckDB: list_filter(string_split_regex(lower(x),'[^a-z0-9]+'), t -> t <> '')
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != "")
+
+
+SQL_TOKENS = "list_filter(string_split_regex(lower({x}), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Sequential-double dot product of two float arrays.
+
+    Casts each element to double before multiply so the arithmetic
+    matches DuckDB's double-list kernels; accumulation is
+    left-to-right (F.aggregate), the same order DuckDB iterates lists.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity in double precision (see :func:`dot_double`)."""
+    return dot_double(a, b) / (F.sqrt(dot_double(a, a)) * F.sqrt(dot_double(b, b)))

@@ -1,0 +1,133 @@
+"""Deduplication operators.
+
+Reference surface:
+- J1 broadcast anti-join vs. existing key set (ItemRepository.java:11-17,
+  BackgroundCsvProcessor.java:59-61,238-240). The reference's comment —
+  prefetch once to avoid 200k per-row DB probes — is verbatim
+  broadcast-hash-join reasoning; at 100 TB the key set outgrows the
+  broadcast threshold and Spark/AQE falls back to a shuffled anti-join
+  with no code change.
+- J2 in-file first-wins dedup (:242): order-dependent; a window
+  row_number over a stable row ordinal.
+
+Extensions (E1 + training-pipeline dedup family):
+- exact content dedup: sha256 hash + first-wins — one shuffle on the
+  hash, no full-text comparisons.
+- SimHash signatures (bit-majority over token hashes) for near-dup
+  blocking at scale.
+(MinHash-LSH lives in operators/minhash.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from streamforge_data_pipeline_spark.functions import hash60, tokens
+
+
+def anti_join_dedup(incoming: DataFrame, existing: DataFrame, key: str) -> DataFrame:
+    """J1: rows of ``incoming`` whose key is NOT in ``existing``.
+
+    broadcast() hint for the common small-dim case; Catalyst drops the
+    hint and shuffles when the right side is too large.
+    """
+    return incoming.join(F.broadcast(existing), key, "left_anti")
+
+
+def semi_join_matches(incoming: DataFrame, existing: DataFrame, key: str) -> DataFrame:
+    """J1's complement — the rejected-as-duplicate side."""
+    return incoming.join(F.broadcast(existing), key, "left_semi")
+
+
+def first_wins(df: DataFrame, key: str | Column, order: str | Column) -> DataFrame:
+    """J2: keep the first row per key in ``order`` (file order)."""
+    w = Window.partitionBy(key).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, content: str, order: str) -> DataFrame:
+    """E1: exact content dedup via sha256 — dedup on a 32-byte key, not
+    the document body, so the shuffle moves hashes, not 100 TB of text."""
+    hashed = df.withColumn("content_hash", F.sha2(F.col(content), 256))
+    return first_wins(hashed, "content_hash", order)
+
+
+# --- SimHash --------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, text: str, doc_id: str) -> DataFrame:
+    """64->32-bit SimHash over tokens (term-frequency weighted).
+
+    For each bit b: sum +-1 over all token occurrences' hash bit b;
+    fingerprint bit = 1 iff the sum is positive. Near-duplicate docs
+    differ in few bits (Charikar '02); Hamming-distance blocking then
+    runs on a fixed-width integer instead of the raw text.
+
+    Pure column/agg pipeline: explode(tokens) x explode(bits) ->
+    two-level aggregation; everything stays JVM-side.
+    """
+    tok = df.select(doc_id, F.explode(tokens(text)).alias("tok"))
+    h = tok.withColumn("h", hash60("tok"))
+    bits = h.select(
+        doc_id,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    ).withColumn(
+        # F.shiftright takes a literal int; the SQL form accepts a column
+        "sign",
+        F.when(F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
+    per_bit = bits.groupBy(doc_id, "bit").agg(F.sum("sign").alias("s"))
+    return per_bit.groupBy(doc_id).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(sigs: DataFrame, doc_id: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs within a Hamming radius, blocked by bit-bands.
+
+    Split the fingerprint into 4 bands; any pair within distance 3
+    agrees exactly on >=1 band (pigeonhole) -> equi-join per band and
+    union, instead of an O(n^2) cross join.
+    """
+    bands = sigs.select(
+        F.col(doc_id),
+        F.col("simhash"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "band_key",
+        F.shiftright(F.col("simhash"), F.col("band") * 8).bitwiseAND(F.lit(255)),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{doc_id}") < F.col(f"b.{doc_id}")),
+        )
+        .select(
+            F.col(f"a.{doc_id}").alias("doc_a"),
+            F.col(f"b.{doc_id}").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b"))).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,124 @@
+"""MinHash + LSH near-duplicate detection (E2) — oracle-checkable.
+
+Pipeline (Broder '97 / MMDS ch.3), all deterministic and portable:
+  1. shingle: token 3-grams per doc (distinct)
+  2. hash60(shingle) -> 60-bit base hash (md5-derived, engine-portable)
+  3. NUM_PERMS universal-hash permutations -> minhash signature
+  4. band the signature (BANDS x ROWS_PER_BAND); docs agreeing on any
+     full band become candidate pairs (equi-join on band key — no n^2)
+  5. verify candidates with *exact* token-3-gram Jaccard; keep >= tau.
+
+Scale shape: one explode to (doc, shingle) — rows ~ total tokens; one
+groupBy(doc, perm) for signatures; the candidate join is an equi-join
+on (band, band_sig) so only same-bucket docs ever meet. The exact
+verification join touches candidate pairs only. At 100 TB none of the
+stages is quadratic; skewed buckets (boilerplate shingles) are handled
+by AQE skew-join splitting.
+
+The whole thing — including banding and verification — is expressible
+in ANSI SQL, so the driver's DuckDB oracle checks it end-to-end
+(registry.py), which is unusual for LSH implementations and
+deliberately engineered here via the portable hash60.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from streamforge_data_pipeline_spark.functions import hash60, minhash_perm, tokens
+
+NUM_PERMS = 16
+ROWS_PER_BAND = 4
+BANDS = NUM_PERMS // ROWS_PER_BAND  # 4
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Distinct token 3-grams per document."""
+    toks = tokens(text)
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+        ),
+    ).otherwise(F.array())
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("sh"))
+        .distinct()
+    )
+
+
+def signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, perm_id, minhash) — min over shingles per permutation."""
+    hashed = sh.withColumn("h", hash60("sh"))
+    expanded = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(NUM_PERMS - 1))).alias("perm_id"),
+    )
+    perm = minhash_perm(F.col("h"), F.col("perm_id"))
+    return (
+        expanded.withColumn("ph", perm)
+        .groupBy("doc_id", "perm_id")
+        .agg(F.min("ph").alias("minhash"))
+    )
+
+
+def band_keys(sigs: DataFrame) -> DataFrame:
+    """Concatenate each band's minhashes (perm order) into a join key."""
+    banded = sigs.withColumn("band", (F.col("perm_id") / ROWS_PER_BAND).cast("int"))
+    return banded.groupBy("doc_id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("perm_id", "minhash"))),
+                lambda s: s["minhash"].cast("string"),
+            ),
+            "-",
+        ).alias("band_sig")
+    )
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact |A∩B| / |A∪B| on token-3-gram sets, for given pairs."""
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), (F.col("x.sh") == F.col("y.sh")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .join(
+            pairs,
+            (F.col("x.doc_id") == pairs["doc_a"]) & (F.col("y.doc_id") == pairs["doc_b"]),
+            "left_semi",
+        )
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    )
+
+
+def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text",
+                      tau: float = 0.5) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact Jaccard >= tau."""
+    sh = shingles(df, id_col, text)
+    cands = candidate_pairs(band_keys(signatures(sh)))
+    verified = exact_jaccard(sh, cands)
+    return verified.filter(F.col("jaccard") >= tau).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )

@@ -1,0 +1,97 @@
+"""Text-analysis operators (E4 + training-pipeline surface).
+
+All pure Column expressions (split/filter/aggregate higher-order
+functions) — tokenization-heavy work stays inside whole-stage codegen;
+no Python in the hot path. Each has a matching ANSI-SQL oracle in
+registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from streamforge_data_pipeline_spark.functions import tokens
+
+# Tiny function-word marker sets for deterministic language ID.
+# (A production pipeline would use fastText/CLD3 via a Pandas UDF; the
+# heuristic keeps the operator engine-portable and dependency-free.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+
+def term_counts(df: DataFrame, text: str = "text") -> DataFrame:
+    """E4: tokenize -> explode -> hash-agg count per term."""
+    return (
+        df.select(F.explode(tokens(text)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    return df.select(
+        id_col, F.size(tokens(text)).cast("long").alias("n_tokens")
+    )
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Language ID by function-word voting; argmax with deterministic
+    tie-break on language code order; 'und' when no marker hits."""
+    toks = tokens(text)
+    scored = df.select(
+        id_col,
+        *[_marker_hits(toks, ms).alias(f"s_{lang}") for lang, ms in LANG_MARKERS.items()],
+    )
+    langs = sorted(LANG_MARKERS)  # de, en, es, fr — deterministic order
+    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for l in langs:
+        pred = pred.when(F.col(f"s_{l}") == best, F.lit(l))
+    return scored.select(id_col, pred.alias("lang_pred"))
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Length/stopword/uniqueness heuristics -> [0,1] quality.
+
+    Components (each deterministic double arithmetic):
+    - length_score: min(1, n_tokens/64)
+    - distinct_ratio: distinct tokens / tokens (repetition penalty)
+    - stop_ratio: 'the|a|of|and|is' share (natural-language-ness)
+    """
+    toks = tokens(text)
+    n_tok = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    stop = _marker_hits(toks, LANG_MARKERS["en"]).cast("double")
+    length_score = F.least(F.lit(1.0), n_tok / F.lit(64.0))
+    distinct_ratio = F.when(n_tok > 0, n_distinct / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
+    quality = length_score * distinct_ratio + stop_ratio
+    return df.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text — the canonical-form hash used for near-exact dedup."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text)), r"\s+", " "))
+    return df.select(id_col, F.md5(norm).alias("fingerprint"))
+
+
+def json_extract_int(df: DataFrame, col: str, path: str, alias: str) -> DataFrame:
+    """Typed JSON field extraction (events.props '{"k": 69}')."""
+    return df.withColumn(
+        alias, F.get_json_object(F.col(col), f"$.{path}").try_cast("int")
+    )

@@ -1,0 +1,78 @@
+"""The flagship ingest pipeline — reference §3.1 retold in Spark.
+
+POST /api/uploads end-to-end (CsvUploadController.java:27-54 ->
+CsvUploadService.java:64-86 -> BackgroundCsvProcessor.java:56-220):
+
+  staged CSV -> all-string scan -> ordered validation -> valid/invalid
+  split -> dedup (broadcast anti-join vs existing ids + first-wins
+  in-file window) -> typed items insert + error report + error-category
+  counts + summary.
+
+One declarative DAG: Catalyst pipelines scan->validate->split in a
+single codegen stage; the only shuffles are the dedup window (keyed on
+external_id) and the final aggregations. The reference's two passes
+over the file (count + process) collapse into one.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from streamforge_data_pipeline_spark.operators import aggregates
+from streamforge_data_pipeline_spark.operators.validate import split_valid, to_items, validate
+from streamforge_data_pipeline_spark.schemas import INTAKE_COLUMNS
+from streamforge_data_pipeline_spark.sources.csv_intake import read_intake_csv
+from streamforge_data_pipeline_spark.sources.error_report import write_error_report
+from streamforge_data_pipeline_spark.sources.store import TableStore
+
+
+@dataclass
+class UploadResult:
+    """UploadResult record (CsvUploadService.java:27)."""
+
+    job_id: str
+    processed: int
+    inserted: int
+    failed: int
+    error_counts: dict[str, int]
+
+
+def run_upload(
+    spark: SparkSession,
+    csv_path: str,
+    store: TableStore,
+    error_report_path: str | None = None,
+    all_or_nothing: bool = False,
+) -> UploadResult:
+    """Batch ingest (ALL_OR_NOTHING and CHUNK_COMMIT collapse to the
+    same distributed write; chunk semantics live in the streaming path).
+    """
+    job_id = str(uuid.uuid4())
+    raw = read_intake_csv(spark, csv_path)
+    try:
+        existing = store.existing_ids(spark)
+    except Exception:  # first upload: empty store
+        existing = spark.createDataFrame([], "external_id string")
+
+    validated = validate(raw, existing, "row_id").cache()
+    valid, rejected = split_valid(validated)
+
+    store.insert_items(to_items(valid))
+    if error_report_path:
+        write_error_report(rejected, INTAKE_COLUMNS, error_report_path)
+
+    counts = {
+        r["error"]: r["cnt"] for r in aggregates.error_counts(validated).collect()
+    }
+    summary = aggregates.upload_summary(validated).collect()[0]
+    validated.unpersist()
+    return UploadResult(
+        job_id=job_id,
+        processed=summary["processed_rows"],
+        inserted=summary["inserted_rows"],
+        failed=summary["failed_rows"],
+        error_counts=counts,
+    )

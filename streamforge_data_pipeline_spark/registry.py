@@ -1,0 +1,642 @@
+"""Query registry: every implemented operator (SURVEY §2) as a
+(spark_query, duckdb_oracle_sql) pair.
+
+The driver's correctness gate runs each Spark query and its oracle SQL
+side-by-side at sf0.01 and compares row-count + schema + value hash
+(order-insensitive, column-name-sorted), so:
+- every computed column is aliased identically on both sides;
+- float outputs are computed in double with a deterministic operation
+  order and rounded; decimal-path sums for aggregates;
+- hashes are md5/sha256-derived (bit-identical across engines);
+- counts are BIGINT on both sides (DuckDB hugeint results are cast).
+
+Queries with ``oracle=None`` are inherently approximate/non-SQL
+(ANN-LSH, approx_count_distinct, Arrow-UDF plumbing) — the driver
+records a weaker rows-only check and pytest covers them against exact
+baselines.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from streamforge_data_pipeline_spark.functions import SQL_TOKENS
+from streamforge_data_pipeline_spark.operators import aggregates, dedup, joins, minhash, similarity, text
+from streamforge_data_pipeline_spark.operators.multimodal import (
+    attach_media,
+    decode_features,
+    media_summary,
+)
+from streamforge_data_pipeline_spark.operators.validate import split_valid
+from streamforge_data_pipeline_spark.plans import analytics
+from streamforge_data_pipeline_spark.plans.intake import INTAKE_CTES, intake, validated_intake
+from streamforge_data_pipeline_spark.session import load
+from streamforge_data_pipeline_spark.sources.datagen import generate_intake
+from streamforge_data_pipeline_spark.sources.error_report import error_report
+from streamforge_data_pipeline_spark.schemas import INTAKE_COLUMNS
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+TOKS_CTE = (
+    "toks AS (SELECT doc_id, "
+    + SQL_TOKENS.format(x="text")
+    + " AS ts FROM documents)"
+)
+
+SHINGLE_CTES = (
+    TOKS_CTE
+    + """,
+idx AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts)-2, 0))) AS x FROM toks),
+sh AS (SELECT DISTINCT doc_id, ts[x+1] || ' ' || ts[x+2] || ' ' || ts[x+3] AS sh FROM idx)"""
+)
+
+_JACCARD_TAIL = """
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id {cand_join}
+      GROUP BY a.doc_id, b.doc_id),
+s AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT doc_a, doc_b, round(inter*1.0/(sa.n+sb.n-inter), 4) AS jaccard
+FROM p JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id
+WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.5"""
+
+
+# ---------------------------------------------------------------------------
+# CSV round-trip staging (S1/S2): deterministic CSV written once per
+# sf_dir, then scanned back — exercises the real csv source against a
+# parquet-backed oracle. Lossless columns only (bigint + token string).
+# ---------------------------------------------------------------------------
+
+def _csv_stage(spark: SparkSession, sf_dir: str, sub: str, single_file: bool) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/streamforge_spark/{tag}/{sub}"
+    df = load(spark, sf_dir, "events").select("event_id", "event_type")
+    if single_file:
+        df = df.repartition(1)
+    df.write.mode("overwrite").option("header", True).csv(path)
+    return path
+
+
+def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _csv_stage(spark, sf_dir, "events_csv", single_file=False)
+    df = (
+        spark.read.schema("event_id long, event_type string")
+        .option("header", True)
+        .csv(path)
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_id")
+    )
+
+
+def q_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: lines minus header over a single staged file (the reference's
+    pre-pass count, BackgroundCsvProcessor.java:44-51)."""
+    path = _csv_stage(spark, sf_dir, "events_csv1", single_file=True)
+    return spark.read.text(path).agg((F.count(F.lit(1)) - 1).alias("data_rows"))
+
+
+# --- relational surface (P1-P3, S3/S4, A3) ---------------------------------
+
+def q_id_projection(spark, sf_dir):
+    return load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("external_id")
+    )
+
+
+def q_point_lookup(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 421)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    )
+
+
+def q_eq_filter(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+def q_exists_semi(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return joins.exists_semi(
+        cust, orders, cust["c_custkey"] == orders["o_custkey"]
+    ).select("c_custkey", "c_name")
+
+
+def q_distinct_keys(spark, sf_dir):
+    return aggregates.distinct_keys(load(spark, sf_dir, "orders"), "o_custkey", "custkey")
+
+
+def q_count_distinct(spark, sf_dir):
+    return load(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts")
+    )
+
+
+def q_approx_count_distinct(spark, sf_dir):
+    """Scalable HLL variant of count_distinct (no oracle — approximate)."""
+    return load(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+def q_inner_join(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return joins.inner_equi(
+        orders, cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+
+
+def q_anti_join_dedup(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    existing = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 3 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return dedup.anti_join_dedup(orders, existing, "o_custkey")
+
+
+# --- ingest pipeline queries (validate/dedup/report/summary) ---------------
+
+def q_validate(spark, sf_dir):
+    return validated_intake(spark, sf_dir).select("row_id", "error")
+
+
+def q_error_counts(spark, sf_dir):
+    return aggregates.error_counts(validated_intake(spark, sf_dir))
+
+
+def q_upload_summary(spark, sf_dir):
+    return aggregates.upload_summary(validated_intake(spark, sf_dir))
+
+
+def q_first_wins_dedup(spark, sf_dir):
+    raw = intake(spark, sf_dir)
+    nonempty = raw.filter(F.trim("externalId") != "").select(
+        "row_id", F.trim("externalId").alias("external_id")
+    )
+    return dedup.first_wins(nonempty, "external_id", "row_id")
+
+
+def q_split_recombine(spark, sf_dir):
+    """P8/§2.6: predicate split then union — the identity recombine."""
+    valid, rejected = split_valid(validated_intake(spark, sf_dir))
+    return valid.select("row_id", "error").unionAll(rejected.select("row_id", "error"))
+
+
+def q_error_report(spark, sf_dir):
+    _, rejected = split_valid(validated_intake(spark, sf_dir))
+    return error_report(rejected, INTAKE_COLUMNS)
+
+
+def q_status_latest(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    step = (
+        F.when(F.col("event_type") == "signup", "INIT")
+        .when(F.col("event_type") == "view", "COUNTING_ROWS")
+        .when(F.col("event_type") == "click", "PROCESSING")
+        .when(F.col("event_type") == "purchase", "DB_COMMIT_SUCCESS")
+        .otherwise("JOB_FAILED")
+    )
+    status_events = ev.select(
+        (F.col("user_id") % 50).cast("string").alias("job_id"),
+        F.col("event_id").alias("seq"),
+        step.alias("step"),
+        F.floor(F.col("value") * 10).alias("processed_rows"),
+    )
+    return aggregates.latest_per_key(status_events, "job_id", "seq")
+
+
+def q_datagen(spark, sf_dir):
+    return generate_intake(spark, 100_000)
+
+
+# --- LLM-pipeline extensions ----------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id").select("doc_id", "content_hash")
+
+
+def q_near_dedup(spark, sf_dir):
+    """Exact token-3-gram Jaccard pairs >= 0.5 via inverted-index join."""
+    docs = load(spark, sf_dir, "documents")
+    sh = minhash.shingles(docs)
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    )
+    return j.filter(F.col("jaccard") >= 0.5).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    return minhash.minhash_lsh_dedup(load(spark, sf_dir, "documents"), tau=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_topk_cosine(spark, sf_dir):
+    vecs = load(spark, sf_dir, "embeddings")
+    return similarity.topk_cosine(vecs, vecs.filter(F.col("vec_id") < 5), k=10)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    return similarity.near_dup_pairs(load(spark, sf_dir, "embeddings"), tau=0.4)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate top-k (sign-LSH buckets + rerank); recall vs the
+    exact baseline is asserted in tests (no SQL oracle — approximate)."""
+    vecs = load(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_lsh(vecs, vecs.filter(F.col("vec_id") < 5), k=10)
+
+
+def q_term_counts(spark, sf_dir):
+    return text.term_counts(load(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark, sf_dir):
+    return text.token_count(load(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(load(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    return text.quality_score(load(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return text.fingerprint(load(spark, sf_dir, "documents"))
+
+
+def q_json_extract(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return text.json_extract_int(ev, "props", "k", "k").select("event_id", "k")
+
+
+def q_multimodal_meta(spark, sf_dir):
+    media = attach_media(load(spark, sf_dir, "documents"))
+    return media_summary(media)
+
+
+def q_media_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction (decode stubbed —
+    no codecs in container); plumbing check only, no oracle."""
+    media = attach_media(load(spark, sf_dir, "documents"))
+    return decode_features(media)
+
+
+# ---------------------------------------------------------------------------
+
+def _iq(sql: str) -> str:
+    """Oracle over the derived-intake CTEs."""
+    return f"WITH {INTAKE_CTES.strip()}\n{sql}"
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    # --- scans / sources / sinks ---
+    "csv_scan": QuerySpec(
+        q_csv_scan,
+        "SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id "
+        "FROM events GROUP BY event_type",
+        "S1: header CSV scan, explicit string schema, round-trip checked",
+    ),
+    "row_count": QuerySpec(
+        q_row_count,
+        "SELECT COUNT(*) AS data_rows FROM events",
+        "S2: line count minus header (progress denominator)",
+    ),
+    "id_projection": QuerySpec(
+        q_id_projection,
+        "SELECT CAST(c_custkey AS VARCHAR) AS external_id FROM customer",
+        "S3/P1: single-column projection pushdown (prefetch query)",
+    ),
+    "point_lookup": QuerySpec(
+        q_point_lookup,
+        "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer "
+        "WHERE c_custkey = 421",
+        "S4/P2: equality point lookup (findByUsername shape)",
+    ),
+    "eq_filter": QuerySpec(
+        q_eq_filter,
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders "
+        "WHERE o_orderstatus = 'F'",
+        "P2: equality filter (getAllByEnabled shape)",
+    ),
+    "exists_semi": QuerySpec(
+        q_exists_semi,
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)",
+        "P3/J3: EXISTS as left-semi join",
+    ),
+    "distinct_keys": QuerySpec(
+        q_distinct_keys,
+        "SELECT DISTINCT o_custkey AS custkey FROM orders",
+        "A3: distinct key-set aggregation",
+    ),
+    "count_distinct": QuerySpec(
+        q_count_distinct,
+        "SELECT COUNT(DISTINCT l_partkey) AS distinct_parts FROM lineitem",
+        "exact distinct count (A3 scalar form)",
+    ),
+    "approx_count_distinct": QuerySpec(
+        q_approx_count_distinct, None, "HLL distinct count — the 100 TB variant"
+    ),
+    "inner_join": QuerySpec(
+        q_inner_join,
+        "SELECT o_orderkey, o_custkey, c_name, o_totalprice "
+        "FROM orders JOIN customer ON o_custkey = c_custkey",
+        "inner equi-join, broadcast dim side (J1 complement)",
+    ),
+    "anti_join_dedup": QuerySpec(
+        q_anti_join_dedup,
+        "SELECT o_orderkey, o_custkey FROM orders o WHERE NOT EXISTS "
+        "(SELECT 1 FROM customer WHERE c_custkey = o.o_custkey AND c_custkey % 3 = 0)",
+        "J1: broadcast hash anti-join dedup vs existing key set",
+    ),
+    # --- ingest pipeline ---
+    "validate": QuerySpec(
+        q_validate,
+        _iq("SELECT row_id, error FROM validated"),
+        "P4-P9: ordered validation with first-failure labels",
+    ),
+    "error_counts": QuerySpec(
+        q_error_counts,
+        _iq(
+            "SELECT error, COUNT(*) AS cnt FROM validated "
+            "WHERE error IS NOT NULL GROUP BY error"
+        ),
+        "A1: per-error-category hash agg (flagship)",
+    ),
+    "upload_summary": QuerySpec(
+        q_upload_summary,
+        _iq(
+            "SELECT COUNT(*) AS processed_rows, COUNT(error) AS failed_rows, "
+            "COUNT(*) - COUNT(error) AS inserted_rows FROM validated"
+        ),
+        "A2: processed/failed/inserted one-pass counters",
+    ),
+    "first_wins_dedup": QuerySpec(
+        q_first_wins_dedup,
+        _iq(
+            "SELECT row_id, external_id FROM ("
+            "SELECT row_id, trim(externalId) AS external_id, "
+            "ROW_NUMBER() OVER (PARTITION BY trim(externalId) ORDER BY row_id) AS rn "
+            "FROM intake WHERE trim(externalId) <> '') WHERE rn = 1"
+        ),
+        "J2: order-dependent in-file first-wins dedup",
+    ),
+    "split_recombine": QuerySpec(
+        q_split_recombine,
+        _iq("SELECT row_id, error FROM validated"),
+        "§2.6: predicate split + union identity",
+    ),
+    "error_report": QuerySpec(
+        q_error_report,
+        _iq(
+            "SELECT concat_ws(',', "
+            "replace(coalesce(externalId,''), ',', ''), "
+            "replace(coalesce(name,''), ',', ''), "
+            "replace(coalesce(quantity,''), ',', ''), "
+            "replace(coalesce(expiryDate,''), ',', ''), error) AS line "
+            "FROM validated WHERE error IS NOT NULL"
+        ),
+        "S7: rejected-row report serialization (comma-stripped cells)",
+    ),
+    "status_latest": QuerySpec(
+        q_status_latest,
+        "SELECT job_id, seq, step, processed_rows FROM ("
+        "  SELECT CAST(user_id % 50 AS VARCHAR) AS job_id, event_id AS seq, "
+        "    CASE event_type WHEN 'signup' THEN 'INIT' WHEN 'view' THEN 'COUNTING_ROWS' "
+        "      WHEN 'click' THEN 'PROCESSING' WHEN 'purchase' THEN 'DB_COMMIT_SUCCESS' "
+        "      ELSE 'JOB_FAILED' END AS step, "
+        "    CAST(FLOOR(value * 10) AS BIGINT) AS processed_rows, "
+        "    ROW_NUMBER() OVER (PARTITION BY user_id % 50 ORDER BY event_id DESC) AS rn "
+        "  FROM events) WHERE rn = 1",
+        "A4: keyed last-write-wins job status",
+    ),
+    "datagen": QuerySpec(
+        q_datagen,
+        "SELECT CAST(1000000000 + i AS VARCHAR) AS external_id, "
+        "'Item_' || CAST(1 + (i*2654435761) % 999 AS VARCHAR) AS name, "
+        "CAST(1 + (i*48271) % 9999 AS INTEGER) AS quantity, "
+        "strftime(DATE '2026-01-01' + to_days(CAST(1 + (i*69621) % 364 AS INTEGER)), "
+        "'%Y-%m-%d') AS expiry_date "
+        "FROM range(0, 100000) t(i)",
+        "S8: distributed deterministic intake generator",
+    ),
+    # --- extensions ---
+    "exact_dedup": QuerySpec(
+        q_exact_dedup,
+        "SELECT doc_id, content_hash FROM ("
+        "SELECT doc_id, sha256(text) AS content_hash, "
+        "ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn "
+        "FROM documents) WHERE rn = 1",
+        "E1: exact content dedup (sha256 + first-wins)",
+    ),
+    "near_dedup": QuerySpec(
+        q_near_dedup,
+        f"WITH {SHINGLE_CTES}," + _JACCARD_TAIL.format(cand_join=""),
+        "E2a: exact 3-gram Jaccard near-dup via inverted-index join",
+    ),
+    "minhash_lsh_dedup": QuerySpec(
+        q_minhash_lsh_dedup,
+        f"""WITH {SHINGLE_CTES},
+hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) AS h FROM sh),
+expd AS (SELECT doc_id, h, unnest(range(0,16)) AS perm_id FROM hashed),
+sigs AS (SELECT doc_id, perm_id,
+           MIN(((perm_id*2+1)*(h % 2147483647) + (perm_id*7919+12345)) % 2147483647) AS minhash
+         FROM expd GROUP BY doc_id, perm_id),
+bands AS (SELECT doc_id, CAST(perm_id // 4 AS INTEGER) AS band,
+            string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm_id) AS band_sig
+          FROM sigs GROUP BY doc_id, CAST(perm_id // 4 AS INTEGER)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),"""
+        + _JACCARD_TAIL.format(
+            cand_join="JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id"
+        ),
+        "E2: MinHash(16 perms) + LSH(4x4 bands) + exact-Jaccard verify",
+    ),
+    "simhash": QuerySpec(
+        q_simhash,
+        f"""WITH {TOKS_CTE},
+tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) AS h FROM tok),
+bits AS (SELECT doc_id, h, unnest(range(0,32)) AS bit FROM h),
+signs AS (SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM bits GROUP BY doc_id, bit)
+SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM signs GROUP BY doc_id""",
+        "E2b: 32-bit SimHash signatures (tf-weighted bit majority)",
+    ),
+    "topk_cosine": QuerySpec(
+        q_topk_cosine,
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+sims AS (SELECT q_id, e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS sim
+         FROM e, q WHERE e.vec_id <> q.q_id),
+r AS (SELECT q_id, vec_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 10""",
+        "E3: exact top-k cosine (broadcast queries, double-precision fold)",
+    ),
+    "embedding_near_dup": QuerySpec(
+        q_embedding_near_dup,
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4""",
+        "embedding-cosine near-dup pairs (exact baseline)",
+    ),
+    "ann_lsh": QuerySpec(
+        q_ann_lsh, None, "sign-LSH bucketed ANN + rerank (recall-tested)"
+    ),
+    "term_counts": QuerySpec(
+        q_term_counts,
+        f"WITH {TOKS_CTE}, tok AS (SELECT unnest(ts) AS term FROM toks) "
+        "SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term",
+        "E4: tokenize -> explode -> term counts",
+    ),
+    "token_count": QuerySpec(
+        q_token_count,
+        f"WITH {TOKS_CTE} SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks",
+        "per-doc token counting",
+    ),
+    "lang_id": QuerySpec(
+        q_lang_id,
+        f"""WITH {TOKS_CTE},
+scored AS (SELECT doc_id,
+  len(list_filter(ts, t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
+  len(list_filter(ts, t -> list_contains(['the','a','of','and','is'], t))) AS s_en,
+  len(list_filter(ts, t -> list_contains(['el','los','las','y','es'], t))) AS s_es,
+  len(list_filter(ts, t -> list_contains(['le','la','les','et','est'], t))) AS s_fr
+  FROM toks),
+g AS (SELECT doc_id, s_de, s_en, s_es, s_fr, greatest(s_de, s_en, s_es, s_fr) AS best FROM scored)
+SELECT doc_id, CASE WHEN best <= 0 THEN 'und'
+  WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+  WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr' END AS lang_pred FROM g""",
+        "n-gram/function-word language ID heuristic",
+    ),
+    "quality_score": QuerySpec(
+        q_quality_score,
+        f"""WITH {TOKS_CTE}
+SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+  round(CASE WHEN len(ts) > 0 THEN len(list_distinct(ts))*1.0/len(ts) ELSE 0.0 END, 4) AS distinct_ratio,
+  round(least(1.0, len(ts)/64.0) *
+        (CASE WHEN len(ts) > 0 THEN len(list_distinct(ts))*1.0/len(ts) ELSE 0.0 END) +
+        (CASE WHEN len(ts) > 0
+              THEN len(list_filter(ts, t -> list_contains(['the','a','of','and','is'], t)))*1.0/len(ts)
+              ELSE 0.0 END), 4) AS quality
+FROM toks""",
+        "doc quality scoring (length/repetition/stopword heuristics)",
+    ),
+    "doc_fingerprint": QuerySpec(
+        q_doc_fingerprint,
+        "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+        "AS fingerprint FROM documents",
+        "normalized-content fingerprint (rolling-hash analog)",
+    ),
+    "json_extract": QuerySpec(
+        q_json_extract,
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
+        "FROM events",
+        "typed JSON field extraction from event props",
+    ),
+    "multimodal_meta": QuerySpec(
+        q_multimodal_meta,
+        """SELECT doc_id,
+  (['image','audio','video','text'])[CAST(doc_id % 4 AS INTEGER) + 1] AS modality,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST((doc_id * 37) % 1920 AS INTEGER) AS width
+FROM documents
+WHERE (['image','audio','video','text'])[CAST(doc_id % 4 AS INTEGER) + 1] <> 'text'""",
+        "E5: binary payload + typed metadata struct; payload-pruned scan",
+    ),
+    "media_features": QuerySpec(
+        q_media_features, None, "E5: Arrow-batched decode/feature plumbing (stub codec)"
+    ),
+    # --- analytics headliners ---
+    "pricing_summary": QuerySpec(
+        analytics.pricing_summary,
+        """SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE) AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "TPC-H Q1 shape: scan-heavy partial agg",
+    ),
+    "top_revenue": QuerySpec(
+        analytics.top_revenue,
+        """WITH r AS (
+  SELECT o_orderkey,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+    o_orderpriority
+  FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority)
+SELECT o_orderkey, revenue, o_orderpriority, rk FROM (
+  SELECT o_orderkey, round(revenue, 4) AS revenue, o_orderpriority,
+    ROW_NUMBER() OVER (ORDER BY round(revenue, 4) DESC, o_orderkey) AS rk FROM r)
+WHERE rk <= 10""",
+        "TPC-H Q3 shape: selective dim broadcast + top-k",
+    ),
+    "region_sales": QuerySpec(
+        analytics.region_sales,
+        """SELECT r_name, n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name""",
+        "TPC-H Q5 shape: star join, dims broadcast",
+    ),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

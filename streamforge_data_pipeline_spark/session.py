@@ -1,0 +1,66 @@
+"""SparkSession factory tuned for this engine.
+
+Used by tests/bench/CLI. The correctness driver passes its *own*
+session, so every query in this package is written to be
+config-independent: explicit ``try_cast``/``try_to_date`` instead of
+relying on ANSI-off, no dependence on ``spark.sql.legacy.*``.
+
+Scale notes (local[32] here, 1000-executor cluster in production):
+- AQE on: runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic broadcast conversion.
+- shuffle.partitions is a default only; AQE re-coalesces. On a real
+  cluster set this ~2-3x total cores.
+- maxPartitionBytes 128m keeps scan tasks memory-bounded at any input
+  size (100 TB -> ~800k scan tasks, fine for a 1000-executor cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(app_name: str = "streamforge-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+# The driver's parquet stores TIMESTAMP(NANOS) (pandas-written), which
+# Spark's vectorized reader rejects. We read nanos as long (runtime
+# conf) and rebuild timestamps via exact integer division — DIV, not
+# `/`, because ~1.7e18 ns exceeds double's 2^53 integer range.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load(spark: SparkSession, sf_dir: str, table: str):
+    """Read one driver-provided parquet table (TESTDATA.md)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    from pyspark.sql import functions as F, types as T
+
+    for c in _NANOS_TS_COLS.get(table, ()):
+        if isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df

@@ -1,0 +1,44 @@
+"""CSV intake source (S1/S2/S9) — reference parity.
+
+Reference: streaming univocity parse with header extraction
+(BackgroundCsvProcessor.java:74-83,132,181) and a pre-pass line count
+for the progress denominator (:44-51,64-73). Spark-first: one
+declarative scan with an explicit all-string schema (schemas.py —
+read-as-string, promote-on-validate), and ``df.count()`` for the
+denominator (no second hand-written pass; Spark's count is a
+column-pruned scan).
+
+Row ordering: the reference's dedup is file-order dependent (SURVEY
+§7). CSV splits don't guarantee order across partitions, so the intake
+scan materializes a stable per-row ordinal from the file offset — this
+is exactly what a 1000-executor run needs too (the ordinal is derived
+from (file, offset), not from a driver-side counter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from streamforge_data_pipeline_spark.schemas import INTAKE_SCHEMA
+
+
+def read_intake_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1: header-extracted CSV scan -> 4 string columns + row_id.
+
+    ``monotonically_increasing_id`` is (partition_id << 33) + offset —
+    monotone in file order because Spark assigns split ids in file
+    order; adequate as the dedup tiebreaker at any scale and never a
+    driver-side bottleneck.
+    """
+    df = (
+        spark.read.schema(INTAKE_SCHEMA)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    return df.withColumn("row_id", F.monotonically_increasing_id())
+
+
+def count_data_rows(spark: SparkSession, path: str) -> int:
+    """S2: progress denominator (lines minus header)."""
+    return read_intake_csv(spark, path).count()

@@ -1,0 +1,45 @@
+"""Parquet-backed table store — the engine's 'Postgres'.
+
+Reference sinks: atomic whole-file insert (saveAll+flush,
+BackgroundCsvProcessor.java:150-156) and chunked 1000-row commits
+(:170-220). Spark-first: one distributed write; job-level atomicity
+comes from the Spark commit protocol (S5), micro-batch semantics from
+foreachBatch in the streaming path (S6, streaming/ingest_stream.py).
+A driver-side 1000-row loop would be the anti-pattern at scale.
+
+The id column (SERIAL PK, V2__create_items.sql:2) is generated with
+monotonically_increasing_id(): unique and distributed; global
+contiguity is not required by any reference query (SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class TableStore:
+    def __init__(self, root: str):
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def append(self, df: DataFrame, table: str) -> None:
+        df.write.mode("append").parquet(self.path(table))
+
+    def overwrite(self, df: DataFrame, table: str) -> None:
+        df.write.mode("overwrite").parquet(self.path(table))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        # mergeSchema: V3-style evolution = nullable column adds.
+        return spark.read.option("mergeSchema", True).parquet(self.path(table))
+
+    def insert_items(self, typed: DataFrame, table: str = "items") -> None:
+        self.append(typed.withColumn("id", F.monotonically_increasing_id()), table)
+
+    def existing_ids(self, spark: SparkSession, table: str = "items") -> DataFrame:
+        """S3/P1: projection pushdown — only external_id reaches the scan
+        (the reference's prefetch query, ItemRepository.java:16-17)."""
+        return self.read(spark, table).select("external_id")

@@ -1,0 +1,71 @@
+"""Golden fixtures from FIXTURES.md F1a/F1b — the reference's exact
+error labels and the dedup quirk (BackgroundCsvProcessor.java:226-258),
+driven through the real CSV intake + ingest pipeline."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from streamforge_data_pipeline_spark.plans.ingest import run_upload
+from streamforge_data_pipeline_spark.sources.store import TableStore
+
+F1 = """externalId,name,quantity,expiryDate
+X1,First,bad,2026-09-01
+X1,Second,5,2026-09-01
+A1,Widget
+ ,Widget,5,2026-09-01
+A2, ,5,2026-09-01
+A4,Widget,lots,2026-09-01
+A5,Widget,5,01/09/2026
+OK1,Good,7,2026-09-01
+"""
+
+
+@pytest.fixture
+def csv_path(tmp_path):
+    p = tmp_path / "f1.csv"
+    p.write_text(F1)
+    return str(p)
+
+
+def test_f1_error_labels_and_dedup_quirk(spark, csv_path, tmp_path):
+    store = TableStore(str(tmp_path / "store"))
+    res = run_upload(spark, csv_path, store, error_report_path=str(tmp_path / "err"))
+
+    assert res.processed == 8
+    assert res.inserted == 1
+    assert res.failed == 7
+    # F1b quirk: X1/First claims the id despite failing quantity, so
+    # X1/Second is 'duplicate externalId' though First never inserted.
+    assert res.error_counts == {
+        "quantity invalid": 2,  # X1/First + A4
+        "duplicate externalId": 1,  # X1/Second
+        "too few columns": 1,  # A1 (2 cells)
+        "externalId empty": 1,
+        "name empty": 1,
+        "expiryDate invalid (expected yyyy-MM-dd)": 1,  # A5
+    }
+
+    items = store.read(spark, "items")
+    rows = {(r["external_id"], r["quantity"], str(r["expiry_date"])) for r in items.collect()}
+    assert rows == {("OK1", 7, "2026-09-01")}
+
+    # error report: cells comma-joined + error appended (S7)
+    lines = {
+        r["value"]
+        for r in spark.read.text(str(tmp_path / "err")).collect()
+    }
+    assert "X1,Second,5,2026-09-01,duplicate externalId" in lines
+    assert "A1,Widget,,,too few columns" in lines
+
+
+def test_reupload_is_idempotent(spark, csv_path, tmp_path):
+    store = TableStore(str(tmp_path / "store"))
+    run_upload(spark, csv_path, store)
+    res2 = run_upload(spark, csv_path, store)
+    # committed row re-rejects as duplicate on retry (SURVEY §7) —
+    # OK1 now exists in the table, X1/Second still an in-file dup.
+    assert res2.inserted == 0
+    assert res2.error_counts["duplicate externalId"] == 2

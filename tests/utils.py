@@ -1,0 +1,54 @@
+"""Differential comparison mirroring the driver's correctness gate:
+row-count + schema-width + order-insensitive value hash with columns
+sorted by name."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # strict to ~1 ulp: catches real bugs, ignores sub-1e-9 noise
+        return f"{v:.9g}"
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def compare(spark_df, con, sql: str) -> tuple[bool, str]:
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = spark_df.columns
+    d = con.sql(sql)
+    d_rows = d.fetchall()
+    d_cols = d.columns
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return False, f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"
+    sc, dc = _canon(s_rows, s_cols), _canon(d_rows, d_cols)
+    if sc != dc:
+        diff = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
+        return False, f"values differ, first diffs: {diff}"
+    return True, "ok"
