@@ -39,6 +39,11 @@ HEADLINE = [
     "lang_id",
     "quality_score",
     "multimodal_meta",
+    "tumbling_window",
+    "session_window",
+    "rollup_sales",
+    "rank_orders",
+    "ann_lsh",
 ]
 
 

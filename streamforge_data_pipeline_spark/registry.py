@@ -237,7 +237,7 @@ def q_exact_dedup(spark, sf_dir):
 def q_near_dedup(spark, sf_dir):
     """Exact token-3-gram Jaccard pairs >= 0.5 via inverted-index join."""
     docs = load(spark, sf_dir, "documents")
-    sh = minhash.shingles(docs)
+    sh = minhash.shingles(docs).persist()
     inter = (
         sh.alias("a")
         .join(
@@ -272,7 +272,9 @@ def q_topk_cosine(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    return similarity.near_dup_pairs(load(spark, sf_dir, "embeddings"), tau=0.4)
+    """NumPy blocked-matmul kernel; exact-fold equivalence is asserted
+    in tests/test_similarity.py."""
+    return similarity.near_dup_pairs_numpy(load(spark, sf_dir, "embeddings"), tau=0.4)
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -305,6 +307,110 @@ def q_doc_fingerprint(spark, sf_dir):
 def q_json_extract(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return text.json_extract_int(ev, "props", "k", "k").select("event_id", "k")
+
+
+def q_rank_orders(spark, sf_dir):
+    """Analytic window suite: row_number + lag per customer."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+            F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+def q_rollup_sales(spark, sf_dir):
+    """ROLLUP hierarchy totals (region -> nation -> grand total)."""
+    from streamforge_data_pipeline_spark.plans.analytics import dsum
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+def q_pivot_events(spark, sf_dir):
+    """Pivot event types into columns per user bucket."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 10).alias("bucket"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+def q_having_filter(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+def q_sort_limit(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+def q_intersect_keys(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+def q_except_keys(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    all_keys = orders.select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    # subtract == EXCEPT (distinct set semantics); exceptAll would keep
+    # keys whose left multiplicity exceeds the right's.
+    return all_keys.subtract(f)
+
+
+def q_tumbling_window(spark, sf_dir):
+    from streamforge_data_pipeline_spark.operators import windows
+
+    return windows.tumbling_counts(load(spark, sf_dir, "events"))
+
+
+def q_sliding_window(spark, sf_dir):
+    from streamforge_data_pipeline_spark.operators import windows
+
+    return windows.sliding_counts(load(spark, sf_dir, "events"))
+
+
+def q_session_window(spark, sf_dir):
+    from streamforge_data_pipeline_spark.operators import windows
+
+    return windows.session_counts(load(spark, sf_dir, "events"))
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -590,6 +696,95 @@ WHERE (['image','audio','video','text'])[CAST(doc_id % 4 AS INTEGER) + 1] <> 'te
     ),
     "media_features": QuerySpec(
         q_media_features, None, "E5: Arrow-batched decode/feature plumbing (stub codec)"
+    ),
+    # --- analytic/relational extensions ---
+    "rank_orders": QuerySpec(
+        q_rank_orders,
+        "SELECT o_custkey, o_orderkey, o_totalprice, rk, prev_price FROM ("
+        "  SELECT o_custkey, o_orderkey, o_totalprice, "
+        "    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk, "
+        "    LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_price "
+        "  FROM orders) WHERE rk <= 3",
+        "analytic windows: row_number + lag, top-3 per key",
+    ),
+    "rollup_sales": QuerySpec(
+        q_rollup_sales,
+        "SELECT r_name, n_name, "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY ROLLUP(r_name, n_name)",
+        "ROLLUP hierarchy aggregation",
+    ),
+    "pivot_events": QuerySpec(
+        q_pivot_events,
+        "SELECT user_id % 10 AS bucket, "
+        "COUNT(*) FILTER (event_type = 'click') AS click, "
+        "COUNT(*) FILTER (event_type = 'view') AS view, "
+        "COUNT(*) FILTER (event_type = 'purchase') AS purchase, "
+        "COUNT(*) FILTER (event_type = 'signup') AS signup, "
+        "COUNT(*) FILTER (event_type = 'error') AS error "
+        "FROM events GROUP BY user_id % 10",
+        "pivot (conditional aggregation) per key bucket",
+    ),
+    "having_filter": QuerySpec(
+        q_having_filter,
+        "SELECT o_custkey, COUNT(*) AS n_orders FROM orders "
+        "GROUP BY o_custkey HAVING COUNT(*) >= 15",
+        "post-aggregation HAVING filter",
+    ),
+    "sort_limit": QuerySpec(
+        q_sort_limit,
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+        "global sort + limit (deterministic tiebreak)",
+    ),
+    "intersect_keys": QuerySpec(
+        q_intersect_keys,
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'",
+        "INTERSECT set operation",
+    ),
+    "except_keys": QuerySpec(
+        q_except_keys,
+        "SELECT DISTINCT o_custkey FROM orders "
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'",
+        "EXCEPT set operation",
+    ),
+    # --- event-time windows (streaming surface, batch-checked) ---
+    "tumbling_window": QuerySpec(
+        q_tumbling_window,
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY date_trunc('hour', ts), event_type",
+        "tumbling 1h event-time window agg (streaming-reusable)",
+    ),
+    "sliding_window": QuerySpec(
+        q_sliding_window,
+        # epoch-aligned 1h/30min slots via integer microsecond math
+        "SELECT make_timestamp((epoch_us(ts) // 1800000000 - j) * 1800000000) "
+        "AS window_start, COUNT(*) AS n "
+        "FROM events, (SELECT unnest([0, 1]) AS j) "
+        "GROUP BY 1",
+        "sliding 1h/30min event-time window agg",
+    ),
+    "session_window": QuerySpec(
+        q_session_window,
+        """WITH x AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events),
+y AS (SELECT user_id, ts,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+      FROM x)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+       COUNT(*) AS n_events
+FROM y GROUP BY user_id, sess""",
+        "session windows, 5min gap (stateful-streaming analog)",
     ),
     # --- analytics headliners ---
     "pricing_summary": QuerySpec(

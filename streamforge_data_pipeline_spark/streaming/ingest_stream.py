@@ -40,7 +40,6 @@ def start_stream_ingest(
         .option("header", True)
         .option("maxFilesPerTrigger", 8)
         .csv(input_dir)
-        .withColumn("row_id", F.monotonically_increasing_id())
     )
 
     processed = {"rows": 0}
@@ -48,6 +47,10 @@ def start_stream_ingest(
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         status.put(job_id, Status("PROCESS_CHUNK_COMMIT", f"batch {batch_id}"))
         spark_b = batch_df.sparkSession
+        # row ordinal is per-batch (monotonically_increasing_id is
+        # illegal on the unbounded stream itself); cross-batch
+        # first-wins comes from the store-level anti-join.
+        batch_df = batch_df.withColumn("row_id", F.monotonically_increasing_id())
         try:
             existing = store.existing_ids(spark_b)
         except Exception:
