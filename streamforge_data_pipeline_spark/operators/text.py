@@ -90,6 +90,23 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
     return df.select(id_col, F.md5(norm).alias("fingerprint"))
 
 
+# GPT-2-style pre-tokenizer shape: contractions, letter runs, digit
+# runs, punctuation runs, each optionally space-prefixed. Portable
+# between Java regex (Spark) and RE2 (DuckDB).
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def bpe_token_count(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Subword-style token counting (BPE-ish pre-tokenization regex) —
+    the token-budget estimator a training pipeline runs over a corpus."""
+    return df.select(
+        id_col,
+        F.size(F.regexp_extract_all(F.lower(F.col(text)), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
 def json_extract_int(df: DataFrame, col: str, path: str, alias: str) -> DataFrame:
     """Typed JSON field extraction (events.props '{"k": 69}')."""
     return df.withColumn(

@@ -304,6 +304,47 @@ def q_doc_fingerprint(spark, sf_dir):
     return text.fingerprint(load(spark, sf_dir, "documents"))
 
 
+def q_salted_agg(spark, sf_dir):
+    """Skew-proof two-phase count (identical results to plain groupBy;
+    the salt spreads a hot key across reducers — operators/skew.py)."""
+    from streamforge_data_pipeline_spark.operators.skew import salted_count
+
+    ev = load(spark, sf_dir, "events")
+    return salted_count(ev, "event_type", F.col("event_id"))
+
+
+def q_bpe_token_count(spark, sf_dir):
+    return text.bpe_token_count(load(spark, sf_dir, "documents"))
+
+
+def q_value_stats(spark, sf_dir):
+    """Per-type numeric profile: min/max/decimal-sum/exact median."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("sum_v"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_scalar_subquery(spark, sf_dir):
+    """Orders above the global average total (scalar agg subquery)."""
+    orders = load(spark, sf_dir, "orders")
+    avg_total = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_total")
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg_total))
+        .filter(F.col("o_totalprice") > F.col("avg_total"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
 def q_json_extract(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return text.json_extract_int(ev, "props", "k", "k").select("event_id", "k")
@@ -677,6 +718,33 @@ FROM toks""",
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
         "AS fingerprint FROM documents",
         "normalized-content fingerprint (rolling-hash analog)",
+    ),
+    "salted_agg": QuerySpec(
+        q_salted_agg,
+        "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type",
+        "salted two-phase aggregation (skew mitigation, exact results)",
+    ),
+    "bpe_token_count": QuerySpec(
+        q_bpe_token_count,
+        "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), "
+        r"'''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+')) AS BIGINT) "
+        "AS n_bpe_tokens FROM documents",
+        "BPE-ish subword pre-tokenization count (token budgeting)",
+    ),
+    "value_stats": QuerySpec(
+        q_value_stats,
+        "SELECT event_type, MIN(value) AS min_v, MAX(value) AS max_v, "
+        "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v, "
+        "round(quantile_cont(value, 0.5), 4) AS median_v, COUNT(*) AS n "
+        "FROM events GROUP BY event_type",
+        "numeric profiling: min/max/sum/exact interpolated median",
+    ),
+    "scalar_subquery": QuerySpec(
+        q_scalar_subquery,
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > "
+        "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) "
+        "FROM orders)",
+        "scalar aggregate subquery (above-average filter)",
     ),
     "json_extract": QuerySpec(
         q_json_extract,

@@ -35,6 +35,8 @@ def get_session(app_name: str = "streamforge-spark", cpus: int | None = None) ->
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # static conf: catalog home for bucketed tables (store.write_bucketed)
+        .config("spark.sql.warehouse.dir", "/tmp/streamforge_spark/warehouse")
         .getOrCreate()
     )
 

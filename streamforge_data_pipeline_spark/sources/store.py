@@ -39,6 +39,33 @@ class TableStore:
     def insert_items(self, typed: DataFrame, table: str = "items") -> None:
         self.append(typed.withColumn("id", F.monotonically_increasing_id()), table)
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        key: str,
+        buckets: int = 8,
+        catalog_name: str | None = None,
+    ) -> str:
+        """Bucketed+sorted layout for shuffle-free co-located joins.
+
+        Two tables bucketed the same way on the join key sort-merge
+        join WITHOUT an Exchange on either side — at 100 TB that's the
+        difference between re-shuffling the fact table per query and
+        never shuffling it. Spark requires the catalog for bucket
+        metadata (saveAsTable); the files live under this store's root.
+        """
+        name = catalog_name or f"sfdp_{table}"
+        (
+            df.write.bucketBy(buckets, key)
+            .sortBy(key)
+            .option("path", self.path(table))
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+        return name
+
     def existing_ids(self, spark: SparkSession, table: str = "items") -> DataFrame:
         """S3/P1: projection pushdown — only external_id reaches the scan
         (the reference's prefetch query, ItemRepository.java:16-17)."""

@@ -1,0 +1,66 @@
+"""Scale-pattern guarantees: salted aggregation equals plain groupBy,
+and bucketed tables join without a shuffle (Exchange-free plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamforge_data_pipeline_spark.operators.skew import salted_count, salted_sum
+from streamforge_data_pipeline_spark.session import load
+from streamforge_data_pipeline_spark.sources.store import TableStore
+
+from tests.conftest import SF_MED
+
+
+def test_salted_agg_equals_plain(spark):
+    ev = load(spark, SF_MED, "events")
+    plain = {
+        (r["event_type"], r["cnt"])
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    salted = {
+        (r["event_type"], r["cnt"])
+        for r in salted_count(ev, "event_type", F.col("event_id")).collect()
+    }
+    assert plain == salted
+
+    s1 = {
+        (r["event_type"], r["sum_value"])
+        for r in ev.groupBy("event_type")
+        .agg(F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("sum_value"))
+        .collect()
+    }
+    s2 = {
+        (r["event_type"], r["sum_value"])
+        for r in salted_sum(ev, "event_type", F.col("value"), F.col("event_id")).collect()
+    }
+    assert s1 == s2  # decimal path => exact equality despite re-ordering
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # warehouse.dir is static, set in get_session; tables here are
+    # path-based under tmp_path and dropped at the end.
+    store = TableStore(str(tmp_path / "store"))
+    orders = load(spark, SF_MED, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = load(spark, SF_MED, "lineitem").select("l_orderkey", "l_quantity")
+
+    t1 = store.write_bucketed(orders, "orders_b", "o_orderkey", buckets=8,
+                              catalog_name="t_orders_b")
+    t2 = store.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "li_b", "o_orderkey",
+        buckets=8, catalog_name="t_li_b"
+    )
+    a, b = spark.table(t1), spark.table(t2)
+
+    # force the shuffle-join path so bucketing is what saves the Exchange
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
