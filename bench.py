@@ -65,6 +65,32 @@ def main() -> None:
         REGISTRY[key].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[key] = round(time.time() - t0, 3)
 
+    # Reference-parity E2E: the reference's flagship workload is one
+    # worker ingesting a ~50 MB / 1.22M-row CSV (CsvGenerator.java:18,28)
+    # with validation + dedup + chunked commit. Same file size, full
+    # pipeline: generate -> CSV -> validate -> dedup -> parquet store.
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.plans.ingest import run_upload
+    from streamforge_data_pipeline_spark.sources.datagen import (
+        generate_intake,
+        rows_for_bytes,
+        write_csv,
+    )
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+
+    work = tempfile.mkdtemp(prefix="sfdp_bench_")
+    try:
+        csv_dir = os.path.join(work, "intake_csv")
+        write_csv(generate_intake(spark, rows_for_bytes(50 * 1024 * 1024)), csv_dir)
+        t0 = time.time()
+        res = run_upload(spark, csv_dir, TableStore(os.path.join(work, "store")))
+        timings["ingest_e2e_50mb"] = round(time.time() - t0, 3)
+        assert res.processed == rows_for_bytes(50 * 1024 * 1024), res
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -92,6 +92,72 @@ def simhash(df: DataFrame, text: str, doc_id: str) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iters: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair graph -> (doc_id,
+    cluster_id) with cluster_id = min doc_id in the component.
+
+    Iterative min-label propagation: every node starts labeled with
+    itself; each round joins labels across edges and keeps the min;
+    converges in O(component diameter) rounds (dup clusters are
+    near-cliques from LSH, so 2-3 rounds in practice; max_iters bounds
+    pathological chains). Each round is two distributed hash joins —
+    no driver-side graph. The driver only checks the fixpoint counter,
+    which is how iterative algorithms look on a 1000-executor cluster.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def keep_canonical(docs: DataFrame, components: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Drop near-duplicates: keep only each cluster's min-id doc (and
+    all docs that are in no dup cluster)."""
+    losers = components.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(
+        F.broadcast(losers.withColumnRenamed("doc_id", id_col)), id_col, "left_anti"
+    )
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 

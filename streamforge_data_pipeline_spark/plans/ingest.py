@@ -21,7 +21,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from streamforge_data_pipeline_spark.operators import aggregates
 from streamforge_data_pipeline_spark.operators.validate import split_valid, to_items, validate
 from streamforge_data_pipeline_spark.schemas import INTAKE_COLUMNS
 from streamforge_data_pipeline_spark.sources.csv_intake import read_intake_csv
@@ -64,15 +63,19 @@ def run_upload(
     if error_report_path:
         write_error_report(rejected, INTAKE_COLUMNS, error_report_path)
 
-    counts = {
-        r["error"]: r["cnt"] for r in aggregates.error_counts(validated).collect()
+    # One aggregation pass serves both A1 and A2: the null-error group
+    # is the inserted count, the rest are the per-category counts.
+    by_error = {
+        r["error"]: r["cnt"]
+        for r in validated.groupBy("error").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    summary = aggregates.upload_summary(validated).collect()[0]
+    inserted = by_error.pop(None, 0)
+    failed = sum(by_error.values())
     validated.unpersist()
     return UploadResult(
         job_id=job_id,
-        processed=summary["processed_rows"],
-        inserted=summary["inserted_rows"],
-        failed=summary["failed_rows"],
-        error_counts=counts,
+        processed=inserted + failed,
+        inserted=inserted,
+        failed=failed,
+        error_counts=by_error,
     )

@@ -262,6 +262,13 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     return minhash.minhash_lsh_dedup(load(spark, sf_dir, "documents"), tau=0.5)
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """LSH pairs -> connected components -> cluster assignment.
+    Iterative (non-SQL-expressible); verified vs union-find in pytest."""
+    pairs = minhash.minhash_lsh_dedup(load(spark, sf_dir, "documents"), tau=0.5)
+    return dedup.connected_components(pairs)
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -637,6 +644,10 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             cand_join="JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id"
         ),
         "E2: MinHash(16 perms) + LSH(4x4 bands) + exact-Jaccard verify",
+    ),
+    "near_dup_clusters": QuerySpec(
+        q_near_dup_clusters, None,
+        "connected components over near-dup pairs (iterative label propagation)",
     ),
     "simhash": QuerySpec(
         q_simhash,

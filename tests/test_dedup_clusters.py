@@ -1,0 +1,52 @@
+"""Connected-components clustering verified against a Python
+union-find over the same pair set, plus canonical-doc filtering."""
+
+from __future__ import annotations
+
+from streamforge_data_pipeline_spark.operators import minhash
+from streamforge_data_pipeline_spark.operators.dedup import (
+    connected_components,
+    keep_canonical,
+)
+from streamforge_data_pipeline_spark.session import load
+
+from tests.conftest import SF_MED
+
+
+def _union_find(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    return {x: find(x) for x in parent}
+
+
+def test_components_match_union_find(spark):
+    docs = load(spark, SF_MED, "documents")
+    pairs_df = minhash.minhash_lsh_dedup(docs, tau=0.5)
+    pairs = [(r["doc_a"], r["doc_b"]) for r in pairs_df.collect()]
+    assert pairs, "expected near-dup pairs in testdata"
+
+    expected = _union_find(pairs)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs_df).collect()
+    }
+    assert got == expected
+
+    kept = keep_canonical(docs, connected_components(pairs_df))
+    n_docs = docs.count()
+    n_losers = sum(1 for k, v in expected.items() if k != v)
+    assert kept.count() == n_docs - n_losers

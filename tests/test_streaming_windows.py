@@ -1,0 +1,86 @@
+"""Streaming depth: (1) event-time tumbling windows over a stream match
+the batch operator bit-for-bit; (2) applyInPandasWithState keyed
+accumulators match batch aggregation after the stream drains."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamforge_data_pipeline_spark.operators.windows import tumbling_counts
+from streamforge_data_pipeline_spark.session import load
+from streamforge_data_pipeline_spark.streaming.stateful import running_user_totals
+
+from tests.conftest import SF_SMALL
+
+
+def _stage_events(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    load(spark, SF_SMALL, "events").write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_stream_tumbling_window_matches_batch(spark, tmp_path):
+    src = _stage_events(spark, tmp_path)
+    batch_df = spark.read.parquet(src)
+    expected = {
+        (str(r["window_start"]), r["event_type"], r["n"], r["sum_value"])
+        for r in tumbling_counts(batch_df).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["window_start"]), r["event_type"], r["n"], r["sum_value"])
+        for r in spark.table("tumbling_out").collect()
+    }
+    assert got == expected
+
+
+def test_stateful_running_totals_match_batch(spark, tmp_path):
+    src = _stage_events(spark, tmp_path)
+    batch_df = spark.read.parquet(src)
+    expected = {
+        (r["user_id"], r["n_events"], r["last_event_id"])
+        for r in batch_df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .collect()
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted row per user is the final accumulator
+    final = (
+        spark.table("running_out")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("last_event_id").alias("last_event_id"),
+        )
+    )
+    got = {
+        (r["user_id"], r["n_events"], r["last_event_id"]) for r in final.collect()
+    }
+    assert got == expected
