@@ -39,6 +39,24 @@ class TableStore:
     def insert_items(self, typed: DataFrame, table: str = "items") -> None:
         self.append(typed.withColumn("id", F.monotonically_increasing_id()), table)
 
+    def append_partitioned(
+        self, df: DataFrame, table: str, partition_cols: list[str]
+    ) -> None:
+        """Hive-style partitioned layout (e.g. by ingest date): readers
+        filtering on partition columns prune whole directories — the
+        standard 100 TB layout for time-keyed tables."""
+        df.write.mode("append").partitionBy(*partition_cols).parquet(self.path(table))
+
+    def write_json(self, df: DataFrame, table: str) -> None:
+        """JSON sink (interchange format for downstream consumers)."""
+        df.write.mode("overwrite").json(self.path(table) + "_json")
+
+    def read_json(self, spark: SparkSession, table: str, schema=None) -> DataFrame:
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.json(self.path(table) + "_json")
+
     def write_bucketed(
         self,
         df: DataFrame,
