@@ -90,6 +90,92 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
     return df.select(id_col, F.md5(norm).alias("fingerprint"))
 
 
+def sample_split(df: DataFrame, id_col: str = "doc_id",
+                 train_pct: int = 80) -> DataFrame:
+    """Deterministic hash-based train/test assignment.
+
+    Content-stable (hash of the id, not rand()): re-running the
+    pipeline or re-sharding the data never flips a document's split —
+    the property training pipelines need for held-out integrity.
+    """
+    from streamforge_data_pipeline_spark.functions import hash60
+
+    bucket = hash60(F.col(id_col).cast("string")) % 100
+    return df.select(
+        id_col,
+        F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+
+
+def repetition_filter(df: DataFrame, id_col: str = "doc_id", text: str = "text",
+                      max_top_bigram_frac: float = 0.18) -> DataFrame:
+    """Gopher-style repetition gate: flag docs whose most frequent
+    bigram accounts for more than `max_top_bigram_frac` of all bigrams
+    (boilerplate/spam indicator). Emits the fraction for inspection."""
+    from pyspark.sql import Window
+
+    toks = tokens(text)
+    tok = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = (
+        tok.select(
+            id_col,
+            F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("bg"),
+            F.lead("tok", 1).over(w).alias("__nxt"),
+        )
+        .filter(F.col("__nxt").isNotNull())
+        .drop("__nxt")
+    )
+    counts = bigrams.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total_c")
+    )
+    frac = F.col("top_c") / F.col("total_c")
+    return per_doc.select(
+        id_col,
+        F.round(frac, 4).alias("top_bigram_frac"),
+        (frac > max_top_bigram_frac).alias("flagged"),
+    )
+
+
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Email scrubbing (the PII-removal pass of a training pipeline).
+    Deterministic synthetic emails are appended first so the operator
+    is exercised on data that contains PII-shaped strings."""
+    with_pii = F.concat(
+        F.col(text), F.lit(" contact: user"), F.col(id_col).cast("string"),
+        F.lit("@example.com"),
+    )
+    scrubbed = F.regexp_replace(with_pii, EMAIL_RE, "[EMAIL]")
+    return df.select(
+        F.col(id_col),
+        F.substring(scrubbed, -30, 30).alias("tail30"),
+        (F.length(with_pii) - F.length(scrubbed)).cast("long").alias("chars_removed"),
+    )
+
+
+def corpus_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """One-row corpus profile: doc count, token total, distinct-text
+    count (exact dup rate), mean doc length — the dashboard numbers a
+    corpus build reports after each stage."""
+    toks = tokens(text)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks).cast("long")).alias("total_tokens"),
+        F.countDistinct(F.sha2(F.col(text), 256)).alias("distinct_texts"),
+        F.round(
+            F.sum(F.length(text).cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_chars"),
+    )
+
+
 # GPT-2-style pre-tokenizer shape: contractions, letter runs, digit
 # runs, punctuation runs, each optionally space-prefixed. Portable
 # between Java regex (Spark) and RE2 (DuckDB).

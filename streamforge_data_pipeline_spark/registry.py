@@ -461,6 +461,22 @@ def q_session_window(spark, sf_dir):
     return windows.session_counts(load(spark, sf_dir, "events"))
 
 
+def q_sample_split(spark, sf_dir):
+    return text.sample_split(load(spark, sf_dir, "documents"))
+
+
+def q_repetition_filter(spark, sf_dir):
+    return text.repetition_filter(load(spark, sf_dir, "documents"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    return text.pii_scrub(load(spark, sf_dir, "documents"))
+
+
+def q_corpus_stats(spark, sf_dir):
+    return text.corpus_stats(load(spark, sf_dir, "documents"))
+
+
 def q_multimodal_meta(spark, sf_dir):
     media = attach_media(load(spark, sf_dir, "documents"))
     return media_summary(media)
@@ -762,6 +778,44 @@ FROM toks""",
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
         "FROM events",
         "typed JSON field extraction from event props",
+    ),
+    "sample_split": QuerySpec(
+        q_sample_split,
+        "SELECT doc_id, CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 80 "
+        "THEN 'train' ELSE 'test' END AS split FROM documents",
+        "deterministic content-hash train/test split",
+    ),
+    "repetition_filter": QuerySpec(
+        q_repetition_filter,
+        f"""WITH {TOKS_CTE},
+idx AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts)-1, 0))) AS x FROM toks),
+bg AS (SELECT doc_id, ts[x+1] || ' ' || ts[x+2] AS bg FROM idx),
+c AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+p AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total_c FROM c GROUP BY doc_id)
+SELECT doc_id, round(top_c*1.0/total_c, 4) AS top_bigram_frac,
+       (top_c*1.0/total_c > 0.18) AS flagged
+FROM p""",
+        "Gopher-style top-bigram repetition gate",
+    ),
+    "pii_scrub": QuerySpec(
+        q_pii_scrub,
+        "SELECT doc_id, "
+        "right(regexp_replace(text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com', "
+        "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]', 'g'), 30) AS tail30, "
+        "CAST(length(text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com') "
+        "- length(regexp_replace(text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com', "
+        "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]', 'g')) AS BIGINT) AS chars_removed "
+        "FROM documents",
+        "email/PII scrubbing pass (regexp_replace)",
+    ),
+    "corpus_stats": QuerySpec(
+        q_corpus_stats,
+        "SELECT COUNT(*) AS n_docs, "
+        "CAST(SUM(len(" + SQL_TOKENS.format(x="text") + ")) AS BIGINT) AS total_tokens, "
+        "COUNT(DISTINCT sha256(text)) AS distinct_texts, "
+        "round(CAST(SUM(CAST(length(text) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 4) AS mean_chars "
+        "FROM documents",
+        "corpus-level profile (docs/tokens/dup-rate/mean length)",
     ),
     "multimodal_meta": QuerySpec(
         q_multimodal_meta,

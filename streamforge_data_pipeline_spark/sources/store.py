@@ -84,6 +84,24 @@ class TableStore:
         )
         return name
 
+    def compact(self, spark: SparkSession, table: str, target_files: int) -> int:
+        """Small-files compaction — the operational chore of any
+        streaming/chunked sink at scale (each micro-batch writes >=1
+        file per partition; readers drown in metadata). Rewrites the
+        table into `target_files` files and returns the new count.
+        """
+        import glob
+
+        df = self.read(spark, table)
+        tmp = self.path(table) + "__compact"
+        df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+        final = self.path(table)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(final)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return len(glob.glob(os.path.join(final, "part-*")))
+
     def existing_ids(self, spark: SparkSession, table: str = "items") -> DataFrame:
         """S3/P1: projection pushdown — only external_id reaches the scan
         (the reference's prefetch query, ItemRepository.java:16-17)."""

@@ -35,6 +35,17 @@ def test_json_round_trip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cust.collect()))
 
 
+def test_compaction_reduces_file_count(spark, tmp_path):
+    store = TableStore(str(tmp_path))
+    ev = load(spark, SF_SMALL, "events")
+    # simulate many micro-batch files
+    ev.repartition(24).write.mode("overwrite").parquet(store.path("many"))
+    before = ev.count()
+    n_files = store.compact(spark, "many", target_files=2)
+    assert n_files <= 2
+    assert spark.read.parquet(store.path("many")).count() == before
+
+
 def test_malformed_csv_rows_surface_as_errors(spark, tmp_path):
     p = tmp_path / "bad.csv"
     p.write_text(
