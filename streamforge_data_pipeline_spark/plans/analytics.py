@@ -24,7 +24,16 @@ DEC = "decimal(28,10)"
 
 
 def dsum(c: Column) -> Column:
-    return F.sum(c.cast(DEC)).cast("double")
+    """Exact decimal sum, rounded to cents BEFORE the double cast.
+
+    The decimal sum itself is exact in both engines; the divergence
+    risk is the decimal->double conversion — at scale 10 the scaled
+    integer exceeds 2^53 and DuckDB's conversion can be off by one ulp
+    (measured). Rounding to scale 2 first keeps the scaled integer
+    within 2^53 for sums up to ~9e13, making the cast correctly
+    rounded (hence bit-identical) in both engines.
+    """
+    return F.round(F.sum(c.cast(DEC)), 2).cast("double")
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,16 +73,11 @@ def top_revenue(spark: SparkSession, sf_dir: str, segment: str = "BUILDING",
     rev = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
-    w = Window.orderBy(F.desc(F.round("revenue", 4)), F.col("o_orderkey"))
+    w = Window.orderBy(F.desc("revenue"), F.col("o_orderkey"))
     return (
         rev.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select(
-            "o_orderkey",
-            F.round("revenue", 4).alias("revenue"),
-            "o_orderpriority",
-            "rk",
-        )
+        .select("o_orderkey", "revenue", "o_orderpriority", "rk")
     )
 
 

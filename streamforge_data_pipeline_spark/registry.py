@@ -843,7 +843,7 @@ WHERE (['image','audio','video','text'])[CAST(doc_id % 4 AS INTEGER) + 1] <> 'te
     "rollup_sales": QuerySpec(
         q_rollup_sales,
         "SELECT r_name, n_name, "
-        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue "
+        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey "
@@ -923,10 +923,10 @@ FROM y GROUP BY user_id, sess""",
     "pricing_summary": QuerySpec(
         analytics.pricing_summary,
         """SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE) AS sum_charge,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_charge,
   COUNT(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "TPC-H Q1 shape: scan-heavy partial agg",
@@ -935,22 +935,22 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         analytics.top_revenue,
         """WITH r AS (
   SELECT o_orderkey,
-    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+    CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
     o_orderpriority
   FROM customer JOIN orders ON c_custkey = o_custkey
        JOIN lineitem ON l_orderkey = o_orderkey
   WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
   GROUP BY o_orderkey, o_orderdate, o_orderpriority)
 SELECT o_orderkey, revenue, o_orderpriority, rk FROM (
-  SELECT o_orderkey, round(revenue, 4) AS revenue, o_orderpriority,
-    ROW_NUMBER() OVER (ORDER BY round(revenue, 4) DESC, o_orderkey) AS rk FROM r)
+  SELECT o_orderkey, revenue, o_orderpriority,
+    ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey) AS rk FROM r)
 WHERE rk <= 10""",
         "TPC-H Q3 shape: selective dim broadcast + top-k",
     ),
     "region_sales": QuerySpec(
         analytics.region_sales,
         """SELECT r_name, n_name,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
