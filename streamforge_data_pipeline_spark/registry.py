@@ -357,6 +357,25 @@ def q_json_extract(spark, sf_dir):
     return text.json_extract_int(ev, "props", "k", "k").select("event_id", "k")
 
 
+def q_sql_endpoint(spark, sf_dir):
+    """The engine's Spark SQL text surface: testdata registered as temp
+    views, query given as SQL — Catalyst compiles it to the same plan
+    the DataFrame API yields (the reference's only declarative path,
+    JPQL->SQL, generalized)."""
+    for t in ["orders", "customer"]:
+        load(spark, sf_dir, t).createOrReplaceTempView(f"sfdp_{t}")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE)
+                 AS total_price
+        FROM sfdp_orders JOIN sfdp_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
 def q_rank_orders(spark, sf_dir):
     """Analytic window suite: row_number + lag per customer."""
     from pyspark.sql import Window
@@ -831,6 +850,13 @@ WHERE (['image','audio','video','text'])[CAST(doc_id % 4 AS INTEGER) + 1] <> 'te
         q_media_features, None, "E5: Arrow-batched decode/feature plumbing (stub codec)"
     ),
     # --- analytic/relational extensions ---
+    "sql_endpoint": QuerySpec(
+        q_sql_endpoint,
+        "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_price "
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+        "Spark SQL text endpoint over registered views",
+    ),
     "rank_orders": QuerySpec(
         q_rank_orders,
         "SELECT o_custkey, o_orderkey, o_totalprice, rk, prev_price FROM ("

@@ -1,0 +1,42 @@
+"""Plan-shape regression tests — lock in the physical-plan properties
+the 100 TB design depends on (PERF_NOTES plan audit)."""
+
+from __future__ import annotations
+
+from streamforge_data_pipeline_spark.registry import REGISTRY
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, key: str) -> str:
+    df = REGISTRY[key].fn(spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_eq_filter_pushes_predicate_to_scan(spark):
+    plan = _plan(spark, "eq_filter")
+    assert "PushedFilters" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_id_projection_prunes_to_single_column(spark):
+    plan = _plan(spark, "id_projection")
+    assert "ReadSchema: struct<c_custkey:bigint>" in plan
+
+
+def test_region_sales_broadcasts_all_dims(spark):
+    plan = _plan(spark, "region_sales")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_error_counts_broadcasts_existing_ids(spark):
+    plan = _plan(spark, "error_counts")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_validate_has_no_python_udf(spark):
+    # the hot path must stay in JVM expressions (SURVEY §4 design rule)
+    plan = _plan(spark, "validate")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
