@@ -95,6 +95,87 @@ def decode_features(media: DataFrame, real_codecs: bool = False) -> DataFrame:
     return media.mapInPandas(_batches, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
+                  real_codecs: bool = False) -> DataFrame:
+    """Image resize over binary payloads (Arrow-batched).
+
+    Production hook: PIL.Image.open(bytes) -> .resize((w,h)) -> bytes.
+    Here the codec is STUBBED deterministically (payload truncated/padded
+    to w*h bytes) so the distributed shape — batch signature, metadata
+    update, payload column flowing through Arrow — is fully exercised.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = target_w * target_h
+        for pdf in it:
+            if real_codecs:
+                raise NotImplementedError("image codecs not available in container")
+            payload = pdf["payload"].map(
+                lambda b: None if b is None else (bytes(b)[:n]).ljust(n, b"\0")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payload,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    imgs = media.filter(F.col("meta.modality") == "image")
+    return imgs.mapInPandas(_batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64,
+                  max_frames: int = 8, real_codecs: bool = False) -> DataFrame:
+    """Video frame sampling: one row per sampled frame (1->N expansion
+    through mapInPandas — the shape ffmpeg-based sampling has).
+
+    Stub 'decoder': every_n_bytes-sized strides of the payload stand in
+    for decoded frames; a real deployment seeks keyframes via ffmpeg.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if real_codecs:
+                raise NotImplementedError("video codecs not available in container")
+            out_ids, out_idx, out_frames = [], [], []
+            for _, row in pdf.iterrows():
+                b = row["payload"]
+                if b is None:
+                    continue
+                b = bytes(b)
+                for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    out_ids.append(row["doc_id"])
+                    out_idx.append(i)
+                    out_frames.append(b[i * every_n_bytes:(i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+            )
+
+    vids = media.filter(F.col("meta.modality") == "video")
+    return vids.mapInPandas(_batches, FRAMES_SCHEMA)
+
+
 def media_summary(media: DataFrame) -> DataFrame:
     """Relational ops over multimodal metadata: filter + project +
     aggregate without touching payload bytes (column pruning keeps the

@@ -138,6 +138,30 @@ def near_dup_pairs_numpy(
     return vectors.select(id_col, vec_col).mapInPandas(_block, out_schema)
 
 
+def label_centroids(
+    vectors: DataFrame, label_col: str = "label", vec_col: str = "embedding",
+    dim: int = 64
+) -> DataFrame:
+    """Per-label centroid via posexplode + group — the IVF coarse-
+    quantizer training step (and the classic array-aggregation shape).
+
+    Element sums go through decimal so the result is exact and
+    order-independent (oracle-checkable); output is one row per
+    (label, dimension) to stay relational.
+    """
+    expl = vectors.select(
+        label_col, F.posexplode(vec_col).alias("dim", "v")
+    )
+    return expl.groupBy(label_col, "dim").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --- ANN: multi-table random-hyperplane (sign) LSH ------------------------
 
 def _py_hash60(s: str) -> int:

@@ -291,6 +291,26 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.ann_topk_lsh(vecs, vecs.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_label_centroids(spark, sf_dir):
+    return similarity.label_centroids(load(spark, sf_dir, "embeddings"))
+
+
+def q_media_resize(spark, sf_dir):
+    """Arrow-batched image resize plumbing (stub codec; no oracle)."""
+    from streamforge_data_pipeline_spark.operators.multimodal import resize_images
+
+    media = attach_media(load(spark, sf_dir, "documents"))
+    return resize_images(media).select("doc_id", "width", "height")
+
+
+def q_media_frames(spark, sf_dir):
+    """Video frame sampling plumbing: 1->N expansion (stub codec)."""
+    from streamforge_data_pipeline_spark.operators.multimodal import sample_frames
+
+    media = attach_media(load(spark, sf_dir, "documents"))
+    return sample_frames(media).select("doc_id", "frame_idx")
+
+
 def q_term_counts(spark, sf_dir):
     return text.term_counts(load(spark, sf_dir, "documents"))
 
@@ -719,6 +739,22 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.4""",
     ),
     "ann_lsh": QuerySpec(
         q_ann_lsh, None, "sign-LSH bucketed ANN + rerank (recall-tested)"
+    ),
+    "label_centroids": QuerySpec(
+        q_label_centroids,
+        "SELECT label, i - 1 AS dim, "
+        "round(CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS centroid_v, "
+        "COUNT(*) AS n "
+        "FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v, "
+        "      generate_subscripts(embedding, 1) AS i FROM embeddings) "
+        "GROUP BY label, i - 1",
+        "per-label embedding centroids (IVF coarse quantizer step)",
+    ),
+    "media_resize": QuerySpec(
+        q_media_resize, None, "image resize plumbing via mapInPandas (stub codec)"
+    ),
+    "media_frames": QuerySpec(
+        q_media_frames, None, "video frame-sampling plumbing (1->N mapInPandas)"
     ),
     "term_counts": QuerySpec(
         q_term_counts,
