@@ -169,7 +169,7 @@ def corpus_stats(df: DataFrame, text: str = "text") -> DataFrame:
         F.sum(F.size(toks).cast("long")).alias("total_tokens"),
         F.countDistinct(F.sha2(F.col(text), 256)).alias("distinct_texts"),
         F.round(
-            F.sum(F.length(text).cast("decimal(28,10)")).cast("double")
+            F.round(F.sum(F.length(text).cast("decimal(28,10)")), 2).cast("double")
             / F.count(F.lit(1)),
             4,
         ).alias("mean_chars"),

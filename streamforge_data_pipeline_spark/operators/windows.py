@@ -23,7 +23,11 @@ def tumbling_counts(events: DataFrame, ts: str = "ts", key: str = "event_type",
         events.groupBy(F.window(ts, width).alias("w"), key)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("sum_value"),
+            # round-before-cast keeps the decimal->double conversion
+            # correctly rounded at any scale (see analytics.dsum)
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), key, "n", "sum_value")
     )

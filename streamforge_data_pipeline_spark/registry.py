@@ -350,7 +350,12 @@ def q_value_stats(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"),
-        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("sum_v"),
+        # round the exact decimal before the double cast: keeps the
+        # scaled integer < 2^53 so the cast is correctly rounded in
+        # both engines at any scale factor (see analytics.dsum)
+        F.round(F.sum(F.col("value").cast("decimal(28,10)")), 2)
+        .cast("double")
+        .alias("sum_v"),
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_v"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -361,7 +366,8 @@ def q_scalar_subquery(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
     avg_total = orders.agg(
         (
-            F.sum(F.col("o_totalprice").cast("decimal(28,10)")).cast("double")
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2)
+            .cast("double")
             / F.count(F.lit(1))
         ).alias("avg_total")
     )
@@ -816,7 +822,7 @@ FROM toks""",
     "value_stats": QuerySpec(
         q_value_stats,
         "SELECT event_type, MIN(value) AS min_v, MAX(value) AS max_v, "
-        "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v, "
+        "CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_v, "
         "round(quantile_cont(value, 0.5), 4) AS median_v, COUNT(*) AS n "
         "FROM events GROUP BY event_type",
         "numeric profiling: min/max/sum/exact interpolated median",
@@ -824,7 +830,7 @@ FROM toks""",
     "scalar_subquery": QuerySpec(
         q_scalar_subquery,
         "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > "
-        "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) "
+        "(SELECT CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) / COUNT(*) "
         "FROM orders)",
         "scalar aggregate subquery (above-average filter)",
     ),
@@ -868,7 +874,7 @@ FROM p""",
         "SELECT COUNT(*) AS n_docs, "
         "CAST(SUM(len(" + SQL_TOKENS.format(x="text") + ")) AS BIGINT) AS total_tokens, "
         "COUNT(DISTINCT sha256(text)) AS distinct_texts, "
-        "round(CAST(SUM(CAST(length(text) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 4) AS mean_chars "
+        "round(CAST(ROUND(SUM(CAST(length(text) AS DECIMAL(28,10))), 2) AS DOUBLE) / COUNT(*), 4) AS mean_chars "
         "FROM documents",
         "corpus-level profile (docs/tokens/dup-rate/mean length)",
     ),
@@ -952,7 +958,7 @@ WHERE (['image','audio','video','text'])[CAST(doc_id % 4 AS INTEGER) + 1] <> 'te
     "tumbling_window": QuerySpec(
         q_tumbling_window,
         "SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n, "
-        "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value "
+        "CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY date_trunc('hour', ts), event_type",
         "tumbling 1h event-time window agg (streaming-reusable)",
     ),
