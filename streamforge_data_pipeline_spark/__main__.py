@@ -28,7 +28,6 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("csv_path")
     pi.add_argument("--store", required=True)
     pi.add_argument("--error-report")
-    pi.add_argument("--all-or-nothing", action="store_true")
 
     ps = sub.add_parser("ingest-stream", help="chunked-commit streaming ingest")
     ps.add_argument("input_dir")
@@ -60,7 +59,6 @@ def main(argv: list[str] | None = None) -> int:
                 args.csv_path,
                 TableStore(args.store),
                 error_report_path=args.error_report,
-                all_or_nothing=args.all_or_nothing,
             )
             print(json.dumps(res.__dict__))
         elif args.cmd == "ingest-stream":

@@ -104,10 +104,20 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
 
 
 def exact_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact |A∩B| / |A∪B| on token-3-gram sets, for given pairs."""
+    """Exact |A∩B| / |A∪B| on token-3-gram sets, for given pairs.
+
+    The shingle relation is semi-joined to the candidate doc-id set
+    FIRST, so the self-join only touches candidates' shingles — the
+    post-join pair filter alone wouldn't stop Catalyst from
+    materializing every co-shingle pair (it references both sides).
+    """
+    cand_ids = pairs.select(F.col("doc_a").alias("doc_id")).union(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    sh_c = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), (F.col("x.sh") == F.col("y.sh")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        sh_c.alias("x")
+        .join(sh_c.alias("y"), (F.col("x.sh") == F.col("y.sh")) & (F.col("x.doc_id") < F.col("y.doc_id")))
         .join(
             pairs,
             (F.col("x.doc_id") == pairs["doc_a"]) & (F.col("y.doc_id") == pairs["doc_b"]),

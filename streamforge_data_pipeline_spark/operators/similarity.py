@@ -95,10 +95,20 @@ def near_dup_pairs_numpy(
     NumPy's pairwise summation can differ from a sequential fold in
     the last ulp; results are rounded to 4 decimals, and equivalence
     against the exact fold is asserted in tests.
+
+    The comparison matrix is collected to the driver and broadcast —
+    correct ONLY for bucket-sized inputs (guarded below). The corpus-
+    scale path is lsh-bucket-then-this, never this alone.
     """
     import numpy as np
     from pyspark.sql import types as T
 
+    n = vectors.count()
+    if n > 200_000:
+        raise ValueError(
+            f"near_dup_pairs_numpy is a within-bucket kernel; got {n} vectors — "
+            "block with LSH (ann_topk_lsh buckets) before calling"
+        )
     rows = vectors.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -165,39 +175,16 @@ def label_centroids(
 # --- ANN: multi-table random-hyperplane (sign) LSH ------------------------
 
 def _py_hash60(s: str) -> int:
-    """Python twin of functions.hash60 (first 15 md5 hex chars)."""
+    """Python twin of functions.hash60 (first 15 md5 hex chars).
+
+    Hyperplanes are derived from this in Python and embedded as
+    literal matrices: Catalyst does NOT constant-fold md5 expressions
+    inside lambda contexts, so a Column-expression hyperplane was
+    re-hashed per row (measured ~30x slowdown before removal).
+    """
     import hashlib
 
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-
-
-def _hyperplane(tag: str, dim: int) -> Column:
-    """Deterministic pseudo-random ±1 hyperplane from hash60(tag:d).
-
-    Evaluated in Python and embedded as literals: md5 expressions
-    inside lambda contexts are NOT constant-folded by Catalyst, so the
-    Column-expression form re-hashed 64 literals per row (measured
-    ~30x slowdown on the bucketing pass).
-    """
-    return F.array(
-        *[
-            F.lit(1.0 if _py_hash60(f"hp:{tag}:{d}") % 2 == 0 else -1.0)
-            for d in range(dim)
-        ]
-    )
-
-
-def lsh_bucket(vec: Column, dim: int, table: int, n_planes: int) -> Column:
-    """Sign-sketch bucket id for one hash table: bit p = sign(<v, h_p>)."""
-    acc = F.lit(0).cast("long")
-    for p in range(n_planes):
-        dot = F.aggregate(
-            F.zip_with(vec, _hyperplane(f"{table}:{p}", dim), lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-        acc = acc + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return acc
 
 
 def ann_topk_lsh(

@@ -91,7 +91,10 @@ def validate(
     # approximation, same reject/accept partition.)
     too_few = F.col(quantity).isNull() & F.col(expiry_date).isNull()
 
-    eligible = (tid != "") & (tname != "")
+    # claim-eligible = passed rules 1-3: the reference's arity check
+    # (:227) returns BEFORE the set-add at :242, so a short row must
+    # not claim its id either.
+    eligible = ~too_few & (tid != "") & (tname != "")
     w = (
         Window.partitionBy(tid)
         .orderBy(order_col)

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streamforge_data_pipeline_spark.operators.validate import split_valid, to_items, validate
 from streamforge_data_pipeline_spark.schemas import INTAKE_COLUMNS
-from streamforge_data_pipeline_spark.sources.csv_intake import read_intake_csv
+from streamforge_data_pipeline_spark.sources.csv_intake import intake_order, read_intake_csv
 from streamforge_data_pipeline_spark.sources.error_report import write_error_report
 from streamforge_data_pipeline_spark.sources.store import TableStore
 
@@ -44,19 +44,17 @@ def run_upload(
     csv_path: str,
     store: TableStore,
     error_report_path: str | None = None,
-    all_or_nothing: bool = False,
 ) -> UploadResult:
-    """Batch ingest (ALL_OR_NOTHING and CHUNK_COMMIT collapse to the
-    same distributed write; chunk semantics live in the streaming path).
+    """Batch ingest. The reference's ALL_OR_NOTHING vs CHUNK_COMMIT
+    distinction collapses here: one distributed write is already
+    atomic via the Spark commit protocol (= ALL_OR_NOTHING), while
+    per-micro-batch commit semantics (CHUNK_COMMIT) live in the
+    streaming path (streaming/ingest_stream.py).
     """
     job_id = str(uuid.uuid4())
     raw = read_intake_csv(spark, csv_path)
-    try:
-        existing = store.existing_ids(spark)
-    except Exception:  # first upload: empty store
-        existing = spark.createDataFrame([], "external_id string")
-
-    validated = validate(raw, existing, "row_id").cache()
+    existing = store.existing_ids_or_empty(spark)
+    validated = validate(raw, existing, intake_order()).cache()
     valid, rejected = split_valid(validated)
 
     store.insert_items(to_items(valid))

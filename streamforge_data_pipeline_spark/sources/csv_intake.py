@@ -17,18 +17,23 @@ from (file, offset), not from a driver-side counter).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from streamforge_data_pipeline_spark.schemas import INTAKE_SCHEMA
 
 
 def read_intake_csv(spark: SparkSession, path: str) -> DataFrame:
-    """S1: header-extracted CSV scan -> 4 string columns + row_id.
+    """S1: header-extracted CSV scan -> 4 string columns + row order.
 
-    ``monotonically_increasing_id`` is (partition_id << 33) + offset —
-    monotone in file order because Spark assigns split ids in file
-    order; adequate as the dedup tiebreaker at any scale and never a
-    driver-side bottleneck.
+    ``row_id`` is ``monotonically_increasing_id`` ((partition_id<<33)
+    + offset). Spark packs splits by SIZE (descending), not listing
+    order, so row_id alone is not file-ordered across multiple files;
+    ``__src_file`` disambiguates. The dedup order key is
+    :func:`intake_order` = (file name, row_id): within one file,
+    equal-size splits keep offset order under Spark's stable sort and
+    the smaller tail split sorts last, so the pair is offset-monotone
+    per file; across files, lexicographic file name is the documented
+    convention (the reference only ever ingests a single file).
     """
     df = (
         spark.read.schema(INTAKE_SCHEMA)
@@ -36,7 +41,14 @@ def read_intake_csv(spark: SparkSession, path: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .csv(path)
     )
-    return df.withColumn("row_id", F.monotonically_increasing_id())
+    return df.withColumn("row_id", F.monotonically_increasing_id()).withColumn(
+        "__src_file", F.input_file_name()
+    )
+
+
+def intake_order() -> Column:
+    """Stable total-order key for order-dependent dedup (SURVEY §7)."""
+    return F.struct(F.col("__src_file"), F.col("row_id"))
 
 
 def count_data_rows(spark: SparkSession, path: str) -> int:

@@ -37,7 +37,21 @@ class TableStore:
         return spark.read.option("mergeSchema", True).parquet(self.path(table))
 
     def insert_items(self, typed: DataFrame, table: str = "items") -> None:
-        self.append(typed.withColumn("id", F.monotonically_increasing_id()), table)
+        """SERIAL-PK-style id assignment: monotonically_increasing_id
+        restarts at (partition<<33) each job, so appended uploads are
+        offset by the current max id to stay unique across uploads
+        (single-writer assumption — the reference serializes through
+        one Postgres sequence; concurrent writers would need a
+        coordinator or a (upload_uuid, row) composite key)."""
+        spark = typed.sparkSession
+        if os.path.exists(self.path(table)):
+            base = (self.read(spark, table).agg(F.max("id")).collect()[0][0] or 0) + 1
+        else:
+            base = 0
+        self.append(
+            typed.withColumn("id", F.monotonically_increasing_id() + F.lit(base)),
+            table,
+        )
 
     def append_partitioned(
         self, df: DataFrame, table: str, partition_cols: list[str]
@@ -106,3 +120,14 @@ class TableStore:
         """S3/P1: projection pushdown — only external_id reaches the scan
         (the reference's prefetch query, ItemRepository.java:16-17)."""
         return self.read(spark, table).select("external_id")
+
+    def existing_ids_or_empty(self, spark: SparkSession, table: str = "items") -> DataFrame:
+        """Prefetch that treats ONLY a missing table as empty. Any
+        other failure (corrupt footer, permissions) re-raises — a
+        swallowed error here would silently disable dedup and
+        re-insert committed rows."""
+        import os as _os
+
+        if not _os.path.exists(self.path(table)):
+            return spark.createDataFrame([], "external_id string")
+        return self.existing_ids(spark, table)

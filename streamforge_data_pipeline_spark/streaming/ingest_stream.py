@@ -19,6 +19,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from streamforge_data_pipeline_spark.operators.validate import split_valid, to_items, validate
 from streamforge_data_pipeline_spark.schemas import INTAKE_SCHEMA
+from streamforge_data_pipeline_spark.sources.csv_intake import intake_order
 from streamforge_data_pipeline_spark.sources.store import TableStore
 from streamforge_data_pipeline_spark.streaming.status import Status, StatusStore
 
@@ -49,17 +50,20 @@ def start_stream_ingest(
         spark_b = batch_df.sparkSession
         # row ordinal is per-batch (monotonically_increasing_id is
         # illegal on the unbounded stream itself); cross-batch
-        # first-wins comes from the store-level anti-join.
-        batch_df = batch_df.withColumn("row_id", F.monotonically_increasing_id())
+        # first-wins comes from the store-level anti-join. Persist so
+        # the insert action and the progress count scan the input once.
+        batch_df = batch_df.withColumn(
+            "row_id", F.monotonically_increasing_id()
+        ).withColumn("__src_file", F.input_file_name()).persist()
         try:
-            existing = store.existing_ids(spark_b)
-        except Exception:
-            existing = spark_b.createDataFrame([], "external_id string")
-        validated = validate(batch_df, existing, "row_id")
-        valid, _rejected = split_valid(validated)
-        status.put(job_id, Status("DB_COMMIT", f"batch {batch_id}"))
-        store.insert_items(to_items(valid))
-        processed["rows"] += batch_df.count()
+            existing = store.existing_ids_or_empty(spark_b)
+            validated = validate(batch_df, existing, intake_order())
+            valid, _rejected = split_valid(validated)
+            status.put(job_id, Status("DB_COMMIT", f"batch {batch_id}"))
+            store.insert_items(to_items(valid))
+            processed["rows"] += batch_df.count()
+        finally:
+            batch_df.unpersist()
         status.put(
             job_id,
             Status("DB_COMMIT_SUCCESS", f"batch {batch_id}", processed["rows"]),

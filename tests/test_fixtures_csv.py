@@ -20,6 +20,8 @@ A2, ,5,2026-09-01
 A4,Widget,lots,2026-09-01
 A5,Widget,5,01/09/2026
 OK1,Good,7,2026-09-01
+C1,Short
+C1,Full,3,2026-09-02
 """
 
 
@@ -34,15 +36,17 @@ def test_f1_error_labels_and_dedup_quirk(spark, csv_path, tmp_path):
     store = TableStore(str(tmp_path / "store"))
     res = run_upload(spark, csv_path, store, error_report_path=str(tmp_path / "err"))
 
-    assert res.processed == 8
-    assert res.inserted == 1
-    assert res.failed == 7
+    assert res.processed == 10
+    assert res.inserted == 2
+    assert res.failed == 8
     # F1b quirk: X1/First claims the id despite failing quantity, so
     # X1/Second is 'duplicate externalId' though First never inserted.
+    # But C1/Short fails the ARITY check, which short-circuits BEFORE
+    # the claim (:227 vs :242) — so C1/Full is valid.
     assert res.error_counts == {
         "quantity invalid": 2,  # X1/First + A4
         "duplicate externalId": 1,  # X1/Second
-        "too few columns": 1,  # A1 (2 cells)
+        "too few columns": 2,  # A1, C1/Short
         "externalId empty": 1,
         "name empty": 1,
         "expiryDate invalid (expected yyyy-MM-dd)": 1,  # A5
@@ -50,7 +54,9 @@ def test_f1_error_labels_and_dedup_quirk(spark, csv_path, tmp_path):
 
     items = store.read(spark, "items")
     rows = {(r["external_id"], r["quantity"], str(r["expiry_date"])) for r in items.collect()}
-    assert rows == {("OK1", 7, "2026-09-01")}
+    assert rows == {("OK1", 7, "2026-09-01"), ("C1", 3, "2026-09-02")}
+    # SERIAL-PK parity: ids unique
+    assert items.select("id").distinct().count() == items.count()
 
     # error report: cells comma-joined + error appended (S7)
     lines = {
@@ -65,7 +71,10 @@ def test_reupload_is_idempotent(spark, csv_path, tmp_path):
     store = TableStore(str(tmp_path / "store"))
     run_upload(spark, csv_path, store)
     res2 = run_upload(spark, csv_path, store)
-    # committed row re-rejects as duplicate on retry (SURVEY §7) —
-    # OK1 now exists in the table, X1/Second still an in-file dup.
+    # committed rows re-reject as duplicates on retry (SURVEY §7) —
+    # OK1 and C1 now exist in the table, X1/Second still an in-file dup.
     assert res2.inserted == 0
-    assert res2.error_counts["duplicate externalId"] == 2
+    assert res2.error_counts["duplicate externalId"] == 3
+    # id uniqueness must hold across appended uploads too
+    items = store.read(spark, "items")
+    assert items.select("id").distinct().count() == items.count()

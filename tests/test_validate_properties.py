@@ -48,7 +48,7 @@ def _spark(spark):
 
 
 @given(data=rows, ex=existing)
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=25, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_validation_invariants(_spark, data, ex):
     spark = _spark
