@@ -61,9 +61,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for key in HEADLINE:
+        spark.catalog.clearCache()  # isolate queries from leftover persists
         t0 = time.time()
         REGISTRY[key].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[key] = round(time.time() - t0, 3)
+    spark.catalog.clearCache()
 
     # Reference-parity E2E: the reference's flagship workload is one
     # worker ingesting a ~50 MB / 1.22M-row CSV (CsvGenerator.java:18,28)
