@@ -81,6 +81,50 @@ def top_revenue(spark: SparkSession, sf_dir: str, segment: str = "BUILDING",
     )
 
 
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group average via aggregate +
+    join-back (no correlated-subquery re-scan per row), then a
+    selective filter against 0.2x the group mean."""
+    li = load(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (
+            F.round(F.sum(F.col("l_quantity").cast(DEC)), 2).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    joined = li.join(avg_qty, "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return joined.agg(
+        dsum(F.col("l_extendedprice")).alias("small_qty_rev"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand/size profile over the part dim (Q16-ish grouping)."""
+    part = load(spark, sf_dir, "part")
+    return part.groupBy("p_brand", (F.col("p_size") % 10).alias("size_bucket")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        dsum(F.col("p_retailprice")).alias("sum_price"),
+    )
+
+
+def supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account balances per nation (supplier ⋈ nation, dims
+    broadcast)."""
+    sup = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum(F.col("s_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
 def region_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: star join — dims broadcast, facts shuffle once."""
     li = load(spark, sf_dir, "lineitem")

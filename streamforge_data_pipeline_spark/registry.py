@@ -1015,6 +1015,32 @@ SELECT o_orderkey, revenue, o_orderpriority, rk FROM (
 WHERE rk <= 10""",
         "TPC-H Q3 shape: selective dim broadcast + top-k",
     ),
+    "small_qty_revenue": QuerySpec(
+        analytics.small_qty_revenue,
+        """WITH a AS (
+  SELECT l_partkey,
+    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS small_qty_rev,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN a USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty""",
+        "TPC-H Q17 shape: per-group mean join-back + selective filter",
+    ),
+    "parts_by_brand": QuerySpec(
+        analytics.parts_by_brand,
+        "SELECT p_brand, p_size % 10 AS size_bucket, COUNT(*) AS n_parts, "
+        "CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_price "
+        "FROM part GROUP BY p_brand, p_size % 10",
+        "dim-table profiling (Q16-ish grouping)",
+    ),
+    "supplier_balance": QuerySpec(
+        analytics.supplier_balance,
+        "SELECT n_name, COUNT(*) AS n_suppliers, "
+        "CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_acctbal "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name",
+        "supplier balances per nation (broadcast dim join)",
+    ),
     "region_sales": QuerySpec(
         analytics.region_sales,
         """SELECT r_name, n_name,
