@@ -73,10 +73,13 @@ def top_revenue(spark: SparkSession, sf_dir: str, segment: str = "BUILDING",
     rev = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
-    w = Window.orderBy(F.desc("revenue"), F.col("o_orderkey"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k then a k-row merge on the driver) — no single-partition
+    # shuffle of the full aggregate, unlike a global row_number window.
+    top = rev.orderBy(F.desc("revenue"), F.col("o_orderkey")).limit(k)
+    w = Window.orderBy(F.desc("revenue"), F.col("o_orderkey"))  # k rows only
     return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+        top.withColumn("rk", F.row_number().over(w))
         .select("o_orderkey", "revenue", "o_orderpriority", "rk")
     )
 
@@ -141,4 +144,180 @@ def region_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("r_name", "n_name").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the nation dim plays two roles (supplier side
+    and customer side) — two independent broadcasts, fact shuffles on
+    its join keys only. Cross-nation traffic per ship year."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sup = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+
+
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS -> left-semi join with a non-equi
+    conjunct (line shipped after the order date), counted per
+    priority. The semi join shuffles both sides on orderkey only."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def returned_items(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: selective fact filter (returnflag = 'R'),
+    4-way join, revenue per customer, deterministic top-k."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    rev = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    top = rev.orderBy(F.desc("revenue"), F.col("c_custkey")).limit(k)
+    w = Window.orderBy(F.desc("revenue"), F.col("c_custkey"))  # k rows only
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "rk")
+    )
+
+
+def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join (customers with zero orders
+    kept), per-customer order count, then distribution of counts.
+    Two aggregations, second one tiny."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio — share of
+    revenue from PROMO parts in one ship month. Part dim broadcasts;
+    single pass over the filtered fact."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    agg = joined.agg(
+        dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))).alias(
+            "promo_rev"
+        ),
+        dsum(rev).alias("total_rev"),
+    )
+    return agg.select(
+        "promo_rev",
+        "total_rev",
+        F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 4).alias(
+            "promo_share_pct"
+        ),
+    )
+
+
+def large_orders(spark: SparkSession, sf_dir: str, min_qty: float = 300.0) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over the fact -> join back to the
+    order/customer detail (the IN-subquery plan). The heavy agg and
+    the join-back reuse the same orderkey partitioning."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+                "total_qty")
+    )
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions over part x lineitem.
+    Catalyst extracts the common p_partkey equi-key so this stays a
+    hash join with the disjunction as a post-join filter; per-branch
+    base predicates still push into the scans."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    cond = (
+        ((F.col("p_type") == "PROMO") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_type") == "ECONOMY") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_size") > 40) & F.col("l_quantity").between(20, 35))
+    )
+    return joined.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global positive-balance
+    average) + anti join (customers with no orders), grouped by
+    segment. The scalar agg broadcasts as a literal-like single-row
+    crossjoin; the anti join shuffles on custkey."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.round(F.sum(F.col("c_acctbal").cast(DEC)), 2).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(orders, rich["c_custkey"] == orders["o_custkey"], "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum(F.col("c_acctbal")).alias("totacctbal"),
     )

@@ -1053,6 +1053,107 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY r_name, n_name""",
         "TPC-H Q5 shape: star join, dims broadcast",
     ),
+    "volume_shipping": QuerySpec(
+        analytics.volume_shipping,
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l_shipdate) AS INTEGER)""",
+        "TPC-H Q7 shape: nation dim in two roles, revenue per pair-year",
+    ),
+    "order_priority_check": QuerySpec(
+        analytics.order_priority_check,
+        """SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority""",
+        "TPC-H Q4 shape: EXISTS semi join with non-equi conjunct",
+    ),
+    "returned_items": QuerySpec(
+        analytics.returned_items,
+        """WITH r AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+    CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name)
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rk FROM r)
+WHERE rk <= 20""",
+        "TPC-H Q10 shape: returned-item revenue per customer, top-k",
+    ),
+    "customer_distribution": QuerySpec(
+        analytics.customer_distribution,
+        """WITH pc AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist FROM pc GROUP BY c_count""",
+        "TPC-H Q13 shape: outer join + two-level aggregation",
+    ),
+    "promo_revenue": QuerySpec(
+        analytics.promo_revenue,
+        """WITH a AS (
+  SELECT
+    CAST(ROUND(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(28,10))), 2) AS DOUBLE) AS promo_rev,
+    CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01')
+SELECT promo_rev, total_rev,
+  ROUND(100.0 * promo_rev / total_rev, 4) AS promo_share_pct FROM a""",
+        "TPC-H Q14 shape: conditional-aggregation revenue share",
+    ),
+    "large_orders": QuerySpec(
+        analytics.large_orders,
+        """WITH big AS (
+  SELECT l_orderkey,
+    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) > 300.0)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+  JOIN customer ON o_custkey = c_custkey""",
+        "TPC-H Q18 shape: HAVING agg then join back to detail",
+    ),
+    "disjunctive_revenue": QuerySpec(
+        analytics.disjunctive_revenue,
+        """SELECT
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_type = 'PROMO' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_type = 'ECONOMY' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_size > 40 AND l_quantity BETWEEN 20 AND 35)""",
+        "TPC-H Q19 shape: OR-of-conjunctions over a dim join",
+    ),
+    "idle_rich_customers": QuerySpec(
+        analytics.idle_rich_customers,
+        """WITH ab AS (
+  SELECT CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,10))), 2) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT c_mktsegment, COUNT(*) AS numcust,
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,10))), 2) AS DOUBLE) AS totacctbal
+FROM customer, ab
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment""",
+        "TPC-H Q22 shape: scalar subquery + anti join",
+    ),
 }
 
 
