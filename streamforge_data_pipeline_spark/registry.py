@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streamforge_data_pipeline_spark.functions import SQL_TOKENS
 from streamforge_data_pipeline_spark.operators import aggregates, dedup, joins, minhash, similarity, text
+from streamforge_data_pipeline_spark.operators import embeddings as embeddings_ops
 from streamforge_data_pipeline_spark.operators.multimodal import (
     attach_media,
     decode_features,
@@ -282,6 +283,45 @@ def q_embedding_near_dup(spark, sf_dir):
     """NumPy blocked-matmul kernel; exact-fold equivalence is asserted
     in tests/test_similarity.py."""
     return similarity.near_dup_pairs_numpy(load(spark, sf_dir, "embeddings"), tau=0.4)
+
+
+def q_bloom_anti_join(spark, sf_dir):
+    """J1 at beyond-broadcast scale: Bloom pre-pass keeps the fact side
+    unshuffled for definitely-new keys; exact anti join on the rest."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    existing = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 5 == 0)
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    return joins.bloom_anti_join(li, existing, "l_partkey")
+
+
+def q_embedding_normalize(spark, sf_dir):
+    """Arrow-batched NumPy normalize; per-row summary for the oracle."""
+    normed = embeddings_ops.normalize_embeddings(load(spark, sf_dir, "embeddings"))
+    return normed.select(
+        "vec_id",
+        F.size("normalized").alias("dim"),
+        F.round("norm", 4).alias("norm_r4"),
+        F.round(F.array_max("normalized"), 4).alias("max_comp_r4"),
+    )
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Arrow-batched NumPy int8 quantization; integer outputs are
+    bit-exact across engines (elementwise double ops only)."""
+    q = embeddings_ops.quantize_embeddings(load(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, v: a + v).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.size(F.filter("q", lambda v: F.abs(v) == 127)).cast("long").alias("n_sat"),
+        F.round("scale", 4).alias("scale_r4"),
+    )
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -1153,6 +1193,40 @@ WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_mktsegment""",
         "TPC-H Q22 shape: scalar subquery + anti join",
+    ),
+    "bloom_anti_join": QuerySpec(
+        q_bloom_anti_join,
+        "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem l "
+        "WHERE NOT EXISTS (SELECT 1 FROM part "
+        "WHERE p_partkey = l.l_partkey AND p_partkey % 5 = 0)",
+        "J1 scale path: Bloom pre-pass + exact anti join (result is exact)",
+    ),
+    "embedding_normalize": QuerySpec(
+        q_embedding_normalize,
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, len(v) AS dim, sqrt(list_inner_product(v, v)) AS norm, v FROM e)
+SELECT vec_id, CAST(dim AS INTEGER) AS dim, round(norm, 4) AS norm_r4,
+  round(CASE WHEN norm = 0 THEN 0.0
+             ELSE list_max(list_transform(v, x -> x / norm)) END, 4) AS max_comp_r4
+FROM n""",
+        "embedding pipeline: L2 normalize (Arrow/NumPy mapInPandas)",
+    ),
+    "embedding_quantize": QuerySpec(
+        q_embedding_quantize,
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+        CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 0.0
+             ELSE 127.0 / list_max(list_transform(v, x -> abs(x))) END AS scale
+      FROM e),
+qd AS (SELECT vec_id, scale,
+         list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS q
+       FROM s)
+SELECT vec_id, CAST(list_sum(q) AS BIGINT) AS q_sum,
+  list_min(q) AS q_min, list_max(q) AS q_max,
+  CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+  round(scale, 4) AS scale_r4
+FROM qd""",
+        "embedding pipeline: symmetric int8 quantize (exact integer parity)",
     ),
 }
 

@@ -1,0 +1,45 @@
+"""Bloom-filter pre-pass anti join: exactness + filter effectiveness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamforge_data_pipeline_spark.operators.joins import bloom_anti_join
+from streamforge_data_pipeline_spark.session import load
+from tests.conftest import SF_SMALL
+
+
+def test_matches_plain_left_anti(spark):
+    li = load(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    keys = (
+        load(spark, SF_SMALL, "part")
+        .where(F.col("p_partkey") % 5 == 0)
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    cols = ["l_orderkey", "l_linenumber", "l_partkey"]
+    got = {
+        tuple(r) for r in bloom_anti_join(li, keys, "l_partkey").select(cols).collect()
+    }
+    want = {
+        tuple(r)
+        for r in li.join(keys, "l_partkey", "left_anti").select(cols).collect()
+    }
+    assert got == want and want
+
+
+def test_all_and_none_matching(spark):
+    probe = spark.range(0, 1000).withColumnRenamed("id", "k")
+    empty_keys = spark.range(0, 0).withColumnRenamed("id", "k")
+    assert bloom_anti_join(probe, empty_keys, "k").count() == 1000
+    all_keys = spark.range(0, 1000).withColumnRenamed("id", "k")
+    assert bloom_anti_join(probe, all_keys, "k").count() == 0
+
+
+def test_false_positive_rate_bounded(spark):
+    # Disjoint probe/key ranges: every probe row is truly new, so any
+    # row routed to the exact join is a Bloom false positive.
+    keys = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    probe = spark.range(100_000, 140_000).withColumnRenamed("id", "k")
+    flagged = bloom_anti_join(probe, keys, "k", fpp=0.01)
+    # Exact result regardless of fp rate:
+    assert flagged.count() == 40_000
