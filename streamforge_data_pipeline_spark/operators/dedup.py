@@ -69,27 +69,37 @@ def simhash(df: DataFrame, text: str, doc_id: str) -> DataFrame:
     differ in few bits (Charikar '02); Hamming-distance blocking then
     runs on a fixed-width integer instead of the raw text.
 
-    Pure column/agg pipeline: explode(tokens) x explode(bits) ->
-    two-level aggregation; everything stays JVM-side.
+    Pure column/agg pipeline, ONE shuffle: all SIMHASH_BITS per-bit
+    sign sums run as independent conditional-sum aggregates over the
+    token-hash column (partial aggregation map-side), so the token
+    relation is never exploded x32 into a (doc, bit) long format —
+    that variant shuffles 32x the rows and needs a second aggregation.
     """
+    import functools
+    import operator
+
     tok = df.select(doc_id, F.explode(tokens(text)).alias("tok"))
     h = tok.withColumn("h", hash60("tok"))
-    bits = h.select(
-        doc_id,
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-    ).withColumn(
-        # F.shiftright takes a literal int; the SQL form accepts a column
-        "sign",
-        F.when(F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    sums = h.groupBy(doc_id).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    per_bit = bits.groupBy(doc_id, "bit").agg(F.sum("sign").alias("s"))
-    return per_bit.groupBy(doc_id).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+    fingerprint = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(SIMHASH_BITS)
+        ],
     )
+    return sums.select(F.col(doc_id), fingerprint.alias("simhash"))
 
 
 def connected_components(
