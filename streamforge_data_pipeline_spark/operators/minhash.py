@@ -160,15 +160,44 @@ def exact_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def drop_boilerplate_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Remove shingles present in more than ``max_df`` documents.
+
+    Boilerplate (licenses, headers, templated chrome) produces
+    shingles shared by thousands of docs; those dominate minhash
+    signatures and create mega-buckets whose candidate self-join is
+    quadratic in bucket size. Capping document frequency is the
+    standard stop-shingle fix: signatures are computed from
+    content-bearing shingles only. The DF aggregation is one
+    map-side-combined groupBy on the shingle string.
+    """
+    stop = (
+        sh.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("sh")
+    )
+    return sh.join(F.broadcast(stop), "sh", "left_anti")
+
+
 def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text",
-                      tau: float = 0.5) -> DataFrame:
-    """Near-dup pairs: LSH candidates verified by exact Jaccard >= tau."""
+                      tau: float = 0.5, max_df: int | None = None) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact Jaccard >= tau.
+
+    ``max_df`` (optional): compute signatures from shingles appearing
+    in at most that many docs (see :func:`drop_boilerplate_shingles`).
+    Verification still uses the FULL shingle sets, so reported Jaccard
+    values are exact; only candidate generation ignores boilerplate —
+    pairs similar *solely* through boilerplate stop being candidates,
+    which is the desired behavior on templated corpora.
+    """
     # Raw (non-distinct) shingles feed every branch: min-aggregation is
     # duplicate-tolerant, and exact_jaccard restores set semantics after
     # its candidate semi-join — so the corpus-wide distinct shuffle is
     # gone entirely. persist so tokenization runs once.
     sh = shingles_raw(df, id_col, text).persist()
-    cands = candidate_pairs(band_keys(signatures(sh)))  # one shuffle to sigs
+    sig_input = drop_boilerplate_shingles(sh, max_df) if max_df else sh
+    cands = candidate_pairs(band_keys(signatures(sig_input)))  # one shuffle to sigs
     verified = exact_jaccard(sh, cands)
     return verified.filter(F.col("jaccard") >= tau).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")

@@ -285,6 +285,14 @@ def q_embedding_near_dup(spark, sf_dir):
     return similarity.near_dup_pairs_numpy(load(spark, sf_dir, "embeddings"), tau=0.4)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """Approximate top-k via IVF coarse quantizer (k-means cells +
+    nprobe search + exact rerank); recall vs the exact baseline is
+    asserted in tests (no SQL oracle — approximate by design)."""
+    vecs = load(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_ivf(vecs, vecs.filter(F.col("vec_id") < 5), k=10)
+
+
 def q_bloom_anti_join(spark, sf_dir):
     """J1 at beyond-broadcast scale: Bloom pre-pass keeps the fact side
     unshuffled for definitely-new keys; exact anti join on the rest."""
@@ -785,6 +793,9 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.4""",
     ),
     "ann_lsh": QuerySpec(
         q_ann_lsh, None, "sign-LSH bucketed ANN + rerank (recall-tested)"
+    ),
+    "ann_ivf": QuerySpec(
+        q_ann_ivf, None, "IVF coarse-quantizer ANN + nprobe rerank (recall-tested)"
     ),
     "label_centroids": QuerySpec(
         q_label_centroids,

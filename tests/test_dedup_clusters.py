@@ -10,7 +10,7 @@ from streamforge_data_pipeline_spark.operators.dedup import (
 )
 from streamforge_data_pipeline_spark.session import load
 
-from tests.conftest import SF_MED
+from tests.conftest import SF_MED, SF_SMALL
 
 
 def _union_find(pairs):
@@ -50,3 +50,31 @@ def test_components_match_union_find(spark):
     n_docs = docs.count()
     n_losers = sum(1 for k, v in expected.items() if k != v)
     assert kept.count() == n_docs - n_losers
+
+
+def test_df_capped_shingles_suppress_boilerplate(spark):
+    from streamforge_data_pipeline_spark.operators import minhash
+
+    header = "this software is provided as is without warranty of any kind express or implied"
+    docs = [(i, f"{header} unique content piece number {i} with words {i*7} {i*13} {i*17}")
+            for i in range(40)]
+    # 2 true near-dups sharing real content beyond the header:
+    docs.append((100, header + " the quick brown fox jumps over the lazy dog again and again today"))
+    docs.append((101, header + " the quick brown fox jumps over the lazy dog again and again tonight"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    capped = minhash.minhash_lsh_dedup(df, tau=0.5, max_df=10)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs
+    # boilerplate-only pairs (header docs vs each other) must not pass tau
+    assert all(a >= 100 for a, b in pairs), pairs
+
+
+def test_df_cap_none_is_default_path(spark):
+    from streamforge_data_pipeline_spark.operators import minhash
+
+    docs = load(spark, SF_SMALL, "documents")
+    base = {tuple(r) for r in minhash.minhash_lsh_dedup(docs, tau=0.5).collect()}
+    # a cap far above any real DF must not change results
+    capped = {tuple(r) for r in minhash.minhash_lsh_dedup(docs, tau=0.5, max_df=10**6).collect()}
+    assert base == capped
