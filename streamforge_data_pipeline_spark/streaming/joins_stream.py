@@ -1,0 +1,63 @@
+"""Streaming dedup and stream-stream joins.
+
+The reference dedups arrival-ordered within one bounded file (SURVEY
+§2.3 J2) and against a static table (J1). A continuously-ingesting
+pipeline needs both as *unbounded* operators:
+
+- ``streaming_dedup``: exactly-once keys within the watermark horizon
+  via ``dropDuplicatesWithinWatermark`` — state is bounded (old keys
+  age out with the watermark), which is the only dedup that survives
+  an unbounded stream; a global ``dropDuplicates`` would grow state
+  forever.
+- ``interval_join``: stream-stream inner join with an event-time
+  range predicate. Watermarks on BOTH sides let Spark discard
+  outdated join state; without the time bound the state store would
+  buffer both streams indefinitely.
+
+Both are asserted equal to their batch equivalents in
+tests/test_streaming_joins.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """First occurrence per key within the watermark horizon."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "15 minutes",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner equi-join with an event-time interval bound:
+    right rows join left rows with ``left_ts <= right_ts <= left_ts +
+    upper`` (after ``lower`` offset). Both sides carry watermarks so
+    buffered state is evicted as event time advances."""
+    l = left.withWatermark(left_ts, delay).alias("l")
+    r = right.withWatermark(right_ts, delay).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}")
+        )
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return l.join(r, cond, "inner")

@@ -40,3 +40,34 @@ def test_validate_has_no_python_udf(spark):
     plan = _plan(spark, "validate")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_volume_shipping_broadcasts_both_nation_roles(spark):
+    plan = _plan(spark, "volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_top_k_uses_take_ordered_not_global_window(spark):
+    # orderBy+limit must compile to TakeOrderedAndProject; a global
+    # row_number window would single-partition the whole aggregate.
+    for key in ("top_revenue", "returned_items"):
+        plan = _plan(spark, key)
+        assert "TakeOrderedAndProject" in plan, key
+
+
+def test_disjunctive_predicate_reaches_part_scan(spark):
+    plan = _plan(spark, "disjunctive_revenue")
+    # The OR-of-conjunctions on p_type/p_size must appear in the part
+    # scan's data filters, not only as a post-join filter.
+    assert "Or(" in plan or " OR " in plan
+
+
+def test_promo_revenue_prunes_lineitem_columns(spark):
+    plan = _plan(spark, "promo_revenue")
+    for line in plan.splitlines():
+        if "FileScan" in line and "l_partkey" in line:
+            assert "l_tax" not in line and "l_returnflag" not in line
+            break
+    else:
+        raise AssertionError("no lineitem scan found")

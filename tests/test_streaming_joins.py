@@ -1,0 +1,72 @@
+"""Streaming dedup and stream-stream interval join match their batch
+equivalents after the stream drains (availableNow trigger)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamforge_data_pipeline_spark.session import load
+from streamforge_data_pipeline_spark.streaming.joins_stream import (
+    interval_join,
+    streaming_dedup,
+)
+
+from tests.conftest import SF_SMALL
+
+
+def _drain(df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
+    src = str(tmp_path / "dup_events")
+    ev = load(spark, SF_SMALL, "events").select("event_id", "ts", "user_id")
+    # inject duplicates: every event twice
+    ev.union(ev).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    _drain(streaming_dedup(stream, ["event_id"]), "dedup_out")
+
+    got = spark.table("dedup_out")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_interval_join_matches_batch(spark, tmp_path):
+    ev = load(spark, SF_SMALL, "events").select("event_id", "ts", "user_id")
+    left_b = ev.filter(F.col("event_id") % 2 == 0).limit(2000)
+    right_b = ev.filter(F.col("event_id") % 2 == 1).limit(2000)
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    left_b.write.mode("overwrite").parquet(lsrc)
+    right_b.write.mode("overwrite").parquet(rsrc)
+    lb, rb = spark.read.parquet(lsrc), spark.read.parquet(rsrc)
+
+    expected = {
+        (r["l_id"], r["r_id"])
+        for r in lb.alias("l")
+        .join(
+            rb.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 15 minutes")),
+        )
+        .select(F.col("l.event_id").alias("l_id"), F.col("r.event_id").alias("r_id"))
+        .collect()
+    }
+
+    ls = spark.readStream.schema(lb.schema).parquet(lsrc)
+    rs = spark.readStream.schema(rb.schema).parquet(rsrc)
+    joined = interval_join(ls, rs, "user_id").select(
+        F.col("l.event_id").alias("l_id"), F.col("r.event_id").alias("r_id")
+    )
+    _drain(joined, "ij_out")
+    got = {(r["l_id"], r["r_id"]) for r in spark.table("ij_out").collect()}
+    assert got == expected and expected
