@@ -321,3 +321,84 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         dsum(F.col("c_acctbal")).alias("totacctbal"),
     )
+
+
+def market_share(spark: SparkSession, sf_dir: str, nation: str = "NATION_1",
+                 region: str = "ASIA") -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue sold
+    into one region, per order year — a conditional-sum ratio on top
+    of a 7-relation star with the nation dim in two roles (customer
+    region membership vs supplier nationality)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    n_cust = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_sup = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(reg), F.col("cn_region") == reg["r_regionkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(n_sup), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        dsum(F.when(F.col("supp_nation") == nation, rev).otherwise(F.lit(0.0))).alias(
+            "nation_rev"
+        ),
+        dsum(rev).alias("total_rev"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        F.round(F.col("nation_rev") / F.col("total_rev"), 4).alias("mkt_share"),
+    )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (sort-based
+    aggregation — a different physical shape from hash aggs). Exact
+    `percentile` matches DuckDB's quantile_cont bit-for-bit after
+    round(4); at 100 TB the drop-in scalable variant is
+    approx_percentile with a bounded error budget."""
+    ev = load(spark, sf_dir, "events")
+    pcts = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return ev.groupBy("event_type").agg(
+        F.round(pcts[0], 4).alias("p50"),
+        F.round(pcts[1], 4).alias("p90"),
+        F.round(pcts[2], 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAMES (the shape rank/lag don't cover): per-customer
+    cumulative spend and 3-order moving average, ordered by order
+    date. Decimal sums inside the frame keep cross-engine parity;
+    ties broken by orderkey so frames are deterministic."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(cum), 2)
+        .cast("double")
+        .alias("cum_spend"),
+        F.round(
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(mov), 2).cast("double")
+            / F.count(F.lit(1)).over(mov),
+            4,
+        ).alias("mov_avg3"),
+    )

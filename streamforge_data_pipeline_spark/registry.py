@@ -1212,6 +1212,52 @@ GROUP BY c_mktsegment""",
         "WHERE p_partkey = l.l_partkey AND p_partkey % 5 = 0)",
         "J1 scale path: Bloom pre-pass + exact anti join (result is exact)",
     ),
+    "market_share": QuerySpec(
+        analytics.market_share,
+        """WITH a AS (
+  SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+    CAST(ROUND(SUM(CAST(CASE WHEN n2.n_name = 'NATION_1'
+      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(28,10))), 2) AS DOUBLE) AS nation_rev,
+    CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_rev
+  FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  GROUP BY CAST(YEAR(o_orderdate) AS INTEGER))
+SELECT o_year, nation_rev, total_rev,
+  ROUND(nation_rev / total_rev, 4) AS mkt_share FROM a""",
+        "TPC-H Q8 shape: conditional-ratio over a 7-relation star",
+    ),
+    "value_percentiles": QuerySpec(
+        analytics.value_percentiles,
+        """SELECT event_type,
+  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+  ROUND(quantile_cont(value, 0.9), 4) AS p90,
+  ROUND(quantile_cont(value, 0.99), 4) AS p99,
+  COUNT(*) AS n
+FROM events GROUP BY event_type""",
+        "exact interpolated percentiles per key (sort-based agg)",
+    ),
+    "running_revenue": QuerySpec(
+        analytics.running_revenue,
+        """SELECT o_custkey, o_orderkey,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum_spend,
+  ROUND(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+    / COUNT(*) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
+FROM orders""",
+        "window frames: cumulative + moving aggregate per customer",
+    ),
     "embedding_normalize": QuerySpec(
         q_embedding_normalize,
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
