@@ -13,7 +13,7 @@ import math
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
 
@@ -30,6 +30,68 @@ def exists_semi(probe: DataFrame, keys: DataFrame, on) -> DataFrame:
 
 def not_exists_anti(probe: DataFrame, keys: DataFrame, on) -> DataFrame:
     return probe.join(keys, on, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the LATEST right row with
+    ``right_ts <= left_ts`` on the same key (time-series enrichment —
+    an operator Spark has no primitive for).
+
+    Implemented as the scalable union + last-value-window form: tag
+    both sides, union them, and carry each right value forward with
+    ``last(..., ignorenulls=True)`` over (key, ts). ONE shuffle on the
+    key — never a per-row range probe or a quadratic interval product.
+    Right rows sort before left rows at equal ts, giving <= semantics;
+    a hash of the right values breaks remaining ties deterministically
+    (callers wanting well-defined semantics should keep (key, ts)
+    unique on the right, as the registry query does). The same
+    formulation is plain ANSI SQL, so the DuckDB oracle checks it
+    end-to-end.
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_l"),
+        F.struct(*lcols).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_l"),
+        F.lit(None).cast(
+            l_tagged.schema["__l"].dataType
+        ).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    u = l_tagged.unionByName(r_tagged).withColumn(
+        "__tie", F.xxhash64(*[f"__r_{c}" for c in value_cols])
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__is_l", "__tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "__is_l",
+        "__l",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__is_l") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__rv_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
 
 
 def bloom_anti_join(

@@ -293,6 +293,23 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ann_topk_ivf(vecs, vecs.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_asof_join(spark, sf_dir):
+    """Time-series enrichment: each click event picks up the latest
+    prior purchase value of the same user. Right side is pre-deduped
+    per (user, ts) so as-of semantics are well-defined."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return joins.asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value"],
+    )
+
+
 def q_bloom_anti_join(spark, sf_dir):
     """J1 at beyond-broadcast scale: Bloom pre-pass keeps the fact side
     unshuffled for definitely-new keys; exact anti join on the rest."""
@@ -1204,6 +1221,23 @@ WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_mktsegment""",
         "TPC-H Q22 shape: scalar subquery + anti join",
+    ),
+    "asof_join": QuerySpec(
+        q_asof_join,
+        """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, max(value) AS pv
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+u AS (
+  SELECT user_id AS k, ts, 1 AS is_l, event_id, CAST(NULL AS DOUBLE) AS pv FROM l
+  UNION ALL
+  SELECT user_id, ts, 0, NULL, pv FROM r),
+c AS (SELECT *, last_value(pv IGNORE NULLS) OVER (
+        PARTITION BY k ORDER BY ts, is_l
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS apv
+      FROM u)
+SELECT event_id, k AS user_id, ts, apv AS asof_purchase_value
+FROM c WHERE is_l = 1""",
+        "as-of join: union + last-value window, one shuffle, ANSI-expressible",
     ),
     "bloom_anti_join": QuerySpec(
         q_bloom_anti_join,

@@ -43,3 +43,31 @@ def test_false_positive_rate_bounded(spark):
     flagged = bloom_anti_join(probe, keys, "k", fpp=0.01)
     # Exact result regardless of fp rate:
     assert flagged.count() == 40_000
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from streamforge_data_pipeline_spark.operators.joins import asof_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, 10, t("2024-01-01T10:00:00")),   # after r1, before r2
+         (2, 10, t("2024-01-01T12:00:00")),   # exactly at r2 -> r2 (<=)
+         (3, 10, t("2024-01-01T08:00:00")),   # before any right -> null
+         (4, 99, t("2024-01-01T12:00:00"))],  # key with no right rows
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(10, t("2024-01-01T09:00:00"), 1.5),
+         (10, t("2024-01-01T12:00:00"), 2.5)],
+        ["user_id", "ts", "v"],
+    )
+    out = {
+        r["event_id"]: r["asof_v"]
+        for r in asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["v"],
+        ).collect()
+    }
+    assert out == {1: 1.5, 2: 2.5, 3: None, 4: None}
