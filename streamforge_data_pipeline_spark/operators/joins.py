@@ -153,3 +153,46 @@ def bloom_anti_join(
     sure_new = flagged.filter(~F.col("__maybe")).drop("__maybe")
     maybes = flagged.filter(F.col("__maybe")).drop("__maybe")
     return sure_new.unionByName(maybes.join(keys, on, "left_anti"))
+
+
+def range_join(
+    probe: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    broadcast_bands: bool = True,
+) -> DataFrame:
+    """Range (interval) join: match each probe row to the band row(s)
+    whose ``[lo, hi)`` interval contains ``value`` — an operator Spark
+    has no native strategy for (a raw theta join plans as
+    BroadcastNestedLoopJoin: O(n*m) compares).
+
+    Binned implementation: both sides map into fixed-width buckets —
+    the probe by ``floor(value / w)``, each band exploded to every
+    bucket its interval overlaps — then an EQUI-join on bucket id with
+    the exact ``lo <= v < hi`` residual predicate. Catalyst gets a
+    hashable key, so it picks broadcast-hash or sort-merge and the
+    compare count drops from |probe| x |bands| to |probe| x
+    avg-bands-per-bucket. At 100 TB: pick ``bucket_width`` near the
+    median band width so each band explodes to O(1) buckets; the probe
+    side never expands.
+    """
+    nb = F.floor(F.col(hi_col) / bucket_width).cast("long")
+    b0 = F.floor(F.col(lo_col) / bucket_width).cast("long")
+    exploded = bands.withColumn(
+        "__bucket", F.explode(F.sequence(b0, nb))
+    )
+    probe_b = probe.withColumn(
+        "__bucket", F.floor(F.col(value_col) / bucket_width).cast("long")
+    )
+    # Pin the build side: band tables are near-always the small side,
+    # and a stats misestimate that broadcasts the PROBE instead (seen
+    # at small SF, fatal at 100 TB) must not be possible.
+    if broadcast_bands:
+        exploded = F.broadcast(exploded)
+    out = probe_b.join(exploded, "__bucket").filter(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    )
+    return out.drop("__bucket")

@@ -402,3 +402,213 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mov_avg3"),
     )
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN — for each qualifying part, the
+    supplier(s) achieving the minimum unit cost. The testdata has no
+    partsupp table, so (l_partkey, l_suppkey) pairs from lineitem act
+    as the supply catalog with min unit price as the cost (reference
+    parity: streamforge's catalog lookup joins; plan shape is Q2's
+    aggregate-then-rejoin-on-min).
+
+    Scale notes: the (part, supp) agg shuffles once on the compound
+    key; the per-part MIN is a window over the already-reduced agg
+    (tiny vs the fact); dims broadcast. No correlated re-scan of the
+    fact — the subquery is decorrelated into one pass, which is how
+    Catalyst wants Q2 expressed.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    ps = ps.withColumn("min_cost", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("min_cost")
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "PROMO")
+    )
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    return (
+        ps.join(F.broadcast(part), ps["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup), ps["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            F.round("cost", 4).alias("min_unit_cost"),
+        )
+    )
+
+
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value share vs a global-scalar
+    threshold (sum(extendedprice) per part HAVING > fraction * grand
+    total). The grand total is a single-row agg crossjoined in as a
+    broadcast — the Q11 scalar-subquery decorrelation.
+
+    Scale notes: one shuffle on partkey for the group-by; the global
+    sum reuses the same reduced data, so the fact is scanned once per
+    branch and never re-shuffled; at 100 TB the two branches share the
+    scan via exchange reuse.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice")).alias("part_value")
+    )
+    total = per_part.agg(
+        F.round(F.sum(F.col("part_value").cast(DEC)), 2)
+        .cast("double")
+        .alias("grand_total"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    # Scale-free threshold (1.2x the average per-part share) so the
+    # query keeps the same selectivity at any SF — a fixed fraction
+    # goes vacuous as the part count grows.
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("part_value")
+            > F.lit(1.2) * F.col("grand_total") / F.col("n_parts")
+        )
+        .select("l_partkey", "part_value")
+    )
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue per supplier over a ship-date quarter,
+    returning the supplier(s) at the max — the aggregated-view +
+    scalar-max pattern.
+
+    Scale notes: the quarter filter prunes at the scan; one shuffle
+    aggregates per suppkey (tiny: one row per supplier); the MAX is a
+    window over that reduced relation, and the supplier dim broadcasts
+    into the single-row result.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    w = Window.partitionBy()
+    best = rev.withColumn("mx", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("mx")
+    )
+    sup = load(spark, sf_dir, "supplier")
+    return best.join(F.broadcast(sup), best["l_suppkey"] == sup["s_suppkey"]).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group, with a dim-side negation filter and a NOT-IN supplier
+    exclusion (negative account balance stands in for Q16's complaint
+    suppliers; lineitem pairs stand in for partsupp).
+
+    Scale notes: the excluded-supplier set is tiny -> broadcast
+    left_anti; distinct (part, supp) reduces before the countDistinct
+    shuffle; the part dim broadcasts.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad_sup = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select(
+        "s_suppkey"
+    )
+    pairs = pairs.join(
+        F.broadcast(bad_sup), pairs["l_suppkey"] == bad_sup["s_suppkey"], "left_anti"
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_type") != "PROMO")
+        & (F.col("p_size") <= 25)
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def dominant_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers shipping an outsized share (>30%) of
+    any 'hot'-named part's 1996 volume — agg vs a correlated per-part
+    total, then a semi join up to the supplier dim (availqty > half of
+    shipped qty in the original; share-of-total here, same plan).
+
+    Scale notes: name/date filters prune before the (part, supp)
+    shuffle; the per-part total is a window over the reduced agg (no
+    second fact scan); the qualifying-supplier set semi-joins into the
+    dim, so no fact columns travel past the agg.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").startswith("hot"))
+    qty = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.sum(F.col("l_quantity").cast(DEC)), 2).cast("double").alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qualifying = (
+        qty.withColumn(
+            "part_qty",
+            F.round(F.sum(F.col("supp_qty").cast(DEC)).over(w), 2).cast("double"),
+        )
+        .filter(F.col("supp_qty") > F.lit(0.3) * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    return (
+        sup.join(qualifying, sup["s_suppkey"] == qualifying["l_suppkey"], "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+    )
+
+
+def sole_returned_supplier(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q21 shape: the dual correlated EXISTS / NOT-EXISTS — a
+    supplier with a returned line in a multi-supplier order where NO
+    other supplier's line was returned (returnflag 'R' stands in for
+    the missing receipt/commit dates). numwait counts such orders per
+    supplier, top-k.
+
+    Scale notes: both correlated subqueries decorrelate into ONE
+    per-order aggregate (countDistinct suppliers, countDistinct
+    returned suppliers) joined back to the returned lines on
+    orderkey — one fact shuffle instead of three correlated rescans;
+    supplier/nation broadcast; TakeOrderedAndProject caps the result.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    waits = (
+        returned.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+    sup = load(spark, sf_dir, "supplier")
+    return (
+        waits.join(F.broadcast(sup), waits["l_suppkey"] == sup["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(k)
+    )

@@ -310,6 +310,27 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+VALUE_BANDS = [
+    ("micro", 0.0, 10.0),
+    ("small", 10.0, 25.0),
+    ("mid", 25.0, 50.0),
+    ("large", 50.0, 100.0),
+    ("xl", 100.0, 250.0),
+    ("xxl", 250.0, 500.0),
+]
+
+
+def q_range_join(spark, sf_dir):
+    """Interval containment: label each event with the value band
+    whose [lo, hi) contains it. The binned range_join turns the theta
+    predicate into a bucket equi-join (no BroadcastNestedLoopJoin)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(VALUE_BANDS, "label string, lo double, hi double")
+    return joins.range_join(
+        ev, bands, value_col="value", lo_col="lo", hi_col="hi", bucket_width=25.0
+    ).select("event_id", "label")
+
+
 def q_bloom_anti_join(spark, sf_dir):
     """J1 at beyond-broadcast scale: Bloom pre-pass keeps the fact side
     unshuffled for definitely-new keys; exact anti join on the rest."""
@@ -1318,6 +1339,99 @@ SELECT vec_id, CAST(list_sum(q) AS BIGINT) AS q_sum,
   round(scale, 4) AS scale_r4
 FROM qd""",
         "embedding pipeline: symmetric int8 quantize (exact integer parity)",
+    ),
+    "range_join": QuerySpec(
+        q_range_join,
+        """SELECT event_id, label
+FROM events e JOIN (VALUES ('micro', 0.0, 10.0), ('small', 10.0, 25.0),
+                           ('mid', 25.0, 50.0), ('large', 50.0, 100.0),
+                           ('xl', 100.0, 250.0), ('xxl', 250.0, 500.0))
+     AS b(label, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi""",
+        "range join: binned bucket equi-join replaces the nested-loop theta join",
+    ),
+    "min_cost_supplier": QuerySpec(
+        analytics.min_cost_supplier,
+        """WITH ps AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+m AS (SELECT *, min(cost) OVER (PARTITION BY l_partkey) AS min_cost FROM ps)
+SELECT p_partkey, p_brand, s_name, n_name AS supp_nation,
+       round(cost, 4) AS min_unit_cost
+FROM m
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE cost = min_cost AND p_size <= 15 AND p_type = 'PROMO'""",
+        "TPC-H Q2 shape: correlated MIN decorrelated to agg + window rejoin",
+    ),
+    "important_part_values": QuerySpec(
+        analytics.important_part_values,
+        """WITH pv AS (
+  SELECT l_partkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS part_value
+  FROM lineitem GROUP BY l_partkey),
+t AS (SELECT CAST(ROUND(SUM(CAST(part_value AS DECIMAL(28,10))), 2) AS DOUBLE) AS grand_total,
+             count(*) AS n_parts FROM pv)
+SELECT l_partkey, part_value FROM pv, t
+WHERE part_value > 1.2 * grand_total / n_parts""",
+        "TPC-H Q11 shape: group value share vs global-scalar threshold",
+    ),
+    "top_supplier": QuerySpec(
+        analytics.top_supplier,
+        """WITH r AS (
+  SELECT l_suppkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey),
+m AS (SELECT *, max(total_revenue) OVER () AS mx FROM r)
+SELECT s_suppkey, s_name, total_revenue
+FROM m JOIN supplier ON s_suppkey = l_suppkey WHERE total_revenue = mx""",
+        "TPC-H Q15 shape: aggregated view + scalar max",
+    ),
+    "supplier_part_counts": QuerySpec(
+        analytics.supplier_part_counts,
+        """WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0))
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM pairs JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' AND p_size <= 25
+GROUP BY p_brand, p_type, p_size""",
+        "TPC-H Q16 shape: distinct-supplier counts with NOT-IN exclusion",
+    ),
+    "dominant_share_suppliers": QuerySpec(
+        analytics.dominant_share_suppliers,
+        """WITH q AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS supp_qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'hot%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey),
+w AS (SELECT *, CAST(ROUND(SUM(CAST(supp_qty AS DECIMAL(28,10)))
+        OVER (PARTITION BY l_partkey), 2) AS DOUBLE) AS part_qty FROM q)
+SELECT s_suppkey, s_name, n_name AS supp_nation
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM w WHERE supp_qty > 0.3 * part_qty)""",
+        "TPC-H Q20 shape: share-of-total filter + semi join into the dim",
+    ),
+    "sole_returned_supplier": QuerySpec(
+        analytics.sole_returned_supplier,
+        """WITH po AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret_supp
+  FROM lineitem GROUP BY l_orderkey),
+w AS (
+  SELECT l.l_suppkey, count(DISTINCT l.l_orderkey) AS numwait
+  FROM lineitem l JOIN po ON l.l_orderkey = po.l_orderkey
+  WHERE l.l_returnflag = 'R' AND po.n_supp > 1 AND po.n_ret_supp = 1
+  GROUP BY l.l_suppkey)
+SELECT s_name, numwait FROM w JOIN supplier ON s_suppkey = w.l_suppkey
+ORDER BY numwait DESC, s_name LIMIT 20""",
+        "TPC-H Q21 shape: dual correlated EXISTS/NOT-EXISTS via one per-order agg",
     ),
 }
 
