@@ -198,3 +198,42 @@ def json_extract_int(df: DataFrame, col: str, path: str, alias: str) -> DataFram
     return df.withColumn(
         alias, F.get_json_object(F.col(col), f"$.{path}").try_cast("int")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by tf-idf (tf * ln(N/df)).
+
+    One shuffle per reduction: (doc, term) term frequencies, a
+    term-keyed document frequency, and a row_number window for the
+    per-doc top-k. Scores are rounded to 6 places BEFORE ranking so
+    sub-ulp ln() differences across engines collapse into ties, which
+    the lexical tie-break then resolves identically everywhere.
+
+    Scale notes: df join is vocab-sized (let AQE pick broadcast vs
+    shuffle); the window partitions by doc — no global sort; raw
+    token rows reduce at the (doc, term) agg before anything wide.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(id_col, F.explode(tokens(text)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "score", F.col("rk").cast("long").alias("rk"))
+    )

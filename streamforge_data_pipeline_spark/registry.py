@@ -25,7 +25,16 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streamforge_data_pipeline_spark.functions import SQL_TOKENS
-from streamforge_data_pipeline_spark.operators import aggregates, dedup, joins, minhash, similarity, text
+from streamforge_data_pipeline_spark.operators import (
+    aggregates,
+    dedup,
+    joins,
+    merge,
+    minhash,
+    sampling,
+    similarity,
+    text,
+)
 from streamforge_data_pipeline_spark.operators import embeddings as embeddings_ops
 from streamforge_data_pipeline_spark.operators.multimodal import (
     attach_media,
@@ -33,7 +42,7 @@ from streamforge_data_pipeline_spark.operators.multimodal import (
     media_summary,
 )
 from streamforge_data_pipeline_spark.operators.validate import split_valid
-from streamforge_data_pipeline_spark.plans import analytics
+from streamforge_data_pipeline_spark.plans import analytics, behavior
 from streamforge_data_pipeline_spark.plans.intake import INTAKE_CTES, intake, validated_intake
 from streamforge_data_pipeline_spark.session import load
 from streamforge_data_pipeline_spark.sources.datagen import generate_intake
@@ -329,6 +338,80 @@ def q_range_join(spark, sf_dir):
     return joins.range_join(
         ev, bands, value_col="value", lo_col="lo", hi_col="hi", bucket_width=25.0
     ).select("event_id", "label")
+
+
+SAMPLE_RATES = {"click": 0.5, "view": 0.1, "error": 1.0}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling: hash-bucket thresholds per
+    event type (50% clicks, 10% views, all errors, drop the rest) —
+    idempotent and layout-independent, unlike df.sample()."""
+    ev = load(spark, sf_dir, "events")
+    return sampling.stratified_sample(
+        ev, key="event_id", stratum="event_type", rates=SAMPLE_RATES
+    ).select("event_id", "event_type")
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 tf-idf terms (rounded-then-ranked so the
+    ranking is identical across engines)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, k=3)
+
+
+def q_unpivot_measures(spark, sf_dir):
+    """Wide->long unpivot of the four lineitem measures via stack()
+    (codegen'd generator, no shuffle) + per-measure profile agg."""
+    li = load(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
+        "'discount', l_discount, 'tax', l_tax) AS (measure, value)"
+    )
+    return long.groupBy("measure").agg(
+        analytics.dsum(F.col("value")).alias("sum_value"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            analytics.dsum(F.col("value")) / F.count(F.lit(1)), 4
+        ).alias("avg_value"),
+    )
+
+
+def q_cube_sales(spark, sf_dir):
+    """CUBE over (status, priority): all four grouping levels in one
+    pass (Expand + single shuffle), NULL-marked subtotals like the
+    ROLLUP twin."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        analytics.dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+def q_scd2_merge(spark, sf_dir):
+    """SCD2 upsert demo on the customer dim: every 7th customer gets a
+    balance update (every 21st a no-op update, exercising the
+    unchanged branch); history rows close, new open rows append."""
+    cust = load(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 21 == 0, F.col("c_acctbal"))
+        .otherwise(F.round(F.col("c_acctbal") + 100.0, 2))
+        .alias("c_acctbal"),
+        F.lit("2021-06-01").cast("timestamp").alias("eff_ts"),
+    )
+    return merge.scd2_apply(
+        current, updates, key="c_custkey", attrs=["c_mktsegment", "c_acctbal"]
+    )
 
 
 def q_bloom_anti_join(spark, sf_dir):
@@ -1432,6 +1515,91 @@ w AS (
 SELECT s_name, numwait FROM w JOIN supplier ON s_suppkey = w.l_suppkey
 ORDER BY numwait DESC, s_name LIMIT 20""",
         "TPC-H Q21 shape: dual correlated EXISTS/NOT-EXISTS via one per-order agg",
+    ),
+    "funnel_conversion": QuerySpec(
+        behavior.funnel_conversion,
+        behavior.FUNNEL_SQL,
+        "ordered funnel view->click->purchase: windows, no self-joins",
+    ),
+    "cohort_retention": QuerySpec(
+        behavior.cohort_retention,
+        behavior.COHORT_SQL,
+        "weekly cohort retention: first-event cohort x active week",
+    ),
+    "stratified_sample": QuerySpec(
+        q_stratified_sample,
+        "SELECT event_id, event_type FROM events WHERE "
+        + sampling.sql_stratified_sample(
+            "events", key="event_id", stratum="event_type", rates=SAMPLE_RATES
+        ),
+        "deterministic hash-bucket stratified sampling (idempotent, no shuffle)",
+    ),
+    "tfidf_top_terms": QuerySpec(
+        q_tfidf_top_terms,
+        f"""WITH {TOKS_CTE},
+tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT doc_id, tf.term, round(tf * ln(n_docs * 1.0 / df), 6) AS score
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY score DESC, term) AS rk FROM s)
+SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3""",
+        "per-doc top-3 tf-idf terms (round-before-rank for parity)",
+    ),
+    "unpivot_measures": QuerySpec(
+        q_unpivot_measures,
+        """WITH long AS (
+  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'discount', l_discount FROM lineitem
+  UNION ALL SELECT 'tax', l_tax FROM lineitem)
+SELECT measure,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value,
+  count(*) AS n,
+  round(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) / count(*), 4) AS avg_value
+FROM long GROUP BY measure""",
+        "wide->long unpivot via stack() + per-measure profile",
+    ),
+    "cube_sales": QuerySpec(
+        q_cube_sales,
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "CUBE over (status, priority): all grouping levels in one pass",
+    ),
+    "scd2_merge": QuerySpec(
+        q_scd2_merge,
+        """WITH cur AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         TIMESTAMP '2020-01-01' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+  FROM customer),
+upd AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 21 = 0 THEN c_acctbal
+              ELSE round(c_acctbal + 100.0, 2) END AS c_acctbal,
+         TIMESTAMP '2021-06-01' AS eff_ts
+  FROM customer WHERE c_custkey % 7 = 0),
+j AS (
+  SELECT cur.c_custkey AS ck, upd.c_custkey AS uk,
+         cur.c_mktsegment AS cseg, cur.c_acctbal AS cbal,
+         upd.c_mktsegment AS useg, upd.c_acctbal AS ubal,
+         cur.valid_from, cur.valid_to, cur.is_current, upd.eff_ts,
+         (cur.c_mktsegment IS DISTINCT FROM upd.c_mktsegment)
+           OR (cur.c_acctbal IS DISTINCT FROM upd.c_acctbal) AS changed
+  FROM cur FULL OUTER JOIN upd ON cur.c_custkey = upd.c_custkey)
+SELECT ck AS c_custkey, cseg AS c_mktsegment, cbal AS c_acctbal,
+       valid_from, valid_to, is_current
+FROM j WHERE ck IS NOT NULL AND (uk IS NULL OR NOT changed)
+UNION ALL
+SELECT ck, cseg, cbal, valid_from, eff_ts, FALSE
+FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND changed
+UNION ALL
+SELECT uk, useg, ubal, eff_ts, CAST(NULL AS TIMESTAMP), TRUE
+FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR changed)""",
+        "SCD2 merge: full-outer join + three branches, MERGE INTO equivalent",
     ),
 }
 
