@@ -39,3 +39,31 @@ def salted_sum(df: DataFrame, key: str, value: Column, salt_col: Column,
     )
     partial = salted.groupBy(key, "__salt").agg(F.sum("__v").alias("__s"))
     return partial.groupBy(key).agg(F.sum("__s").cast("double").alias("sum_value"))
+
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed side, replicate the
+    dim side across all salt buckets, join on (key, salt).
+
+    A hot key that would pin one reducer is spread over
+    ``salt_buckets`` tasks; the dim side grows by the same factor, so
+    use this when the dim is too big to broadcast but small relative
+    to the fact (the broadcast/AQE-skew gap). The salt is a
+    deterministic hash of the skewed row's columns — layout- and
+    retry-stable, no rand(). Result is exactly the plain join for
+    ``inner`` and ``left`` (each skewed row meets each dim match
+    exactly once, in exactly one bucket).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join preserves semantics for inner/left only")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
+    big = skewed.withColumn("__salt", salt)
+    rep = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return big.join(rep, [on, "__salt"], how).drop("__salt")

@@ -237,3 +237,75 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "score", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def chunk_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    width: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Split documents into overlapping character chunks for training
+    (width chars per chunk, stride between starts, width-stride
+    overlap). Start offsets come from a codegen'd sequence+explode —
+    1->N row generation with no Python and no shuffle; chunk content
+    is carried as an md5 so downstream dedup/parity work on a fixed
+    64-hex column instead of re-shipping text.
+
+    The last chunk may be shorter than ``width`` (substring truncates
+    at end-of-doc); starts stop at ``n - overlap`` so every character
+    lands in at least one chunk and no fully-redundant tail chunk is
+    emitted.
+    """
+    overlap = width - stride
+    n = F.length(F.col(text))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), n - F.lit(overlap)), F.lit(stride)
+    )
+    chunks = df.select(id_col, text, F.explode(starts).alias("start"))
+    piece = F.expr(f"substring({text}, start, {width})")
+    return chunks.select(
+        id_col,
+        ((F.col("start") - 1) / stride).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.length(piece).cast("long").alias("chunk_len"),
+        F.md5(piece).alias("chunk_hash"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    partition_col: str = "source",
+    capacity: int = 512,
+) -> DataFrame:
+    """Assign documents to fixed-capacity training bins by streaming
+    fill: within each partition (in stable id order) a doc joins the
+    bin its running token total lands in — bin = floor((cumsum-1) /
+    capacity). Deterministic, one window pass, no driver state; a doc
+    straddling a boundary belongs to the bin its cumsum closes in, so
+    bins can overfill by at most one doc (the standard streaming
+    approximation of bin packing — exact packing is inherently
+    sequential).
+
+    Scale notes: packing is per-``partition_col`` so the sort is
+    bounded per group, never global; 10^9 docs across 10^4 sources
+    keeps each window partition at ~10^5 rows.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    return df.select(
+        id_col,
+        partition_col,
+        F.col(tokens_col).cast("long").alias(tokens_col),
+        cum.cast("long").alias("cum_tokens"),
+        ((cum - 1) / capacity).cast("long").alias("bin"),
+    )

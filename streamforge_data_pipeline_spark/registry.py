@@ -33,7 +33,9 @@ from streamforge_data_pipeline_spark.operators import (
     minhash,
     sampling,
     similarity,
+    skew,
     text,
+    timeseries,
 )
 from streamforge_data_pipeline_spark.operators import embeddings as embeddings_ops
 from streamforge_data_pipeline_spark.operators.multimodal import (
@@ -338,6 +340,185 @@ def q_range_join(spark, sf_dir):
     return joins.range_join(
         ev, bands, value_col="value", lo_col="lo", hi_col="hi", bucket_width=25.0
     ).select("event_id", "label")
+
+
+def q_gap_fill(spark, sf_dir):
+    """Hypertable-style resample: per-user daily purchase totals on a
+    regular daily grid over the global span — zero-filled, LOCF
+    carried, synthesized rows flagged."""
+    ev = load(spark, sf_dir, "events")
+    observed = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(analytics.dsum(F.col("value")).alias("day_value"))
+    )
+    return timeseries.gap_fill_daily(
+        observed, key="user_id", day_col="day", value_col="day_value"
+    )
+
+
+def q_histogram_values(spark, sf_dir):
+    """Fixed-width histogram of event values: bin = floor(v / 25);
+    pure map-side bucketing + one hash agg."""
+    ev = load(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / 25.0).cast("long")
+    return (
+        ev.groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin",
+            (F.col("bin") * 25.0).alias("lo"),
+            ((F.col("bin") + 1) * 25.0).alias("hi"),
+            "cnt",
+        )
+    )
+
+
+def q_corr_measures(spark, sf_dir):
+    """Exact Pearson correlation + OLS fit of price on quantity from
+    decimal-exact co-moment sums — one scan, one single-row agg, and
+    (unlike builtin corr()) bit-identical across engines because every
+    sum is DECIMAL before the double formula."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        analytics.dsum(x).alias("sx"),
+        analytics.dsum(y).alias("sy"),
+        analytics.dsum(x * y).alias("sxy"),
+        analytics.dsum(x * x).alias("sxx"),
+        analytics.dsum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return agg.select(
+        "n",
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+    )
+
+
+def q_hll_user_sketches(spark, sf_dir):
+    """Mergeable distinct-count sketches: per-(type, day) HLL sketches
+    union-merged to per-type user counts. The sketch column is the
+    scale story — partials persist per partition/day and re-merge
+    without rescanning history (exact countDistinct can't)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+
+
+def q_doc_chunking(spark, sf_dir):
+    """Overlapping char-window chunking (training preprocessing):
+    200-char chunks, 150 stride, md5 content carriage."""
+    docs = load(spark, sf_dir, "documents")
+    return text.chunk_docs(docs, width=200, stride=150)
+
+
+def q_seq_packing(spark, sf_dir):
+    """Streaming-fill sequence packing into 512-token bins, per
+    source, stable doc_id order."""
+    from streamforge_data_pipeline_spark.functions import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tokens")
+    )
+    return text.pack_sequences(
+        with_tokens, id_col="doc_id", tokens_col="n_tokens",
+        partition_col="source", capacity=512,
+    )
+
+
+def q_curate_corpus(spark, sf_dir):
+    """End-to-end curation: language gate (computed lang_pred, not the
+    stored label) + quality threshold + first-wins exact dedup, rolled
+    up per source. One documents scan feeds all three operator
+    branches; the only wide ops are the doc_id joins and the final
+    tiny agg."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    li = text.lang_id(docs)
+    qs = text.quality_score(docs)
+    joined = (
+        docs.select("doc_id", "source", "text")
+        .join(li, "doc_id")
+        .join(qs, "doc_id")
+        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.35))
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    deduped = joined.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.round(F.sum(F.col("quality").cast("decimal(28,10)")), 2).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_quality"),
+    )
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-resistant fact-dim join (salt the fact, replicate the
+    dim): result provably equals the plain join — the oracle IS the
+    plain join."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return skew.salted_join(
+        li.withColumnRenamed("l_suppkey", "s_suppkey"), sup,
+        on="s_suppkey", salt_buckets=8,
+    ).select("l_orderkey", "l_linenumber", "s_suppkey", "s_name")
+
+
+def q_grouped_ols(spark, sf_dir):
+    """Per-group OLS (price on quantity per returnflag) from
+    decimal-exact co-moment sums — grouped regression without any UDF,
+    one shuffle on the group key."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        analytics.dsum(x).alias("sx"),
+        analytics.dsum(y).alias("sy"),
+        analytics.dsum(x * y).alias("sxy"),
+        analytics.dsum(x * x).alias("sxx"),
+        analytics.dsum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+    )
 
 
 SAMPLE_RATES = {"click": 0.5, "view": 0.1, "error": 1.0}
@@ -1600,6 +1781,146 @@ UNION ALL
 SELECT uk, useg, ubal, eff_ts, CAST(NULL AS TIMESTAMP), TRUE
 FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR changed)""",
         "SCD2 merge: full-outer join + three branches, MERGE INTO equivalent",
+    ),
+    "gap_fill": QuerySpec(
+        q_gap_fill,
+        """WITH obs AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS day_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM obs),
+days AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+           CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+grid AS (SELECT u.user_id, d.day
+         FROM (SELECT DISTINCT user_id FROM obs) u CROSS JOIN days d),
+j AS (SELECT g.user_id, g.day, o.day_value
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day)
+SELECT user_id, day, coalesce(day_value, 0.0) AS day_value,
+  last_value(day_value IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value_locf,
+  day_value IS NULL AS is_filled
+FROM j""",
+        "gap-fill + LOCF: declarative (key x day) grid, zero driver loops",
+    ),
+    "histogram_values": QuerySpec(
+        q_histogram_values,
+        """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+  CAST(CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS DOUBLE) AS lo,
+  CAST((CAST(floor(value / 25.0) AS BIGINT) + 1) * 25.0 AS DOUBLE) AS hi,
+  count(*) AS cnt
+FROM events GROUP BY 1""",
+        "fixed-width histogram: map-side bucketing + one hash agg",
+    ),
+    "corr_measures": QuerySpec(
+        q_corr_measures,
+        """WITH a AS (
+  SELECT count(*) AS n,
+    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sx,
+    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS sy,
+    CAST(ROUND(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS sxy,
+    CAST(ROUND(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sxx,
+    CAST(ROUND(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS syy
+  FROM lineitem)
+SELECT n,
+  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+    AS corr_qty_price,
+  round((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx), 6)
+    AS slope,
+  round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+    / CAST(n AS DOUBLE), 6) AS intercept
+FROM a""",
+        "decimal-exact Pearson corr + OLS fit (bit-identical cross-engine)",
+    ),
+    "hll_user_sketches": QuerySpec(
+        q_hll_user_sketches,
+        None,
+        "mergeable HLL sketches: per-day partials union-merged per type",
+    ),
+    "doc_chunking": QuerySpec(
+        q_doc_chunking,
+        """WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(1, length(text) - 50), 150)) AS start
+  FROM documents)
+SELECT doc_id,
+  CAST((start - 1) // 150 AS BIGINT) AS chunk_id,
+  CAST(start AS BIGINT) AS start,
+  CAST(length(substr(text, start, 200)) AS BIGINT) AS chunk_len,
+  md5(substr(text, start, 200)) AS chunk_hash
+FROM starts""",
+        "overlapping char-window chunking (200 wide / 150 stride), md5 carriage",
+    ),
+    "seq_packing": QuerySpec(
+        q_seq_packing,
+        f"""WITH t AS (
+  SELECT doc_id, source,
+         CAST(len({SQL_TOKENS.format(x='text')}) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (SELECT *, sum(n_tokens) OVER (
+        PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM t)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST((cum_tokens - 1) // 512 AS BIGINT) AS bin
+FROM c""",
+        "streaming-fill sequence packing into 512-token bins per source",
+    ),
+    "curate_corpus": QuerySpec(
+        q_curate_corpus,
+        f"""WITH t AS (
+  SELECT doc_id, source, text, {SQL_TOKENS.format(x='text')} AS ts FROM documents),
+s AS (SELECT doc_id, source, text, ts,
+  len(list_filter(ts, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+  len(list_filter(ts, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+  len(list_filter(ts, x -> list_contains(['el','los','las','y','es'], x))) AS s_es,
+  len(list_filter(ts, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr
+  FROM t),
+g AS (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS best,
+  CAST(len(ts) AS BIGINT) AS n_tokens,
+  round(least(1.0, len(ts)/64.0) *
+        (CASE WHEN len(ts) > 0 THEN len(list_distinct(ts))*1.0/len(ts) ELSE 0.0 END) +
+        (CASE WHEN len(ts) > 0 THEN s_en*1.0/len(ts) ELSE 0.0 END), 4) AS quality
+  FROM s),
+kept AS (
+  SELECT * FROM g
+  WHERE best > 0 AND s_en = best AND s_de <> best  -- 'de' wins ties first
+    AND quality >= 0.35),
+d AS (SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM kept)
+SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  round(CAST(ROUND(SUM(CAST(quality AS DECIMAL(28,10))), 2) AS DOUBLE) / count(*), 4)
+    AS avg_quality
+FROM d WHERE rn = 1 GROUP BY source""",
+        "curation pipeline: lang gate + quality gate + exact dedup -> per-source stats",
+    ),
+    "salted_join": QuerySpec(
+        q_salted_join,
+        "SELECT l_orderkey, l_linenumber, l_suppkey AS s_suppkey, s_name "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey",
+        "skew-resistant salted join == plain join (salt fact, replicate dim)",
+    ),
+    "grouped_ols": QuerySpec(
+        q_grouped_ols,
+        """WITH a AS (
+  SELECT l_returnflag, count(*) AS n,
+    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sx,
+    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS sy,
+    CAST(ROUND(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS sxy,
+    CAST(ROUND(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sxx,
+    CAST(ROUND(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+    AS corr_qty_price,
+  round((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx), 6)
+    AS slope,
+  round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+    / CAST(n AS DOUBLE), 6) AS intercept
+FROM a""",
+        "per-group OLS from decimal-exact co-moments (no UDF, one shuffle)",
     ),
 }
 

@@ -64,3 +64,34 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_li_b")
+
+
+def test_salted_join_equals_plain_join(spark):
+    from streamforge_data_pipeline_spark.operators.skew import salted_join
+
+    li = load(spark, SF_MED, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_suppkey").alias("s_suppkey"),
+    )
+    sup = load(spark, SF_MED, "supplier").select("s_suppkey", "s_name")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_join(li, sup, on="s_suppkey", salt_buckets=8)
+        plain = li.join(sup, "s_suppkey")
+        assert salted.count() == plain.count()
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from streamforge_data_pipeline_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    dim = spark.createDataFrame([(1, "d1")], "k long, d string")
+    out = salted_join(big, dim, on="k", salt_buckets=4, how="left").collect()
+    got = {r["k"]: r["d"] for r in out}
+    assert got == {1: "d1", 2: None}
