@@ -41,7 +41,11 @@ def scd2_apply(
     """
     cur = current.alias("cur")
     upd = updates.alias("upd")
-    j = cur.join(upd, F.col(f"cur.{key}") == F.col(f"upd.{key}"), "full_outer")
+    # All three output branches read the joined relation; persist so
+    # the full-outer join (and both inputs) run once, not three times.
+    j = cur.join(
+        upd, F.col(f"cur.{key}") == F.col(f"upd.{key}"), "full_outer"
+    ).persist()
 
     out_cols = [key, *attrs, "valid_from", "valid_to", "is_current"]
     passthrough = j.filter(

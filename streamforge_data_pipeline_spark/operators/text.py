@@ -218,7 +218,9 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     toks = df.select(id_col, F.explode(tokens(text)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the df aggregation and the score join — persist so
+    # tokenization+agg run once.
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -308,4 +310,39 @@ def pack_sequences(
         F.col(tokens_col).cast("long").alias(tokens_col),
         cum.cast("long").alias("cum_tokens"),
         ((cum - 1) / capacity).cast("long").alias("bin"),
+    )
+
+
+def enrich(df: DataFrame, id_col: str = "doc_id", text: str = "text",
+           keep: tuple[str, ...] = ()) -> DataFrame:
+    """Single-projection document enrichment: lang_pred + n_tokens +
+    quality (the same values lang_id() and quality_score() produce)
+    computed from ONE tokenization in ONE scan — the fused form
+    pipelines use so composing gates doesn't re-scan or join.
+
+    ``keep`` carries extra passthrough columns (e.g. source). The text
+    column itself is kept for downstream content hashing.
+    """
+    base = df.select(id_col, *keep, text, tokens(text).alias("__ts"))
+    ts = F.col("__ts")
+    langs = sorted(LANG_MARKERS)
+    scored = base.select(
+        id_col, *keep, text, ts.alias("__ts"),
+        *[_marker_hits(ts, LANG_MARKERS[l]).alias(f"__s_{l}") for l in langs],
+    )
+    best = F.greatest(*[F.col(f"__s_{l}") for l in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for l in langs:
+        pred = pred.when(F.col(f"__s_{l}") == best, F.lit(l))
+    n_tok = F.size(ts).cast("double")
+    n_distinct = F.size(F.array_distinct(ts)).cast("double")
+    stop = F.col("__s_en").cast("double")
+    length_score = F.least(F.lit(1.0), n_tok / F.lit(64.0))
+    distinct_ratio = F.when(n_tok > 0, n_distinct / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
+    return scored.select(
+        id_col, *keep, text,
+        pred.alias("lang_pred"),
+        F.size(ts).cast("long").alias("n_tokens"),
+        F.round(length_score * distinct_ratio + stop_ratio, 4).alias("quality"),
     )

@@ -35,6 +35,9 @@ def gap_fill_daily(
     days-per-span is bounded, so per-key partitions stay small even
     at 10^9 keys.
     """
+    # Three subtrees (span, key set, join probe) read `observed`;
+    # without a persist each re-scans and re-aggregates the source.
+    observed = observed.persist()
     span = observed.agg(
         F.min(day_col).alias("__d0"), F.max(day_col).alias("__d1")
     )

@@ -459,7 +459,7 @@ def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         dsum(F.col("l_extendedprice")).alias("part_value")
-    )
+    ).persist()  # read twice: grand total + threshold filter
     total = per_part.agg(
         F.round(F.sum(F.col("part_value").cast(DEC)), 2)
         .cast("double")

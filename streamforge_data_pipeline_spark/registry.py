@@ -81,6 +81,20 @@ SELECT doc_a, doc_b, round(inter*1.0/(sa.n+sb.n-inter), 4) AS jaccard
 FROM p JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id
 WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.5"""
 
+# MinHash -> LSH banding -> candidate pairs, shared by the pair query
+# and the connected-components oracle.
+_LSH_CAND_CTES = """hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) AS h FROM sh),
+expd AS (SELECT doc_id, h, unnest(range(0,16)) AS perm_id FROM hashed),
+sigs AS (SELECT doc_id, perm_id,
+           MIN(((perm_id*2+1)*(h % 2147483647) + (perm_id*7919+12345)) % 2147483647) AS minhash
+         FROM expd GROUP BY doc_id, perm_id),
+bands AS (SELECT doc_id, CAST(perm_id // 4 AS INTEGER) AS band,
+            string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm_id) AS band_sig
+          FROM sigs GROUP BY doc_id, CAST(perm_id // 4 AS INTEGER)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)"""
+
 
 # ---------------------------------------------------------------------------
 # CSV round-trip staging (S1/S2): deterministic CSV written once per
@@ -449,22 +463,17 @@ def q_seq_packing(spark, sf_dir):
 def q_curate_corpus(spark, sf_dir):
     """End-to-end curation: language gate (computed lang_pred, not the
     stored label) + quality threshold + first-wins exact dedup, rolled
-    up per source. One documents scan feeds all three operator
-    branches; the only wide ops are the doc_id joins and the final
-    tiny agg."""
+    up per source. The fused text.enrich() projection computes lang +
+    tokens + quality in ONE scan with zero joins; the only wide ops
+    are the dedup window and the final tiny agg."""
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    li = text.lang_id(docs)
-    qs = text.quality_score(docs)
-    joined = (
-        docs.select("doc_id", "source", "text")
-        .join(li, "doc_id")
-        .join(qs, "doc_id")
-        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.35))
+    kept = text.enrich(docs, keep=("source",)).filter(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= 0.35)
     )
     w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
-    deduped = joined.withColumn("rn", F.row_number().over(w)).filter(
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") == 1
     )
     return deduped.groupBy("source").agg(
@@ -1039,26 +1048,32 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "minhash_lsh_dedup": QuerySpec(
         q_minhash_lsh_dedup,
-        f"""WITH {SHINGLE_CTES},
-hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) AS h FROM sh),
-expd AS (SELECT doc_id, h, unnest(range(0,16)) AS perm_id FROM hashed),
-sigs AS (SELECT doc_id, perm_id,
-           MIN(((perm_id*2+1)*(h % 2147483647) + (perm_id*7919+12345)) % 2147483647) AS minhash
-         FROM expd GROUP BY doc_id, perm_id),
-bands AS (SELECT doc_id, CAST(perm_id // 4 AS INTEGER) AS band,
-            string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm_id) AS band_sig
-          FROM sigs GROUP BY doc_id, CAST(perm_id // 4 AS INTEGER)),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bands a JOIN bands b
-           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),"""
+        f"WITH {SHINGLE_CTES},\n{_LSH_CAND_CTES},"
         + _JACCARD_TAIL.format(
             cand_join="JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id"
         ),
         "E2: MinHash(16 perms) + LSH(4x4 bands) + exact-Jaccard verify",
     ),
     "near_dup_clusters": QuerySpec(
-        q_near_dup_clusters, None,
-        "connected components over near-dup pairs (iterative label propagation)",
+        q_near_dup_clusters,
+        f"""WITH RECURSIVE {SHINGLE_CTES},
+{_LSH_CAND_CTES},
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+s AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT doc_a, doc_b
+          FROM p JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id
+          WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.5),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+r AS (SELECT u AS node, u AS reach FROM edges
+      UNION
+      SELECT r.node, e.v FROM r JOIN edges e ON r.reach = e.u)
+SELECT node AS doc_id, min(reach) AS cluster_id FROM r GROUP BY node""",
+        "connected components: Spark iterative label propagation vs a"
+        " recursive-CTE transitive closure — same fixpoint",
     ),
     "simhash": QuerySpec(
         q_simhash,

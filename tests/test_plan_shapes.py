@@ -71,3 +71,24 @@ def test_promo_revenue_prunes_lineitem_columns(spark):
             break
     else:
         raise AssertionError("no lineitem scan found")
+
+
+def test_curate_corpus_single_scan_no_joins(spark):
+    # fused enrich(): lang + tokens + quality from ONE projection —
+    # a regression to the lang_id/quality join form re-scans 3x
+    plan = _plan(spark, "curate_corpus")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_range_join_builds_on_bands_side(spark):
+    # stats misestimates at small SF must not broadcast the probe side
+    plan = _plan(spark, "range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BuildRight" in plan
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    # union + last-value window: no join operator, one key Exchange
+    plan = _plan(spark, "asof_join")
+    assert "Join" not in plan
