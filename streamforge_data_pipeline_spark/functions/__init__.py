@@ -78,3 +78,24 @@ def dot_double(a: Column, b: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity in double precision (see :func:`dot_double`)."""
     return dot_double(a, b) / (F.sqrt(dot_double(a, a)) * F.sqrt(dot_double(b, b)))
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative ints already
+    scaled into [0, 2^bits): bit i of each input lands at output bits
+    2i/2i+1, so rows close in BOTH dimensions get close keys.
+
+    Sorting/range-partitioning by this key gives files whose per-file
+    min/max spans are tight in both columns at once — the layout that
+    makes parquet row-group stats prune multi-dimensional predicates,
+    where a single-column sort only prunes its own column. Pure
+    bitwise Column expression: codegen'd, no UDF.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            .bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+            .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i))
+        )
+    return z

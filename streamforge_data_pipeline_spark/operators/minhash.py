@@ -126,7 +126,7 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def exact_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+def exact_jaccard(sh: DataFrame, pairs: DataFrame, tau: float | None = None) -> DataFrame:
     """Exact |A∩B| / |A∪B| on token-3-gram sets, for given pairs.
 
     The shingle relation is semi-joined to the candidate doc-id set
@@ -136,11 +136,44 @@ def exact_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     ``sh`` may contain duplicate (doc, shingle) rows; set semantics are
     restored AFTER the semi-join, so the distinct shuffle runs over
     candidates' shingles only, not the whole corpus.
+
+    ``tau``: optional size-ratio prune. Jaccard is bounded above by
+    min(|A|,|B|) / max(|A|,|B|), so when the caller will threshold at
+    tau, pairs below that bound are dropped BEFORE the intersection
+    self-join using only the (cheap) per-doc sizes — identical output.
+    Worth it only on corpora with wide size spread (most candidates
+    pruned): the prune serializes the size agg ahead of the
+    intersection join, so on uniform corpora it costs more than it
+    saves (measured ~2x at sf0.1 for a 17% prune) — hence opt-in.
     """
     cand_ids = pairs.select(F.col("doc_a").alias("doc_id")).union(
         pairs.select(F.col("doc_b").alias("doc_id"))
     ).distinct()
     sh_c = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi").distinct()
+    # sizes of the FULL distinct shingle sets (pre-prune) — the final
+    # jaccard denominator must not see a pruned relation
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if tau is not None:
+        sh_c = sh_c.persist()
+        pairs = (
+            pairs.join(
+                F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+                            .withColumnRenamed("n", "__na")), "doc_a")
+            .join(
+                F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+                            .withColumnRenamed("n", "__nb")), "doc_b")
+            .filter(
+                # 1e-9 slack: tau's binary repr can sit an ulp above the
+                # rational threshold; never prune an exactly-at-tau pair
+                F.least("__na", "__nb")
+                >= F.lit(tau) * F.greatest("__na", "__nb") - F.lit(1e-9)
+            )
+            .select("doc_a", "doc_b")
+        )
+        surviving = pairs.select(F.col("doc_a").alias("doc_id")).union(
+            pairs.select(F.col("doc_b").alias("doc_id"))
+        ).distinct()
+        sh_c = sh_c.join(F.broadcast(surviving), "doc_id", "left_semi")
     inter = (
         sh_c.alias("x")
         .join(sh_c.alias("y"), (F.col("x.sh") == F.col("y.sh")) & (F.col("x.doc_id") < F.col("y.doc_id")))
@@ -152,7 +185,6 @@ def exact_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
         .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
@@ -181,7 +213,8 @@ def drop_boilerplate_shingles(sh: DataFrame, max_df: int) -> DataFrame:
 
 
 def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text",
-                      tau: float = 0.5, max_df: int | None = None) -> DataFrame:
+                      tau: float = 0.5, max_df: int | None = None,
+                      size_prune: bool = False) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact Jaccard >= tau.
 
     ``max_df`` (optional): compute signatures from shingles appearing
@@ -190,6 +223,10 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     values are exact; only candidate generation ignores boilerplate —
     pairs similar *solely* through boilerplate stop being candidates,
     which is the desired behavior on templated corpora.
+
+    ``size_prune``: enable the exact size-ratio candidate prune (see
+    :func:`exact_jaccard`) — identical output, faster only on corpora
+    with wide document-size spread.
     """
     # Raw (non-distinct) shingles feed every branch: min-aggregation is
     # duplicate-tolerant, and exact_jaccard restores set semantics after
@@ -198,7 +235,7 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     sh = shingles_raw(df, id_col, text).persist()
     sig_input = drop_boilerplate_shingles(sh, max_df) if max_df else sh
     cands = candidate_pairs(band_keys(signatures(sig_input)))  # one shuffle to sigs
-    verified = exact_jaccard(sh, cands)
+    verified = exact_jaccard(sh, cands, tau=tau if size_prune else None)
     return verified.filter(F.col("jaccard") >= tau).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     )

@@ -530,6 +530,25 @@ def q_grouped_ols(spark, sf_dir):
     )
 
 
+def q_window_stats(spark, sf_dir):
+    """Distribution-analytic windows (the family rank/lag don't
+    cover): ntile quartiles, percent_rank, cume_dist, and a running
+    nth_value, per order priority. One shuffle on the partition key;
+    ties broken by orderkey so every function is deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_lowest"),
+    )
+
+
 SAMPLE_RATES = {"click": 0.5, "view": 0.1, "error": 1.0}
 
 
@@ -1936,6 +1955,17 @@ SELECT l_returnflag, n,
     / CAST(n AS DOUBLE), 6) AS intercept
 FROM a""",
         "per-group OLS from decimal-exact co-moments (no UDF, one shuffle)",
+    ),
+    "window_stats": QuerySpec(
+        q_window_stats,
+        """SELECT o_orderkey, o_orderpriority,
+  ntile(4) OVER w AS quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume,
+  nth_value(o_totalprice, 2) OVER w AS second_lowest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""",
+        "distribution windows: ntile + percent_rank + cume_dist + running nth_value",
     ),
 }
 

@@ -98,6 +98,53 @@ class TableStore:
         )
         return name
 
+    def write_zordered(
+        self,
+        df: DataFrame,
+        table: str,
+        col_a: str,
+        col_b: str,
+        files: int = 16,
+        bits: int = 16,
+    ) -> str:
+        """Z-order (Morton) layout on two columns: min-max scale each
+        into [0, 2^bits), interleave bits, range-partition + sort by
+        the key, one file per range.
+
+        Every output file then covers a small rectangle of the
+        (col_a, col_b) plane, so parquet min/max stats prune
+        predicates on EITHER column (or both); a single-column sort
+        only ever prunes its own column. The global min/max pass is
+        one tiny agg broadcast into the projection.
+        """
+        from streamforge_data_pipeline_spark.functions import zorder_key
+
+        mm = df.agg(
+            F.min(col_a).alias("__a0"), F.max(col_a).alias("__a1"),
+            F.min(col_b).alias("__b0"), F.max(col_b).alias("__b1"),
+        )
+        top = (1 << bits) - 1
+
+        def scaled(c: str, lo: str, hi: str):
+            rng = F.when(F.col(hi) > F.col(lo), F.col(hi) - F.col(lo)).otherwise(F.lit(1))
+            return F.least(
+                F.lit(top),
+                ((F.col(c) - F.col(lo)) / rng * top).cast("long"),
+            )
+
+        keyed = df.join(F.broadcast(mm)).withColumn(
+            "__z", zorder_key(scaled(col_a, "__a0", "__a1"),
+                              scaled(col_b, "__b0", "__b1"), bits=bits)
+        ).drop("__a0", "__a1", "__b0", "__b1")
+        (
+            keyed.repartitionByRange(files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(self.path(table))
+        )
+        return self.path(table)
+
     def compact(self, spark: SparkSession, table: str, target_files: int) -> int:
         """Small-files compaction — the operational chore of any
         streaming/chunked sink at scale (each micro-batch writes >=1

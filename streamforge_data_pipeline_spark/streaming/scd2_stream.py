@@ -1,0 +1,92 @@
+"""Streaming SCD2 maintenance: a CDC-style update stream keeps a
+slowly-changing dimension current via foreachBatch + the batch
+scd2_apply operator.
+
+Snapshots are versioned (``v=<batch_id>`` subdirectories) so each
+microbatch reads the previous snapshot and writes a new one — never
+overwriting the files it is reading, which is the classic
+parquet-self-overwrite corruption trap. At scale the same pattern
+backs onto a table format with atomic commits (Delta/Iceberg); the
+versioned-directory scheme is the dependency-free equivalent with the
+same read-committed behavior, and old versions double as time travel.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from streamforge_data_pipeline_spark.operators.merge import scd2_apply
+
+
+def _latest_version(spark: SparkSession, root: str) -> int | None:
+    if not os.path.isdir(root):
+        return None
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ]
+    return max(versions) if versions else None
+
+
+def read_current(spark: SparkSession, root: str) -> DataFrame | None:
+    """Latest committed SCD2 snapshot, or None before the first one."""
+    v = _latest_version(spark, root)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(root, f"v={v}"))
+
+
+def start_scd2_maintenance(
+    updates_stream: DataFrame,
+    store_root: str,
+    checkpoint: str,
+    key: str,
+    attrs: list[str],
+    eff_col: str = "eff_ts",
+) -> StreamingQuery:
+    """Maintain an SCD2 dimension from a stream of update rows.
+
+    Within a microbatch, the latest update per key wins (by
+    ``eff_col``, ties by the other columns' hash) — intermediate
+    states inside one batch are collapsed, the standard CDC-compaction
+    semantics. Batches then apply sequentially, so history across
+    batches is preserved exactly.
+    """
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(key).orderBy(
+            F.col(eff_col).desc(), F.xxhash64(*[F.col(c) for c in attrs])
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        current = read_current(spark, store_root)
+        if current is None:
+            merged = latest.select(
+                key,
+                *attrs,
+                F.col(eff_col).alias("valid_from"),
+                F.lit(None).cast("timestamp").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+        else:
+            merged = scd2_apply(current, latest, key=key, attrs=attrs,
+                                eff_col=eff_col)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(store_root, f"v={batch_id}")
+        )
+
+    return (
+        updates_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -78,3 +78,15 @@ def test_df_cap_none_is_default_path(spark):
     # a cap far above any real DF must not change results
     capped = {tuple(r) for r in minhash.minhash_lsh_dedup(docs, tau=0.5, max_df=10**6).collect()}
     assert base == capped
+
+
+def test_size_prune_identical_results(spark):
+    from streamforge_data_pipeline_spark.operators.minhash import minhash_lsh_dedup
+    from streamforge_data_pipeline_spark.session import load
+    from tests.conftest import SF_MED
+
+    docs = load(spark, SF_MED, "documents")
+    plain = minhash_lsh_dedup(docs, tau=0.5)
+    pruned = minhash_lsh_dedup(docs, tau=0.5, size_prune=True)
+    assert plain.count() == pruned.count()
+    assert plain.exceptAll(pruned).count() == 0

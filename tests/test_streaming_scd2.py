@@ -1,0 +1,89 @@
+"""Streaming SCD2 maintenance: CDC batches applied sequentially keep
+exact history; streaming session windows match the batch operator."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from streamforge_data_pipeline_spark.operators.windows import session_counts
+from streamforge_data_pipeline_spark.session import load
+from streamforge_data_pipeline_spark.streaming.scd2_stream import (
+    read_current,
+    start_scd2_maintenance,
+)
+
+from tests.conftest import SF_SMALL
+
+T1 = datetime(2021, 1, 1)
+T2 = datetime(2021, 6, 1)
+
+
+def _run_batch(spark, src, store, ckpt):
+    stream = spark.readStream.schema(
+        "k LONG, seg STRING, bal DOUBLE, eff_ts TIMESTAMP"
+    ).parquet(src)
+    q = start_scd2_maintenance(
+        stream, store_root=store, checkpoint=ckpt,
+        key="k", attrs=["seg", "bal"],
+    )
+    q.awaitTermination()
+
+
+def test_streaming_scd2_two_batches(spark, tmp_path):
+    src = str(tmp_path / "updates")
+    store = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: insert A and B (B twice in one batch -> latest wins)
+    spark.createDataFrame(
+        [(1, "A", 10.0, T1), (2, "B", 5.0, T1),
+         (2, "B", 20.0, datetime(2021, 2, 1))],
+        "k long, seg string, bal double, eff_ts timestamp",
+    ).write.mode("overwrite").parquet(src)
+    _run_batch(spark, src, store, ckpt)
+
+    snap1 = {(r["k"], r["is_current"]): r for r in read_current(spark, store).collect()}
+    assert len(snap1) == 2
+    assert snap1[(2, True)]["bal"] == 20.0  # in-batch CDC compaction
+
+    # batch 2 (new file): change A, no-op B, insert C
+    spark.createDataFrame(
+        [(1, "A", 11.0, T2), (2, "B", 20.0, T2), (3, "C", 7.0, T2)],
+        "k long, seg string, bal double, eff_ts timestamp",
+    ).write.mode("append").parquet(src)
+    _run_batch(spark, src, store, ckpt)
+
+    snap2 = {(r["k"], r["is_current"]): r for r in read_current(spark, store).collect()}
+    assert len(snap2) == 4
+    assert snap2[(1, False)]["valid_to"] == T2 and snap2[(1, False)]["bal"] == 10.0
+    assert snap2[(1, True)]["bal"] == 11.0
+    assert snap2[(2, True)]["bal"] == 20.0 and snap2[(2, True)]["valid_to"] is None
+    assert snap2[(3, True)]["bal"] == 7.0
+    # versioned snapshots double as time travel
+    assert sorted(d for d in os.listdir(store) if d.startswith("v=")) == ["v=0", "v=1"]
+
+
+def test_stream_session_window_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    load(spark, SF_SMALL, "events").write.mode("overwrite").parquet(src)
+    batch_df = spark.read.parquet(src)
+    key = lambda r: (r["user_id"], str(r["session_start"]), r["n_events"])
+    expected = {key(r) for r in session_counts(batch_df).collect()}
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        session_counts(stream)
+        .writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {key(r) for r in spark.table("session_out").collect()}
+    assert got == expected
