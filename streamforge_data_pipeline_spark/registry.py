@@ -549,6 +549,41 @@ def q_window_stats(spark, sf_dir):
     )
 
 
+def q_expectations(spark, sf_dir):
+    """Data-quality gate over lineitem: four row rules fused into one
+    scan + an FK-orphan anti-join vs orders, one unioned report."""
+    from streamforge_data_pipeline_spark.operators import expectations as ex
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    rows = ex.check_rows(
+        li,
+        {
+            "quantity_positive": ~(F.col("l_quantity") > 0),
+            "discount_in_unit_range": ~F.col("l_discount").between(0.0, 1.0),
+            "shipdate_not_null": F.col("l_shipdate").isNull(),
+            "returnflag_domain": ~F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+    fk = ex.check_fk(li, "l_orderkey", orders, "o_orderkey", "orderkey_fk_valid")
+    return ex.expectations_report([rows, fk])
+
+
+def q_value_percentiles_approx(spark, sf_dir):
+    """The 100 TB drop-in for value_percentiles: mergeable
+    approx_percentile sketch (accuracy 10k) instead of a sort-based
+    exact aggregate — partial sketches combine map-side, no global
+    sort. Accuracy vs exact asserted in tests/test_timeseries.py."""
+    ev = load(spark, sf_dir, "events")
+    pcts = F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")
+    return ev.groupBy("event_type").agg(
+        F.round(pcts[0], 4).alias("p50"),
+        F.round(pcts[1], 4).alias("p90"),
+        F.round(pcts[2], 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 SAMPLE_RATES = {"click": 0.5, "view": 0.1, "error": 1.0}
 
 
@@ -1966,6 +2001,29 @@ FROM a""",
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""",
         "distribution windows: ntile + percent_rank + cume_dist + running nth_value",
+    ),
+    "expectations": QuerySpec(
+        q_expectations,
+        """WITH rows_wide AS (
+  SELECT
+    CAST(sum(CASE WHEN coalesce(NOT (l_discount BETWEEN 0.0 AND 1.0), TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS discount_in_unit_range,
+    CAST(sum(CASE WHEN coalesce(NOT (l_quantity > 0), TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS quantity_positive,
+    CAST(sum(CASE WHEN coalesce(NOT (l_returnflag IN ('A','N','R')), TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_domain,
+    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_not_null
+  FROM lineitem)
+SELECT 'discount_in_unit_range' AS rule, discount_in_unit_range AS n_violations FROM rows_wide
+UNION ALL SELECT 'quantity_positive', quantity_positive FROM rows_wide
+UNION ALL SELECT 'returnflag_domain', returnflag_domain FROM rows_wide
+UNION ALL SELECT 'shipdate_not_null', shipdate_not_null FROM rows_wide
+UNION ALL
+SELECT 'orderkey_fk_valid', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""",
+        "data-quality expectations: fused row rules (one scan) + FK orphan check",
+    ),
+    "value_percentiles_approx": QuerySpec(
+        q_value_percentiles_approx,
+        None,
+        "mergeable approx_percentile sketch — the no-global-sort scale path",
     ),
 }
 

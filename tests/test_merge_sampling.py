@@ -71,3 +71,15 @@ def test_stratified_sample_deterministic_and_partition_invariant(spark):
     # listed fraction lands near its rate (hash uniformity, wide tolerance)
     n1 = got["1"] / df.filter("s = '1'").count()
     assert 0.1 < n1 < 0.3
+
+
+def test_check_rows_null_counts_as_violation(spark):
+    from pyspark.sql import functions as F
+
+    from streamforge_data_pipeline_spark.operators.expectations import check_rows
+
+    df = spark.createDataFrame([(1,), (None,), (-2,)], "v int")
+    out = {r["rule"]: r["n_violations"] for r in
+           check_rows(df, {"v_positive": ~(F.col("v") > 0)}).collect()}
+    # -2 violates outright; NULL can't satisfy the expectation either
+    assert out == {"v_positive": 2}

@@ -49,3 +49,18 @@ def test_hll_estimate_close_to_exact(spark):
     assert set(est) == set(exact)
     for t, e in exact.items():
         assert abs(est[t] - e) / e < 0.05
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    from streamforge_data_pipeline_spark.registry import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.01"
+    approx = {r["event_type"]: r for r in
+              REGISTRY["value_percentiles_approx"].fn(spark, sf_dir).collect()}
+    exact = {r["event_type"]: r for r in
+             REGISTRY["value_percentiles"].fn(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for t in exact:
+        for p in ("p50", "p90", "p99"):
+            e, a = exact[t][p], approx[t][p]
+            assert abs(a - e) <= max(0.02 * abs(e), 0.5), (t, p, e, a)
