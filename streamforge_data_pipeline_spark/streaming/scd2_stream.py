@@ -90,3 +90,25 @@ def start_scd2_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def vacuum_snapshots(root: str, keep: int = 3) -> list[int]:
+    """Delete all but the newest ``keep`` snapshot versions; returns
+    the dropped version numbers. The current version is never dropped
+    (keep is clamped to >= 1), so readers of read_current() are safe;
+    concurrent readers of an older version should pin it before a
+    vacuum, same contract as table-format VACUUM."""
+    import shutil
+
+    keep = max(1, keep)
+    if not os.path.isdir(root):
+        return []
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+    drop = versions[:-keep]
+    for v in drop:
+        shutil.rmtree(os.path.join(root, f"v={v}"))
+    return drop

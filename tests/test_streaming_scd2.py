@@ -87,3 +87,24 @@ def test_stream_session_window_matches_batch(spark, tmp_path):
     q.awaitTermination()
     got = {key(r) for r in spark.table("session_out").collect()}
     assert got == expected
+
+
+def test_vacuum_keeps_newest_versions(spark, tmp_path):
+    import os
+
+    from streamforge_data_pipeline_spark.streaming.scd2_stream import (
+        vacuum_snapshots,
+    )
+
+    store = str(tmp_path / "dim")
+    for v in range(5):
+        spark.createDataFrame([(v,)], "k long").write.parquet(
+            os.path.join(store, f"v={v}")
+        )
+    dropped = vacuum_snapshots(store, keep=2)
+    assert dropped == [0, 1, 2]
+    assert sorted(os.listdir(store)) == ["v=3", "v=4"]
+    assert read_current(spark, store).collect()[0]["k"] == 4
+    # keep clamps to 1: never drops the current snapshot
+    assert vacuum_snapshots(store, keep=0) == [3]
+    assert read_current(spark, store).collect()[0]["k"] == 4
