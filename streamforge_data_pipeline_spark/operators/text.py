@@ -59,8 +59,9 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFr
     return scored.select(id_col, pred.alias("lang_pred"))
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
-    """Length/stopword/uniqueness heuristics -> [0,1] quality.
+def quality_expr(text: str = "text") -> Column:
+    """The raw (un-rounded) quality score as a Column — shared by
+    quality_score and quality_prune so both gates rank identically.
 
     Components (each deterministic double arithmetic):
     - length_score: min(1, n_tokens/64)
@@ -74,7 +75,17 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> 
     length_score = F.least(F.lit(1.0), n_tok / F.lit(64.0))
     distinct_ratio = F.when(n_tok > 0, n_distinct / n_tok).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
-    quality = length_score * distinct_ratio + stop_ratio
+    return length_score * distinct_ratio + stop_ratio
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Length/stopword/uniqueness heuristics -> [0,1] quality (see
+    quality_expr for the component definitions)."""
+    toks = tokens(text)
+    n_tok = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    distinct_ratio = F.when(n_tok > 0, n_distinct / n_tok).otherwise(F.lit(0.0))
+    quality = quality_expr(text)
     return df.select(
         id_col,
         F.size(toks).cast("long").alias("n_tokens"),
@@ -345,4 +356,164 @@ def enrich(df: DataFrame, id_col: str = "doc_id", text: str = "text",
         pred.alias("lang_pred"),
         F.size(ts).cast("long").alias("n_tokens"),
         F.round(length_score * distinct_ratio + stop_ratio, 4).alias("quality"),
+    )
+
+
+def quality_prune(df: DataFrame, id_col: str = "doc_id", text: str = "text",
+                  group: str = "source", keep_top: float = 0.5) -> DataFrame:
+    """Per-source quality-quantile gate: keep each source's top
+    `keep_top` fraction of documents by quality score (the mixture-
+    balancing curation step — prune low-quality tails without letting
+    one source's quality distribution set another's bar).
+
+    Ranking uses the ROUNDED score with a doc_id tie-break so the cut
+    is reproducible cross-engine (raw double ulps can't reorder), and
+    percent_rank so the threshold is rank-based, not value-based — a
+    50% cut keeps 50% per source regardless of score skew.
+
+    Scale notes: one window shuffle on `group`; no global sort, no
+    driver-side quantile estimation. Skewed source sizes are the risk
+    at 100 TB — a mega-source becomes one partition — so the window
+    key would extend to (source, shard) with per-shard ranks merged
+    via approx quantiles; at testdata scale the direct window is the
+    right plan.
+    """
+    from pyspark.sql import Window
+
+    q = F.round(quality_expr(text), 4)
+    scored = df.select(F.col(id_col), F.col(group), q.alias("quality"))
+    w = Window.partitionBy(group).orderBy("quality", id_col)
+    ranked = scored.withColumn("pct_rank", F.round(F.percent_rank().over(w), 4))
+    return ranked.filter(F.col("pct_rank") >= F.lit(1.0) - F.lit(keep_top))
+
+
+def decontaminate(df: DataFrame, id_col: str = "doc_id", text: str = "text",
+                  train_pct: int = 80) -> DataFrame:
+    """Eval-set decontamination: flag TRAIN documents that share any
+    token 3-gram with the held-out split (the benchmark-leakage gate a
+    training pipeline runs before packing; cf. sample_split for the
+    deterministic hash split it reuses).
+
+    Emits one row per contaminated train doc: overlap size, shingle
+    count, overlap fraction.
+
+    Scale notes: the eval shingle set is the small side by
+    construction (held-out fraction of the corpus) — broadcast it so
+    the train side never shuffles for the probe; at 100 TB the
+    eval-side distinct shingle table is still ~1/5th of one source's
+    n-grams and, if it outgrows broadcast, the join degrades to a
+    shuffled semi-join on the same key with no plan rewrite. The
+    shingle relation feeds both the probe and the per-doc sizes, so
+    it is persisted and computed once.
+    """
+    from streamforge_data_pipeline_spark.functions import hash60
+    from streamforge_data_pipeline_spark.operators.minhash import shingles
+
+    # The shingle relation feeds the probe join AND the per-doc sizes —
+    # persist so tokenize+distinct run once (house pattern; LRU evicts).
+    sh = shingles(df, id_col, text).persist()
+    is_train = hash60(F.col("doc_id").cast("string")) % 100 < train_pct
+    train_sh = sh.filter(is_train)
+    eval_sh = sh.filter(~is_train).select("sh").distinct()
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return sizes.join(hits, "doc_id").select(
+        "doc_id",
+        "n_hits",
+        "n_shingles",
+        F.round(F.col("n_hits") / F.col("n_shingles"), 4).alias("overlap_frac"),
+    )
+
+
+def ngram_counts(df: DataFrame, id_col: str = "doc_id", text: str = "text",
+                 k: int = 50) -> DataFrame:
+    """Corpus n-gram statistics: top-k token 3-grams by occurrence
+    count with document frequency — the LM-data profiling/boilerplate-
+    detection counterpart of term_counts.
+
+    Scale notes: the classic two-level shape — partial counts per
+    partition combine before the single shuffle on the n-gram key, and
+    the top-k is TakeOrderedAndProject (per-partition heaps, no global
+    sort). countDistinct(doc_id) expands to a two-phase distinct-
+    aggregate on the same key, so the query still shuffles once.
+    Deterministic tie-break on the n-gram string keeps rank-k stable.
+    """
+    from streamforge_data_pipeline_spark.operators.minhash import shingles_raw
+
+    sh = shingles_raw(df, id_col, text)
+    counts = sh.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), "sh")
+        .limit(k)
+        .select(F.col("sh").alias("ngram"), "n", "n_docs")
+    )
+
+
+def inverted_index(df: DataFrame, id_col: str = "doc_id", text: str = "text",
+                   min_df: int = 2, max_postings: int = 20) -> DataFrame:
+    """Build an inverted index: term -> document frequency + the first
+    `max_postings` doc ids (sorted) as a CSV posting preview — the
+    search-side artifact of the corpus (tf-idf's sibling; the postings
+    cap bounds the row width the way a real index pages its lists).
+
+    Scale notes: distinct (doc_id, term) then ONE shuffle on term;
+    collect_list runs on the post-distinct relation so no posting
+    exceeds the doc frequency. Hot terms (stopwords) are the skew
+    risk at 100 TB — min_df filters nothing there, so the production
+    variant would cap via the df-counted pre-pass (cf.
+    drop_boilerplate_shingles); sort+slice per group is bounded by
+    the same cap. The transform lambda runs on <= max_postings
+    elements per term — per-row low volume, the HOF-safe regime.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("term")).distinct()
+    grouped = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings).alias("__post"),
+    )
+    return (
+        grouped.filter(F.col("n_docs") >= min_df)
+        .select(
+            "term",
+            "n_docs",
+            F.concat_ws(",", F.transform(F.col("__post"), lambda x: x.cast("string"))).alias("postings"),
+        )
+    )
+
+
+def corpus_shuffle(df: DataFrame, id_col: str = "doc_id",
+                   n_shards: int = 8, salt: str = "shuf1") -> DataFrame:
+    """Deterministic global shuffle for training order: every document
+    gets a (shard, pos) drawn from a salted content hash — re-running
+    the pipeline, re-sharding the input, or changing cluster size
+    never changes the order (rand() and zipWithIndex both would).
+    Changing `salt` yields a fresh epoch permutation.
+
+    Scale notes: one hash projection + one window shuffle on shard;
+    each shard sorts independently (no global sort barrier). n_shards
+    scales with the cluster — at 100 TB you'd set it to O(output
+    files) and each shard's sort is an in-partition spillable sort.
+    """
+    from pyspark.sql import Window
+
+    from streamforge_data_pipeline_spark.functions import hash60
+
+    h = hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("h"))
+        .withColumn("shard", (F.col("h") % n_shards).cast("integer"))
+        .select(
+            id_col,
+            "shard",
+            F.row_number().over(w).alias("pos"),
+            "h",
+        )
+        .drop("h")
     )

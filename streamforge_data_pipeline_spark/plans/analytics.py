@@ -612,3 +612,95 @@ def sole_returned_supplier(spark: SparkSession, sf_dir: str, k: int = 20) -> Dat
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(k)
     )
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (reference analytics surface: scan-heavy
+    filter+aggregate, cf. reference repo's aggregate pipeline): revenue
+    delta from discount changes — a pure scan query with three
+    pushed-down predicates and ONE global aggregate.
+
+    Scale notes: zero joins, zero wide shuffles — partial sums per
+    partition, single-row final combine. All three predicates reach
+    the parquet scan (PushedFilters); only 4 of 11 lineitem columns
+    are read. This is the linear-scan speed-of-light query: at 100 TB
+    it is I/O bound by design, and partition pruning on a
+    date-partitioned layout would cut the scan to one year.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-(nation, year) profit over a 5-relation
+    star. Adapted to the partsupp-less testdata: unit supply cost is
+    modeled as 60% of p_retailprice (the join/agg plan shape — fact
+    joined to part, supplier, nation and orders, then a two-key
+    aggregate — is what Q9 exercises, not the cost constant).
+
+    Scale notes: part filter ('widget') prunes the fact early via a
+    broadcast semi-shape join; supplier/nation broadcast; orders is
+    the only co-shuffled join and carries just (orderkey, year). One
+    wide shuffle for the final (nation, year) aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional priority counts per fact category.
+    Adapted to the shipmode-less testdata: l_linestatus plays the
+    shipmode role and a one-year l_shipdate window plays the receipt
+    window (the plan shape — selective fact filter, join to orders,
+    CASE-conditional counts grouped by a fact attribute — is Q12's).
+
+    Scale notes: the date predicate is pushed to the fact scan before
+    the join; the join shuffles on orderkey (or broadcasts the
+    filtered fact side under AQE at small SF); conditional counts are
+    partial-agg shapes — one row per (partition x linestatus) crosses
+    the final shuffle.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )

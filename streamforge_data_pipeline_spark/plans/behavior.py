@@ -117,3 +117,84 @@ SELECT CAST(cohort_week AS DATE) AS cohort_week,
        CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_n,
        count(DISTINCT user_id) AS active_users
 FROM a GROUP BY 1, 2"""
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over per-user event sequences: for
+    each (from_event, to_event) pair, how often does one directly
+    follow the other, and what share of the from-state's exits does
+    that represent (the session-path / next-action analytics shape).
+
+    Scale notes: ONE window shuffle on user_id builds every adjacent
+    pair via lead() — no self-join on the event table (a ts-based
+    self-join is O(events^2) within a user and quadratic on power
+    users). The pair aggregate reuses partial aggregation; the share
+    window runs over the tiny (|event_types|^2) aggregate, not the
+    fact. Tie-break on event_id makes the sequence total-ordered and
+    the result reproducible under any partitioning.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_event"),
+            F.lead("event_type", 1).over(w).alias("to_event"),
+        )
+        .filter(F.col("to_event").isNotNull())
+    )
+    counts = pairs.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    share_w = Window.partitionBy("from_event")
+    return counts.select(
+        "from_event",
+        "to_event",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(share_w), 4).alias("share"),
+    )
+
+
+def value_anomalies(spark: SparkSession, sf_dir: str, z_cut: float = 3.0) -> DataFrame:
+    """Per-event-type z-score outliers: events whose value sits more
+    than `z_cut` sample standard deviations from their type's mean
+    (the monitoring/data-validation anomaly gate).
+
+    Mean/std come from DECIMAL-exact co-moment sums (the corr_measures
+    recipe) so the cut threshold is bit-identical cross-engine —
+    builtin stddev() is a streaming float fold whose partition order
+    Spark doesn't pin, so it can't be oracle-checked exactly.
+
+    Scale notes: two passes over the fact (stats agg, then flag scan)
+    with the per-type stats broadcast back — the stats side is
+    |event_types| rows, never a shuffle of the fact itself. The flag
+    pass is a pure map: at 100 TB this is scan-bound, and both passes
+    prune to (event_id, event_type, value).
+    """
+    from streamforge_data_pipeline_spark.plans.analytics import dsum
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    v = F.col("value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(v).alias("sv"),
+        dsum(v * v).alias("svv"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sv") / n
+    var = (n * F.col("svv") - F.col("sv") * F.col("sv")) / (n * (n - F.lit(1.0)))
+    stats = stats.select(
+        F.col("event_type").alias("__type"),
+        mean.alias("__mean"),
+        F.sqrt(var).alias("__std"),
+    )
+    z = (v - F.col("__mean")) / F.col("__std")
+    return (
+        ev.join(F.broadcast(stats), ev["event_type"] == F.col("__type"))
+        .filter(F.abs(z) > z_cut)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -935,6 +935,26 @@ def q_corpus_stats(spark, sf_dir):
     return text.corpus_stats(load(spark, sf_dir, "documents"))
 
 
+def q_quality_prune(spark, sf_dir):
+    return text.quality_prune(load(spark, sf_dir, "documents"))
+
+
+def q_decontaminate(spark, sf_dir):
+    return text.decontaminate(load(spark, sf_dir, "documents"))
+
+
+def q_ngram_counts(spark, sf_dir):
+    return text.ngram_counts(load(spark, sf_dir, "documents"))
+
+
+def q_inverted_index(spark, sf_dir):
+    return text.inverted_index(load(spark, sf_dir, "documents"))
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    return text.corpus_shuffle(load(spark, sf_dir, "documents"))
+
+
 def q_multimodal_meta(spark, sf_dir):
     media = attach_media(load(spark, sf_dir, "documents"))
     return media_summary(media)
@@ -2024,6 +2044,130 @@ FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""",
         q_value_percentiles_approx,
         None,
         "mergeable approx_percentile sketch — the no-global-sort scale path",
+    ),
+    "forecast_revenue": QuerySpec(
+        analytics.forecast_revenue,
+        """SELECT
+  CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""",
+        "TPC-H Q6 shape: pure-scan filter + single global aggregate",
+    ),
+    "product_profit": QuerySpec(
+        analytics.product_profit,
+        """SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+    - 0.6 * p_retailprice * l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, CAST(YEAR(o_orderdate) AS INTEGER)
+ORDER BY nation, o_year DESC""",
+        "TPC-H Q9 shape: 5-relation star, per-(nation, year) profit",
+    ),
+    "shipmode_priority": QuerySpec(
+        analytics.shipmode_priority,
+        """SELECT l_linestatus AS linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY linestatus""",
+        "TPC-H Q12 shape: conditional priority counts per fact category",
+    ),
+    "quality_prune": QuerySpec(
+        q_quality_prune,
+        f"""WITH toks2 AS (SELECT doc_id, source, {SQL_TOKENS.format(x='text')} AS ts FROM documents),
+q AS (SELECT doc_id, source,
+  round(least(1.0, len(ts)/64.0) *
+        (CASE WHEN len(ts) > 0 THEN len(list_distinct(ts))*1.0/len(ts) ELSE 0.0 END) +
+        (CASE WHEN len(ts) > 0
+              THEN len(list_filter(ts, t -> list_contains(['the','a','of','and','is'], t)))*1.0/len(ts)
+              ELSE 0.0 END), 4) AS quality
+  FROM toks2),
+r AS (SELECT doc_id, source, quality,
+        round(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 4) AS pct_rank
+      FROM q)
+SELECT doc_id, source, quality, pct_rank FROM r WHERE pct_rank >= 0.5""",
+        "per-source quality-quantile gate: keep each source's top half",
+    ),
+    "decontaminate": QuerySpec(
+        q_decontaminate,
+        f"""WITH {SHINGLE_CTES},
+tr AS (SELECT doc_id, sh FROM sh
+       WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 80),
+ev AS (SELECT DISTINCT sh FROM sh
+       WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 >= 80),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM tr JOIN ev USING(sh) GROUP BY doc_id),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM tr GROUP BY doc_id)
+SELECT s.doc_id, n_hits, n_shingles, round(n_hits*1.0/n_shingles, 4) AS overlap_frac
+FROM sizes s JOIN hits h ON s.doc_id = h.doc_id""",
+        "eval-overlap decontamination: train docs sharing 3-grams with held-out split",
+    ),
+    "ngram_counts": QuerySpec(
+        q_ngram_counts,
+        f"""WITH {TOKS_CTE},
+idx AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts)-2, 0))) AS x FROM toks),
+shr AS (SELECT doc_id, ts[x+1] || ' ' || ts[x+2] || ' ' || ts[x+3] AS sh FROM idx)
+SELECT sh AS ngram, CAST(count(*) AS BIGINT) AS n,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM shr GROUP BY sh ORDER BY n DESC, ngram LIMIT 50""",
+        "corpus top-k 3-gram counts with document frequency",
+    ),
+    "inverted_index": QuerySpec(
+        q_inverted_index,
+        f"""WITH {TOKS_CTE},
+dt AS (SELECT DISTINCT doc_id, unnest(ts) AS term FROM toks),
+g AS (SELECT term, CAST(count(*) AS BIGINT) AS n_docs,
+        list_sort(list(doc_id)) AS post
+      FROM dt GROUP BY term)
+SELECT term, n_docs, array_to_string(post[1:20], ',') AS postings
+FROM g WHERE n_docs >= 2""",
+        "inverted index: term -> docfreq + capped sorted posting preview",
+    ),
+    "corpus_shuffle": QuerySpec(
+        q_corpus_shuffle,
+        """WITH h AS (SELECT doc_id,
+    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':shuf1')),1,15)) AS BIGINT) AS h
+  FROM documents)
+SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INTEGER) AS pos
+FROM h""",
+        "deterministic salted-hash training-order shuffle (shard, pos)",
+    ),
+    "event_transitions": QuerySpec(
+        behavior.event_transitions,
+        """WITH pairs AS (
+  SELECT event_type AS from_event,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_event
+  FROM events),
+c AS (SELECT from_event, to_event, CAST(count(*) AS BIGINT) AS n
+      FROM pairs WHERE to_event IS NOT NULL GROUP BY from_event, to_event)
+SELECT from_event, to_event, n,
+  round(n*1.0/(SUM(n) OVER (PARTITION BY from_event)), 4) AS share
+FROM c""",
+        "Markov next-event transition counts + per-from-state share",
+    ),
+    "value_anomalies": QuerySpec(
+        behavior.value_anomalies,
+        """WITH s AS (
+  SELECT event_type, count(*) AS n,
+    CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sv,
+    CAST(ROUND(SUM(CAST(value*value AS DECIMAL(28,10))), 2) AS DOUBLE) AS svv
+  FROM events GROUP BY event_type),
+st AS (SELECT event_type, sv/CAST(n AS DOUBLE) AS m,
+         sqrt((CAST(n AS DOUBLE)*svv - sv*sv)/(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0))) AS sd
+       FROM s)
+SELECT event_id, e.event_type, value, round((value - m)/sd, 4) AS z
+FROM events e JOIN st ON e.event_type = st.event_type
+WHERE abs((value - m)/sd) > 3.0""",
+        "per-type z-score outliers from decimal-exact co-moments",
     ),
 }
 
