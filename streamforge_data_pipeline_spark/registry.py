@@ -2172,8 +2172,21 @@ WHERE abs((value - m)/sd) > 3.0""",
 }
 
 
+def _isolated(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Clear cached relations before each query so a long driver
+    session (one process evaluating the whole registry back-to-back)
+    never accumulates the persisted subtrees individual operators
+    leave behind — the same isolation bench.py applies per query."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: _isolated(spec.fn) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
