@@ -94,6 +94,39 @@ def asof_join(
     )
 
 
+def _positions(col, m: int, k: int):
+    """The k bit positions of a key: JVM xxhash64 seeded by position
+    index, mod m (m is forced to a multiple of 64)."""
+    return [F.pmod(F.xxhash64(F.lit(j), col), F.lit(m)) for j in range(k)]
+
+
+def _bloom_bitmap(keys: DataFrame, on: str, m: int, k: int):
+    """Assemble the Bloom bitmap DISTRIBUTED: positions fold into
+    64-bit words executor-side (``word = p >> 6``, ``bit_or`` partial
+    aggregation), and only the <= m/64 populated word rows reach the
+    driver — never the O(k*n) distinct positions, which at the
+    operator's own beyond-broadcast regime would be a larger driver
+    transfer than the raw key set whose broadcast it exists to avoid.
+
+    Returns (little-endian uint8 bitmap of m/8 bytes, words collected).
+    """
+    words = (
+        keys.select(F.explode(F.array(*_positions(F.col(on), m, k))).alias("p"))
+        .select(
+            F.shiftright("p", 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .toPandas()
+    )
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    wv = words["w"].to_numpy(dtype=np.int64)
+    bv = words["bits"].to_numpy(dtype=np.int64).view(np.uint64)
+    bits.view("<u8")[wv] = bv
+    return bits, len(words)
+
+
 def bloom_anti_join(
     probe: DataFrame,
     keys: DataFrame,
@@ -121,24 +154,20 @@ def bloom_anti_join(
        approximate — the filter only reduces shuffled volume.
 
     Semantics are identical to ``probe.join(keys, on, 'left_anti')``.
+
+    At scale pass ``expected`` from table statistics to skip the extra
+    (column-pruned) ``count()`` pass over the key set.
     """
     n = expected if expected is not None else max(keys.count(), 1)
     m = int(-n * math.log(fpp) / (math.log(2) ** 2)) + 1
     m += (-m) % 64
     k = max(1, round(m / n * math.log(2)))
 
-    def positions(col):
-        return [F.pmod(F.xxhash64(F.lit(j), col), F.lit(m)) for j in range(k)]
-
-    pos_df = (
-        keys.select(F.explode(F.array(*positions(F.col(on)))).alias("p"))
-        .distinct()
-        .toPandas()
-    )
-    bits = np.zeros(m // 8, dtype=np.uint8)
-    pv = pos_df["p"].to_numpy(dtype=np.int64)
-    np.bitwise_or.at(bits, pv >> 3, (1 << (pv & 7)).astype(np.uint8))
+    bits, _ = _bloom_bitmap(keys, on, m, k)
     bcast = probe.sparkSession.sparkContext.broadcast(bits)
+
+    def positions(col):
+        return _positions(col, m, k)
 
     @pandas_udf("boolean")
     def might_contain(pos: pd.Series) -> pd.Series:

@@ -38,8 +38,16 @@ def scd2_apply(
     closed at the effective timestamp plus a new open row; unchanged
     matches and untouched rows pass through; unmatched updates insert
     as new open rows.
+
+    Only the ``is_current`` rows participate in the merge join — closed
+    history rows pass through untouched. Joining the whole dimension on
+    key alone would match every history row of an updated key too,
+    rewriting their ``valid_to`` and emitting one duplicate open row
+    per matched history row (compounding every batch).
     """
-    cur = current.alias("cur")
+    out_cols = [key, *attrs, "valid_from", "valid_to", "is_current"]
+    history = current.filter(~F.col("is_current")).select(*out_cols)
+    cur = current.filter(F.col("is_current")).alias("cur")
     upd = updates.alias("upd")
     # All three output branches read the joined relation; persist so
     # the full-outer join (and both inputs) run once, not three times.
@@ -47,7 +55,6 @@ def scd2_apply(
         upd, F.col(f"cur.{key}") == F.col(f"upd.{key}"), "full_outer"
     ).persist()
 
-    out_cols = [key, *attrs, "valid_from", "valid_to", "is_current"]
     passthrough = j.filter(
         F.col(f"upd.{key}").isNull() | ~_changed(attrs)
     ).filter(F.col(f"cur.{key}").isNotNull()).select(
@@ -72,4 +79,6 @@ def scd2_apply(
         F.lit(None).cast("timestamp").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
-    return passthrough.unionByName(closed).unionByName(opened)
+    return (
+        history.unionByName(passthrough).unionByName(closed).unionByName(opened)
+    )

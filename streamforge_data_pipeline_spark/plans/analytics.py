@@ -12,6 +12,15 @@ Spark and DuckDB for non-midpoint values (binary doubles are never
 exact decimal midpoints), decimal addition is exact/order-independent,
 and the final cast back to double is deterministic. This also reflects
 good engineering at 100 TB: money sums in decimal, not float.
+
+Broadcast policy: ``F.broadcast`` is pinned ONLY on genuinely bounded
+relations — nation (25 rows), region (5 rows), single-row scalar
+aggregates. customer/supplier/part scale with SF; a pinned hint
+bypasses the size check, so at the 100 TB design point it is a
+guaranteed driver/executor OOM with no AQE fallback. Those joins are
+left to statistics + AQE, which broadcasts them at small SF anyway
+(observed in the plan audits) and falls back to shuffle joins at
+scale.
 """
 
 from __future__ import annotations
@@ -55,8 +64,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def top_revenue(spark: SparkSession, sf_dir: str, segment: str = "BUILDING",
                 k: int = 10) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter -> broadcast customer into
-    orders, shuffle join to lineitem, top-k by revenue.
+    """TPC-H Q3 shape: selective dim filter on customer, join to
+    orders (strategy left to stats/AQE — customer scales with SF),
+    shuffle join to lineitem, top-k by revenue.
 
     Filters are declared on the base tables so Catalyst pushes them
     into the parquet scans (PushedFilters) and prunes columns.
@@ -67,7 +77,7 @@ def top_revenue(spark: SparkSession, sf_dir: str, segment: str = "BUILDING",
     )
     li = load(spark, sf_dir, "lineitem")
     joined = (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(li, li["l_orderkey"] == orders["o_orderkey"])
     )
     rev = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
@@ -129,7 +139,8 @@ def supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def region_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join — dims broadcast, facts shuffle once."""
+    """TPC-H Q5 shape: star join — bounded dims (nation/region)
+    broadcast; customer/orders join strategy left to stats/AQE."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -137,7 +148,7 @@ def region_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
     )
@@ -165,9 +176,9 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -207,7 +218,7 @@ def returned_items(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
     )
     rev = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
@@ -247,7 +258,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"])
     agg = joined.agg(
         dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))).alias(
             "promo_rev"
@@ -277,7 +288,7 @@ def large_orders(spark: SparkSession, sf_dir: str, min_qty: float = 300.0) -> Da
     cust = load(spark, sf_dir, "customer")
     return (
         orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
                 "total_qty")
     )
@@ -290,7 +301,7 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     base predicates still push into the scans."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"])
     cond = (
         ((F.col("p_type") == "PROMO") & F.col("l_quantity").between(1, 11))
         | ((F.col("p_type") == "ECONOMY") & F.col("l_quantity").between(10, 20))
@@ -343,12 +354,12 @@ def market_share(spark: SparkSession, sf_dir: str, nation: str = "NATION_1",
     reg = load(spark, sf_dir, "region").filter(F.col("r_name") == region)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(reg), F.col("cn_region") == reg["r_regionkey"])
-        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
         .join(F.broadcast(n_sup), F.col("s_nationkey") == F.col("sn_key"))
     )
     agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
@@ -432,8 +443,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load(spark, sf_dir, "supplier")
     nat = load(spark, sf_dir, "nation")
     return (
-        ps.join(F.broadcast(part), ps["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(sup), ps["l_suppkey"] == sup["s_suppkey"])
+        ps.join(part, ps["l_partkey"] == part["p_partkey"])
+        .join(sup, ps["l_suppkey"] == sup["s_suppkey"])
         .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
         .select(
             "p_partkey",
@@ -503,7 +514,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_revenue") == F.col("mx")
     )
     sup = load(spark, sf_dir, "supplier")
-    return best.join(F.broadcast(sup), best["l_suppkey"] == sup["s_suppkey"]).select(
+    return best.join(sup, best["l_suppkey"] == sup["s_suppkey"]).select(
         "s_suppkey", "s_name", "total_revenue"
     )
 
@@ -524,14 +535,14 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     pairs = pairs.join(
-        F.broadcast(bad_sup), pairs["l_suppkey"] == bad_sup["s_suppkey"], "left_anti"
+        bad_sup, pairs["l_suppkey"] == bad_sup["s_suppkey"], "left_anti"
     )
     part = load(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#5") & (F.col("p_type") != "PROMO")
         & (F.col("p_size") <= 25)
     )
     return (
-        pairs.join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+        pairs.join(part, pairs["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -554,7 +565,7 @@ def dominant_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load(spark, sf_dir, "part").filter(F.col("p_name").startswith("hot"))
     qty = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.sum(F.col("l_quantity").cast(DEC)), 2).cast("double").alias("supp_qty"))
     )
@@ -607,7 +618,7 @@ def sole_returned_supplier(spark: SparkSession, sf_dir: str, k: int = 20) -> Dat
     )
     sup = load(spark, sf_dir, "supplier")
     return (
-        waits.join(F.broadcast(sup), waits["l_suppkey"] == sup["s_suppkey"])
+        waits.join(sup, waits["l_suppkey"] == sup["s_suppkey"])
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(k)
@@ -664,8 +675,8 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     )
     joined = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
         .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
     )

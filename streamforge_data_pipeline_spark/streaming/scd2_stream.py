@@ -21,14 +21,29 @@ from pyspark.sql.streaming import StreamingQuery
 from streamforge_data_pipeline_spark.operators.merge import scd2_apply
 
 
-def _latest_version(spark: SparkSession, root: str) -> int | None:
+def _committed(root: str, d: str) -> bool:
+    """A snapshot directory counts only once Spark's commit protocol
+    has written its _SUCCESS marker. A crash mid-write of v=N leaves a
+    partial directory; treating it as current would both serve a torn
+    snapshot and make the recovering re-run of batch N merge against
+    its own partial output, silently losing rows."""
+    return os.path.isfile(os.path.join(root, d, "_SUCCESS"))
+
+
+def _versions(root: str, committed_only: bool = True) -> list[int]:
     if not os.path.isdir(root):
-        return None
-    versions = [
+        return []
+    return sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(root)
-        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
-    ]
+        if d.startswith("v=")
+        and d.split("=", 1)[1].isdigit()
+        and (not committed_only or _committed(root, d))
+    )
+
+
+def _latest_version(spark: SparkSession, root: str) -> int | None:
+    versions = _versions(root)
     return max(versions) if versions else None
 
 
@@ -93,22 +108,20 @@ def start_scd2_maintenance(
 
 
 def vacuum_snapshots(root: str, keep: int = 3) -> list[int]:
-    """Delete all but the newest ``keep`` snapshot versions; returns
-    the dropped version numbers. The current version is never dropped
-    (keep is clamped to >= 1), so readers of read_current() are safe;
-    concurrent readers of an older version should pin it before a
-    vacuum, same contract as table-format VACUUM."""
+    """Delete all but the newest ``keep`` committed snapshot versions
+    plus any marker-less partial directories (crashed writes); returns
+    the dropped version numbers. The current committed version is
+    never dropped (keep is clamped to >= 1), so readers of
+    read_current() are safe; concurrent readers of an older version
+    should pin it before a vacuum, same contract as table-format
+    VACUUM. Single-writer assumption: don't vacuum while a merge batch
+    is in flight, or its in-progress (marker-less) output is removed."""
     import shutil
 
     keep = max(1, keep)
-    if not os.path.isdir(root):
-        return []
-    versions = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(root)
-        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
-    )
-    drop = versions[:-keep]
+    committed = _versions(root, committed_only=True)
+    partial = [v for v in _versions(root, committed_only=False) if v not in committed]
+    drop = sorted(committed[:-keep] + partial)
     for v in drop:
         shutil.rmtree(os.path.join(root, f"v={v}"))
     return drop

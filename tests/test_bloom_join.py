@@ -45,6 +45,29 @@ def test_false_positive_rate_bounded(spark):
     assert flagged.count() == 40_000
 
 
+def test_bitmap_build_collects_words_not_positions(spark):
+    # The build must transfer O(m/64) word rows to the driver, never
+    # the O(k*n) distinct positions (the scale hazard the distributed
+    # bit_or aggregation exists to avoid).
+    import math
+
+    from streamforge_data_pipeline_spark.operators.joins import _bloom_bitmap
+
+    n, fpp = 10_000, 0.01
+    m = int(-n * math.log(fpp) / (math.log(2) ** 2)) + 1
+    m += (-m) % 64
+    k = max(1, round(m / n * math.log(2)))
+    keys = spark.range(0, n).withColumnRenamed("id", "k")
+    bits, rows_collected = _bloom_bitmap(keys, "k", m, k)
+    assert rows_collected <= m // 64          # word rows only
+    assert rows_collected < k * n / 10        # nowhere near the position count
+    # and the bitmap is actually populated with ~k*n set bits
+    import numpy as np
+
+    set_bits = int(np.unpackbits(bits).sum())
+    assert 0.8 * k * n * (1 - 1 / math.e) < set_bits <= k * n
+
+
 def test_asof_join_semantics(spark):
     from datetime import datetime
 

@@ -63,6 +63,49 @@ def test_streaming_scd2_two_batches(spark, tmp_path):
     # versioned snapshots double as time travel
     assert sorted(d for d in os.listdir(store) if d.startswith("v=")) == ["v=0", "v=1"]
 
+    # batch 3: change A AGAIN — its closed history row must pass through
+    # untouched (not re-match the update on key), and exactly one open
+    # row must exist per key afterwards.
+    T3 = datetime(2022, 1, 1)
+    spark.createDataFrame(
+        [(1, "A", 12.0, T3)],
+        "k long, seg string, bal double, eff_ts timestamp",
+    ).write.mode("append").parquet(src)
+    _run_batch(spark, src, store, ckpt)
+
+    rows3 = read_current(spark, store).collect()
+    open_rows = [r for r in rows3 if r["is_current"]]
+    assert sorted(r["k"] for r in open_rows) == [1, 2, 3]  # exactly one open per key
+    a_hist = sorted(
+        (r for r in rows3 if r["k"] == 1 and not r["is_current"]),
+        key=lambda r: r["valid_from"],
+    )
+    assert [(r["bal"], r["valid_to"]) for r in a_hist] == [(10.0, T2), (11.0, T3)]
+    a_open = [r for r in open_rows if r["k"] == 1]
+    assert len(a_open) == 1 and a_open[0]["bal"] == 12.0
+    assert len(rows3) == 5  # 3 open + 2 history rows for A, none for B/C
+
+
+def test_read_current_skips_torn_snapshot(spark, tmp_path):
+    from streamforge_data_pipeline_spark.streaming.scd2_stream import (
+        vacuum_snapshots,
+    )
+
+    store = str(tmp_path / "dim")
+    spark.createDataFrame([(1,)], "k long").write.parquet(
+        os.path.join(store, "v=0")
+    )
+    # simulate a crash mid-write of v=1: data files but no _SUCCESS
+    spark.createDataFrame([(2,)], "k long").write.parquet(
+        os.path.join(store, "v=1")
+    )
+    os.remove(os.path.join(store, "v=1", "_SUCCESS"))
+    # torn snapshot is invisible to readers (and to a recovering writer)
+    assert read_current(spark, store).collect()[0]["k"] == 1
+    # vacuum removes the partial even when it's newer than the current
+    assert vacuum_snapshots(store, keep=3) == [1]
+    assert sorted(os.listdir(store)) == ["v=0"]
+
 
 def test_stream_session_window_matches_batch(spark, tmp_path):
     src = str(tmp_path / "events_src")
