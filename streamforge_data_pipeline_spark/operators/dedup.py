@@ -115,7 +115,15 @@ def connected_components(
     pathological chains). Each round is two distributed hash joins —
     no driver-side graph. The driver only checks the fixpoint counter,
     which is how iterative algorithms look on a 1000-executor cluster.
+
+    Every ``checkpoint_every`` rounds the label frame is
+    ``localCheckpoint``-ed: persist() caches the data but the logical
+    plan still chains one join-tree per iteration, so on a
+    high-diameter graph analysis/lineage growth would stall the driver
+    long before the data does. The checkpoint truncates lineage to the
+    materialized blocks.
     """
+    checkpoint_every = 4
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
@@ -128,22 +136,24 @@ def connected_components(
         .withColumn("cluster_id", F.col("doc_id"))
         .persist()
     )
-    for _ in range(max_iters):
+    for i in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels["doc_id"] == neighbor_min["src"], "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
         )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")

@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from streamforge_data_pipeline_spark.sources.csv_intake import CORRUPT_COL
+
 ERR_TOO_FEW = "too few columns"
 ERR_ID_EMPTY = "externalId empty"
 ERR_NAME_EMPTY = "name empty"
@@ -84,12 +86,19 @@ def validate(
     qty_c = F.coalesce(F.col(quantity), F.lit(""))
     date_c = F.coalesce(F.col(expiry_date), F.lit(""))
 
-    # Arity (:227): univocity reports the true cell count; Spark's CSV
-    # reader nulls missing trailing cells instead. Both trailing cells
-    # null => certainly a short row. (A 3-cell row is labeled
-    # 'expiryDate invalid' rather than 'too few columns' — documented
-    # approximation, same reject/accept partition.)
-    too_few = F.col(quantity).isNull() & F.col(expiry_date).isNull()
+    # Arity (:227): univocity reports the true cell count. When the
+    # frame came through the CSV intake, Spark's PERMISSIVE
+    # corrupt-record column is present: it is non-null exactly when the
+    # row's token count != 4, so (malformed AND 4th cell missing) is
+    # precisely row.length < 4 — a 3-cell row gets 'too few columns'
+    # verbatim, and a 5-cell row passes arity like the reference
+    # (row.length >= 4). Frames from other sources (the derived parquet
+    # intake) have no corrupt column; both trailing cells null is the
+    # fallback signal for a short row.
+    if CORRUPT_COL in df.columns:
+        too_few = F.col(CORRUPT_COL).isNotNull() & F.col(expiry_date).isNull()
+    else:
+        too_few = F.col(quantity).isNull() & F.col(expiry_date).isNull()
 
     # claim-eligible = passed rules 1-3: the reference's arity check
     # (:227) returns BEFORE the set-add at :242, so a short row must

@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streamforge_data_pipeline_spark.operators.validate import split_valid, to_items, validate
 from streamforge_data_pipeline_spark.schemas import INTAKE_COLUMNS
-from streamforge_data_pipeline_spark.sources.csv_intake import intake_order, read_intake_csv
+from streamforge_data_pipeline_spark.sources.csv_intake import (
+    CORRUPT_COL,
+    intake_order,
+    read_intake_csv,
+)
 from streamforge_data_pipeline_spark.sources.error_report import write_error_report
 from streamforge_data_pipeline_spark.sources.store import TableStore
 
@@ -59,7 +63,7 @@ def run_upload(
 
     store.insert_items(to_items(valid))
     if error_report_path:
-        write_error_report(rejected, INTAKE_COLUMNS, error_report_path)
+        write_error_report(rejected, INTAKE_COLUMNS, error_report_path, raw=CORRUPT_COL)
 
     # One aggregation pass serves both A1 and A2: the null-error group
     # is the inserted count, the rest are the per-category counts.

@@ -18,8 +18,18 @@ from (file, offset), not from a driver-side counter).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from streamforge_data_pipeline_spark.schemas import INTAKE_SCHEMA
+
+# PERMISSIVE-mode malformed-row capture: Spark treats a CSV row whose
+# token count differs from the 4-column schema as malformed and stores
+# the raw line here (parsed prefix cells are kept — partial results).
+# validate() uses it to recover the reference's TRUE arity semantics
+# (univocity row.length < 4 -> 'too few columns',
+# BackgroundCsvProcessor.java:227): a 3-cell row must be an arity
+# reject, not an 'expiryDate invalid' one.
+CORRUPT_COL = "_corrupt_record"
 
 
 def read_intake_csv(spark: SparkSession, path: str) -> DataFrame:
@@ -36,9 +46,15 @@ def read_intake_csv(spark: SparkSession, path: str) -> DataFrame:
     convention (the reference only ever ingests a single file).
     """
     df = (
-        spark.read.schema(INTAKE_SCHEMA)
+        # StructType.add mutates in place — build a fresh copy.
+        spark.read.schema(
+            T.StructType(
+                [*INTAKE_SCHEMA.fields, T.StructField(CORRUPT_COL, T.StringType())]
+            )
+        )
         .option("header", True)
         .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .csv(path)
     )
     return df.withColumn("row_id", F.monotonically_increasing_id()).withColumn(

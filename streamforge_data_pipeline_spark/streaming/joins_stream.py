@@ -21,6 +21,18 @@ tests/test_streaming_joins.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+def _as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); parquet written with
+    isAdjustedToUTC=false loads as TIMESTAMP_NTZ, which
+    ``withWatermark`` rejects. Coerce NTZ -> LTZ (interpreted in the
+    session timezone — the engine pins UTC sessions, so this is a
+    deterministic relabel, not a wall-clock shift)."""
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def streaming_dedup(
@@ -30,6 +42,7 @@ def streaming_dedup(
     delay: str = "10 minutes",
 ) -> DataFrame:
     """First occurrence per key within the watermark horizon."""
+    stream = _as_event_time(stream, ts_col)
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)
 
 
@@ -47,8 +60,8 @@ def interval_join(
     right rows join left rows with ``left_ts <= right_ts <= left_ts +
     upper`` (after ``lower`` offset). Both sides carry watermarks so
     buffered state is evicted as event time advances."""
-    l = left.withWatermark(left_ts, delay).alias("l")
-    r = right.withWatermark(right_ts, delay).alias("r")
+    l = _as_event_time(left, left_ts).withWatermark(left_ts, delay).alias("l")
+    r = _as_event_time(right, right_ts).withWatermark(right_ts, delay).alias("r")
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (

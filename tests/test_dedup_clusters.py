@@ -52,6 +52,20 @@ def test_components_match_union_find(spark):
     assert kept.count() == n_docs - n_losers
 
 
+def test_long_chain_converges_without_plan_blowup(spark):
+    # Path graph 0-1-2-...-15: diameter 15 forces > checkpoint_every
+    # label-propagation rounds; passes only if lineage truncation keeps
+    # the iterative plan analyzable and the fixpoint is still exact.
+    n = 16
+    chain = [(i, i + 1) for i in range(n - 1)]
+    pairs_df = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs_df, max_iters=n).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_df_capped_shingles_suppress_boilerplate(spark):
     from streamforge_data_pipeline_spark.operators import minhash
 

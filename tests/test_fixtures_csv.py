@@ -15,6 +15,7 @@ F1 = """externalId,name,quantity,expiryDate
 X1,First,bad,2026-09-01
 X1,Second,5,2026-09-01
 A1,Widget
+B1,Widget,5
  ,Widget,5,2026-09-01
 A2, ,5,2026-09-01
 A4,Widget,lots,2026-09-01
@@ -36,17 +37,19 @@ def test_f1_error_labels_and_dedup_quirk(spark, csv_path, tmp_path):
     store = TableStore(str(tmp_path / "store"))
     res = run_upload(spark, csv_path, store, error_report_path=str(tmp_path / "err"))
 
-    assert res.processed == 10
+    assert res.processed == 11
     assert res.inserted == 2
-    assert res.failed == 8
+    assert res.failed == 9
     # F1b quirk: X1/First claims the id despite failing quantity, so
     # X1/Second is 'duplicate externalId' though First never inserted.
     # But C1/Short fails the ARITY check, which short-circuits BEFORE
     # the claim (:227 vs :242) — so C1/Full is valid.
+    # B1 (3 cells) is the true-arity case: univocity row.length == 3
+    # -> 'too few columns' (:227), NOT 'expiryDate invalid'.
     assert res.error_counts == {
         "quantity invalid": 2,  # X1/First + A4
         "duplicate externalId": 1,  # X1/Second
-        "too few columns": 2,  # A1, C1/Short
+        "too few columns": 3,  # A1, B1 (3 cells), C1/Short
         "externalId empty": 1,
         "name empty": 1,
         "expiryDate invalid (expected yyyy-MM-dd)": 1,  # A5
@@ -64,7 +67,11 @@ def test_f1_error_labels_and_dedup_quirk(spark, csv_path, tmp_path):
         for r in spark.read.text(str(tmp_path / "err")).collect()
     }
     assert "X1,Second,5,2026-09-01,duplicate externalId" in lines
-    assert "A1,Widget,,,too few columns" in lines
+    # malformed rows render their TRUE cells (String.join over the
+    # parsed row, BackgroundCsvProcessor.java:145,286-293) — a 2-cell
+    # row renders 2 cells, not padded to 4.
+    assert "A1,Widget,too few columns" in lines
+    assert "B1,Widget,5,too few columns" in lines
 
 
 def test_reupload_is_idempotent(spark, csv_path, tmp_path):
