@@ -2220,11 +2220,35 @@ def _verified_counts() -> dict[str, int]:
     return counts
 
 
+# Keys whose implementation changed AFTER their most recent green driver
+# row. They jump the rotation (right behind never-checked keys) so the
+# next driver window re-verifies the changed code path instead of
+# trusting a stale green. Remove entries once a new green row lands.
+_CHANGED_SINCE_LAST_CHECK: tuple[str, ...] = (
+    # round 2: PERMISSIVE corrupt-record intake rewrite (only driver
+    # row is r01, pre-change)
+    "validate",
+    "csv_scan",
+    "error_counts",
+    "error_report",
+    "first_wins_dedup",
+    # round 3: default-on boilerplate shingle cap (bench-corpus cost)
+    "minhash_lsh_dedup",
+)
+
+
 def _ordered_names() -> list[str]:
     counts = _verified_counts()
     names = list(REGISTRY)
     index = {name: i for i, name in enumerate(names)}
-    return sorted(names, key=lambda n: (counts.get(n, 0), index[n]))
+    stale = set(_CHANGED_SINCE_LAST_CHECK)
+
+    def rank(name: str) -> tuple[int, int, int]:
+        c = counts.get(name, 0)
+        tier = 0 if c == 0 else (1 if name in stale else 2)
+        return (tier, c, index[name])
+
+    return sorted(names, key=rank)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

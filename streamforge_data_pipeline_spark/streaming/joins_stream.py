@@ -21,18 +21,8 @@ tests/test_streaming_joins.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql import types as T
 
-
-def _as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
-    """Watermarks require TIMESTAMP (LTZ); parquet written with
-    isAdjustedToUTC=false loads as TIMESTAMP_NTZ, which
-    ``withWatermark`` rejects. Coerce NTZ -> LTZ (interpreted in the
-    session timezone — the engine pins UTC sessions, so this is a
-    deterministic relabel, not a wall-clock shift)."""
-    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
-        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return df
+from .event_time import as_event_time as _as_event_time
 
 
 def streaming_dedup(

@@ -108,16 +108,20 @@ def test_read_current_skips_torn_snapshot(spark, tmp_path):
 
 
 def test_stream_session_window_matches_batch(spark, tmp_path):
+    from streamforge_data_pipeline_spark.streaming.event_time import (
+        as_event_time,
+        watermarked,
+    )
+
     src = str(tmp_path / "events_src")
     load(spark, SF_SMALL, "events").write.mode("overwrite").parquet(src)
     batch_df = spark.read.parquet(src)
     key = lambda r: (r["user_id"], str(r["session_start"]), r["n_events"])
-    expected = {key(r) for r in session_counts(batch_df).collect()}
+    expected = {key(r) for r in session_counts(as_event_time(batch_df, "ts")).collect()}
+    assert expected
 
-    stream = (
-        spark.readStream.schema(batch_df.schema)
-        .parquet(src)
-        .withWatermark("ts", "10 minutes")
+    stream = watermarked(
+        spark.readStream.schema(batch_df.schema).parquet(src), "ts", "10 minutes"
     )
     q = (
         session_counts(stream)

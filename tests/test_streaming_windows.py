@@ -1,13 +1,26 @@
-"""Streaming depth: (1) event-time tumbling windows over a stream match
-the batch operator bit-for-bit; (2) applyInPandasWithState keyed
-accumulators match batch aggregation after the stream drains."""
+"""Streaming depth: (1) event-time tumbling + sliding windows over a
+stream match the batch operators bit-for-bit; (2) applyInPandasWithState
+keyed accumulators match batch aggregation after the stream drains.
+
+Streams are watermarked via streaming.event_time.watermarked, which
+coerces the parquet TIMESTAMP_NTZ event column to LTZ before
+``withWatermark`` (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise); the
+batch side is normalized with the same ``as_event_time`` call so both
+plans aggregate the identical column type."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from streamforge_data_pipeline_spark.operators.windows import tumbling_counts
+from streamforge_data_pipeline_spark.operators.windows import (
+    sliding_counts,
+    tumbling_counts,
+)
 from streamforge_data_pipeline_spark.session import load
+from streamforge_data_pipeline_spark.streaming.event_time import (
+    as_event_time,
+    watermarked,
+)
 from streamforge_data_pipeline_spark.streaming.stateful import running_user_totals
 
 from tests.conftest import SF_SMALL
@@ -24,13 +37,12 @@ def test_stream_tumbling_window_matches_batch(spark, tmp_path):
     batch_df = spark.read.parquet(src)
     expected = {
         (str(r["window_start"]), r["event_type"], r["n"], r["sum_value"])
-        for r in tumbling_counts(batch_df).collect()
+        for r in tumbling_counts(as_event_time(batch_df, "ts")).collect()
     }
+    assert expected
 
-    stream = (
-        spark.readStream.schema(batch_df.schema)
-        .parquet(src)
-        .withWatermark("ts", "10 minutes")
+    stream = watermarked(
+        spark.readStream.schema(batch_df.schema).parquet(src), "ts", "10 minutes"
     )
     q = (
         tumbling_counts(stream)
@@ -44,6 +56,34 @@ def test_stream_tumbling_window_matches_batch(spark, tmp_path):
     got = {
         (str(r["window_start"]), r["event_type"], r["n"], r["sum_value"])
         for r in spark.table("tumbling_out").collect()
+    }
+    assert got == expected
+
+
+def test_stream_sliding_window_matches_batch(spark, tmp_path):
+    src = _stage_events(spark, tmp_path)
+    batch_df = spark.read.parquet(src)
+    expected = {
+        (str(r["window_start"]), r["n"])
+        for r in sliding_counts(as_event_time(batch_df, "ts")).collect()
+    }
+    assert expected
+
+    stream = watermarked(
+        spark.readStream.schema(batch_df.schema).parquet(src), "ts", "10 minutes"
+    )
+    q = (
+        sliding_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sliding_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["window_start"]), r["n"])
+        for r in spark.table("sliding_out").collect()
     }
     assert got == expected
 
