@@ -102,6 +102,21 @@ def simhash(df: DataFrame, text: str, doc_id: str) -> DataFrame:
     return sums.select(F.col(doc_id), fingerprint.alias("simhash"))
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpoint-ed frame's cached blocks.
+
+    ``DataFrame.unpersist()`` cannot do this: checkpoint blocks live on
+    the RDD, not in the cache manager. The frame's analyzed plan is a
+    LogicalRDD whose ``rdd()`` IS the checkpointed RDD — unpersisting
+    that drops the blocks immediately instead of waiting for driver
+    GC. Only call once nothing can re-read the frame (its lineage is
+    truncated, so recompute is impossible afterwards)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # py4j internals moved: blocks then free on driver GC as before
+
+
 def connected_components(
     pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iters: int = 20
 ) -> DataFrame:
@@ -122,8 +137,21 @@ def connected_components(
     high-diameter graph analysis/lineage growth would stall the driver
     long before the data does. The checkpoint truncates lineage to the
     materialized blocks.
+
+    Checkpoint retention: ``unpersist()`` is a NO-OP on a checkpointed
+    frame (the blocks never enter the cache manager), so a long run
+    would otherwise accumulate one block set per checkpoint until
+    driver GC. Each new eager checkpoint therefore explicitly frees
+    the previous one's blocks via its plan's RDD handle — at most one
+    checkpoint generation is ever live. Frees only happen when the new
+    checkpoint is materialized, because intermediate persisted rounds
+    keep the last checkpoint in their lineage. (localCheckpoint is
+    deliberately non-reliable: executor loss invalidates it — the
+    documented trade for zero checkpoint-dir I/O; pass a checkpoint
+    dir and switch to reliable checkpoint() on fault-tolerant runs.)
     """
     checkpoint_every = 4
+    prev_ckpt = None
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
@@ -152,6 +180,9 @@ def connected_components(
         )
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                _free_local_checkpoint(prev_ckpt)
+            prev_ckpt = new_labels
         else:
             new_labels = new_labels.persist()
         changed = (

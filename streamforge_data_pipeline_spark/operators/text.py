@@ -463,19 +463,32 @@ def inverted_index(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     search-side artifact of the corpus (tf-idf's sibling; the postings
     cap bounds the row width the way a real index pages its lists).
 
-    Scale notes: distinct (doc_id, term) then ONE shuffle on term;
-    collect_list runs on the post-distinct relation so no posting
-    exceeds the doc frequency. Hot terms (stopwords) are the skew
-    risk at 100 TB — min_df filters nothing there, so the production
-    variant would cap via the df-counted pre-pass (cf.
-    drop_boilerplate_shingles); sort+slice per group is bounded by
-    the same cap. The transform lambda runs on <= max_postings
+    Scale notes: distinct (doc_id, term), then a row_number window on
+    (term, doc_id) ranks each term's postings BEFORE aggregation, so
+    the collect_list only ever sees `rn <= max_postings` ids: for a
+    stopword term at 100 TB the aggregation state per group is capped
+    at max_postings elements instead of one array holding ~every doc
+    id in the corpus on a single reducer. Doc frequency falls out of
+    the same window as max(rn) — no second count over the unfiltered
+    relation. The window's exchange hash-partitions on term and the
+    groupBy reuses that partitioning, so the whole operator is still
+    ONE shuffle. The transform lambda runs on <= max_postings
     elements per term — per-row low volume, the HOF-safe regime.
     """
+    from pyspark.sql import Window
+
     toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("term")).distinct()
-    grouped = toks.groupBy("term").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings).alias("__post"),
+    rn = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    ranked = toks.withColumn("rn", rn)
+    grouped = ranked.groupBy("term").agg(
+        # rn is dense from 1 within each term, so its max IS the doc
+        # frequency — counted without touching the unranked relation
+        F.max("rn").alias("n_docs"),
+        # collect_list drops the NULLs the `when` produces past the
+        # cap: bounded state, and sorted because rn follows doc_id
+        F.sort_array(
+            F.collect_list(F.when(F.col("rn") <= max_postings, F.col("doc_id")))
+        ).alias("__post"),
     )
     return (
         grouped.filter(F.col("n_docs") >= min_df)

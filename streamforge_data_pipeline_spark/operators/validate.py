@@ -89,14 +89,21 @@ def validate(
     # Arity (:227): univocity reports the true cell count. When the
     # frame came through the CSV intake, Spark's PERMISSIVE
     # corrupt-record column is present: it is non-null exactly when the
-    # row's token count != 4, so (malformed AND 4th cell missing) is
-    # precisely row.length < 4 — a 3-cell row gets 'too few columns'
-    # verbatim, and a 5-cell row passes arity like the reference
-    # (row.length >= 4). Frames from other sources (the derived parquet
-    # intake) have no corrupt column; both trailing cells null is the
-    # fallback signal for a short row.
+    # row's token count != 4, and it holds the RAW line — so the true
+    # token count is size(split(raw, ',', -1)), exactly row.length.
+    # A 3-cell row gets 'too few columns' verbatim; a >=5-token row
+    # passes arity like the reference even when its 4th cell is empty
+    # ('A,B,5,,x' -> expiryDate invalid, not too-few: the parsed-null
+    # heuristic this replaces mislabeled that edge). The naive comma
+    # split ignores CSV quoting, but the corrupt column is only
+    # populated for rows whose token count != 4, and the reference's
+    # own generator (CsvGenerator.java) never quotes — documented
+    # alongside the error_report comma caveat. Frames from other
+    # sources (the derived parquet intake) have no corrupt column;
+    # both trailing cells null is the fallback signal for a short row.
     if CORRUPT_COL in df.columns:
-        too_few = F.col(CORRUPT_COL).isNotNull() & F.col(expiry_date).isNull()
+        raw_arity = F.size(F.split(F.col(CORRUPT_COL), ",", -1))
+        too_few = F.col(CORRUPT_COL).isNotNull() & (raw_arity < 4)
     else:
         too_few = F.col(quantity).isNull() & F.col(expiry_date).isNull()
 

@@ -2232,8 +2232,8 @@ _CHANGED_SINCE_LAST_CHECK: tuple[str, ...] = (
     "error_counts",
     "error_report",
     "first_wins_dedup",
-    # round 3: default-on boilerplate shingle cap (bench-corpus cost)
-    "minhash_lsh_dedup",
+    # round 3: postings bounded pre-aggregation (inverted_index is
+    # never-checked so it fronts the window via tier 0 regardless)
 )
 
 

@@ -57,7 +57,18 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
 
 
 def load(spark: SparkSession, sf_dir: str, table: str):
-    """Read one driver-provided parquet table (TESTDATA.md)."""
+    """Read one driver-provided parquet table (TESTDATA.md).
+
+    No parallelism floor: each testdata table is ONE single-row-group
+    parquet file, so it scans as one input split and pre-shuffle work
+    runs on one task. A repartition-to-cores floor was measured (r3)
+    and REJECTED: it helps wide-row JVM aggregations slightly
+    (rollup_sales 2.7s -> 1.9s) but regresses every Arrow/Python-kernel
+    path (embedding_near_dup 0.71s -> 1.28s warm, far worse cold — 32
+    Python workers spun up for 2000 rows) and adds an exchange to all
+    ~115 plans. At production scale the scan yields >= cores splits and
+    the question disappears.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     from pyspark.sql import functions as F, types as T

@@ -23,6 +23,7 @@ A5,Widget,5,01/09/2026
 OK1,Good,7,2026-09-01
 C1,Short
 C1,Full,3,2026-09-02
+E5,Extra,5,,x
 """
 
 
@@ -37,22 +38,26 @@ def test_f1_error_labels_and_dedup_quirk(spark, csv_path, tmp_path):
     store = TableStore(str(tmp_path / "store"))
     res = run_upload(spark, csv_path, store, error_report_path=str(tmp_path / "err"))
 
-    assert res.processed == 11
+    assert res.processed == 12
     assert res.inserted == 2
-    assert res.failed == 9
+    assert res.failed == 10
     # F1b quirk: X1/First claims the id despite failing quantity, so
     # X1/Second is 'duplicate externalId' though First never inserted.
     # But C1/Short fails the ARITY check, which short-circuits BEFORE
     # the claim (:227 vs :242) — so C1/Full is valid.
     # B1 (3 cells) is the true-arity case: univocity row.length == 3
     # -> 'too few columns' (:227), NOT 'expiryDate invalid'.
+    # E5 (5 tokens, EMPTY 4th cell) is the converse: row.length == 5
+    # PASSES arity (:227 is >= 4), then expiryDate '' fails the date
+    # parse — 'expiryDate invalid', NOT 'too few columns' (the parsed
+    # 4th cell is null, so a null-based arity heuristic mislabels it).
     assert res.error_counts == {
         "quantity invalid": 2,  # X1/First + A4
         "duplicate externalId": 1,  # X1/Second
         "too few columns": 3,  # A1, B1 (3 cells), C1/Short
         "externalId empty": 1,
         "name empty": 1,
-        "expiryDate invalid (expected yyyy-MM-dd)": 1,  # A5
+        "expiryDate invalid (expected yyyy-MM-dd)": 2,  # A5, E5
     }
 
     items = store.read(spark, "items")

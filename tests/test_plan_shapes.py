@@ -92,3 +92,32 @@ def test_asof_join_single_shuffle_no_join(spark):
     # union + last-value window: no join operator, one key Exchange
     plan = _plan(spark, "asof_join")
     assert "Join" not in plan
+
+
+def test_inverted_index_bounds_postings_before_agg(spark):
+    """Stopword-heavy corpus: a term in EVERY doc must never feed more
+    than max_postings ids into the collect_list (the 100 TB skew
+    guard). The cap lives INSIDE the aggregate as CASE WHEN rn <= k,
+    so per-group state is bounded even when doc frequency is not."""
+    from streamforge_data_pipeline_spark.operators.text import inverted_index
+
+    n_docs, cap = 500, 5
+    docs = spark.range(n_docs).selectExpr(
+        "id AS doc_id",
+        # 'the' appears in all 500 docs; uniq<id> in exactly one
+        "concat('the quick uniq', CAST(id AS STRING)) AS text",
+    )
+    out = inverted_index(docs, min_df=1, max_postings=cap)
+    rows = {r["term"]: r for r in out.collect()}
+    assert rows["the"]["n_docs"] == n_docs
+    assert rows["the"]["postings"] == "0,1,2,3,4"  # first `cap` sorted ids
+    assert rows["uniq7"]["n_docs"] == 1 and rows["uniq7"]["postings"] == "7"
+
+    # plan shape: the collected expression is conditional on the
+    # row_number rank — an unconditional collect_list(doc_id) would be
+    # the unbounded-array regression this test exists to catch
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    collects = re.findall(r"collect_list\([^)]*\)", plan)
+    assert collects and all("CASE WHEN" in c for c in collects), plan
