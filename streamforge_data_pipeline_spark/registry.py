@@ -131,6 +131,39 @@ def q_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.text(path).agg((F.count(F.lit(1)) - 1).alias("data_rows"))
 
 
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S5 JDBC parity: the reference's store is Postgres over JDBC
+    (pom.xml:47-59, application.properties:9-12). Stage a deterministic
+    slice of events into embedded Derby (the JDBC engine shipped with
+    Spark), read it back through the JDBC source with a pushed filter,
+    aggregate in Spark. The oracle states the identical relational
+    query over the parquet twin — a value-hash match proves the JDBC
+    sink+source round-trip is lossless (bigints, strings, IEEE
+    doubles). DB path is process-keyed: embedded Derby allows one JVM
+    per database directory."""
+    import os as _os
+
+    from streamforge_data_pipeline_spark.sources.jdbc_store import JdbcTableStore
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    store = JdbcTableStore(
+        f"jdbc:derby:/tmp/streamforge_spark/jdbc/{tag}_{_os.getpid()};create=true"
+    )
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    store.overwrite(ev, "events_jdbc")
+    back = store.read(spark, "events_jdbc").filter(F.col("event_type") != "view")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(28,10)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 # --- relational surface (P1-P3, S3/S4, A3) ---------------------------------
 
 def q_id_projection(spark, sf_dir):
@@ -991,6 +1024,15 @@ REGISTRY: dict[str, QuerySpec] = {
         q_id_projection,
         "SELECT CAST(c_custkey AS VARCHAR) AS external_id FROM customer",
         "S3/P1: single-column projection pushdown (prefetch query)",
+    ),
+    "jdbc_roundtrip": QuerySpec(
+        q_jdbc_roundtrip,
+        """WITH s AS (SELECT event_id, event_type, value FROM events
+           WHERE event_id % 20 = 0)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value
+FROM s WHERE event_type <> 'view' GROUP BY event_type""",
+        "S3/S5 JDBC parity: Derby sink + source round-trip, filter pushed",
     ),
     "point_lookup": QuerySpec(
         q_point_lookup,
