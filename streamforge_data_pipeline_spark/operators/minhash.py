@@ -192,6 +192,105 @@ def exact_jaccard(sh: DataFrame, pairs: DataFrame, tau: float | None = None) -> 
     )
 
 
+def lsh_probe_dedup(
+    incoming: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    tau: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup: probe NEW documents against an INDEXED
+    corpus — the production path for continuous ingestion, where
+    re-running the all-corpus self-join per batch would be absurd.
+
+    Returns one row per incoming doc: (doc_id, dup_of, jaccard) with
+    dup_of = the best-matching indexed doc at exact Jaccard >= tau
+    (ties broken by rounded-jaccard desc, then doc id), or NULL when
+    the doc is genuinely new.
+
+    Scale shape: at 100 TB the index side's band keys are computed ONCE
+    and stored (append-only band -> doc_id table, bucketed on the band
+    hash); each incoming batch contributes |new| x BANDS rows to an
+    equi-join probe against that index — never an all-pairs or
+    all-corpus pass. Verification reads candidate docs' shingles only,
+    on both sides. Signatures are per-document, so per-side computation
+    here is bit-identical to what a precomputed index would hold.
+    """
+    from pyspark.sql import Window
+
+    sh_new = shingles_raw(incoming, id_col, text).persist()
+    sh_idx = shingles_raw(index, id_col, text).persist()
+    b_new = band_keys(signatures(sh_new))
+    b_idx = band_keys(signatures(sh_idx))
+    cands = (
+        b_new.alias("n")
+        .join(
+            b_idx.alias("i"),
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.band_sig") == F.col("i.band_sig")),
+        )
+        .select(F.col("n.doc_id").alias("doc_new"), F.col("i.doc_id").alias("doc_idx"))
+        .distinct()
+    )
+    # exact cross-side Jaccard, candidates' shingles only (set
+    # semantics restored after the semi-join, as in exact_jaccard)
+    sn = (
+        sh_new.join(
+            F.broadcast(cands.select(F.col("doc_new").alias("doc_id")).distinct()),
+            "doc_id",
+            "left_semi",
+        ).distinct()
+    )
+    si = (
+        sh_idx.join(
+            F.broadcast(cands.select(F.col("doc_idx").alias("doc_id")).distinct()),
+            "doc_id",
+            "left_semi",
+        ).distinct()
+    )
+    sizes_n = sn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__nn"))
+    sizes_i = si.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__ni"))
+    inter = (
+        sn.alias("x")
+        .join(si.alias("y"), F.col("x.sh") == F.col("y.sh"))
+        .join(
+            cands,
+            (F.col("x.doc_id") == cands["doc_new"])
+            & (F.col("y.doc_id") == cands["doc_idx"]),
+            "left_semi",
+        )
+        .groupBy(F.col("x.doc_id").alias("doc_new"), F.col("y.doc_id").alias("doc_idx"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    jac = (
+        inter.join(sizes_n.withColumnRenamed("doc_id", "doc_new"), "doc_new")
+        .join(sizes_i.withColumnRenamed("doc_id", "doc_idx"), "doc_idx")
+        .withColumn(
+            "__j", F.col("__inter") / (F.col("__nn") + F.col("__ni") - F.col("__inter"))
+        )
+        .filter(F.col("__j") >= tau)
+        # round-before-rank: identical integer inputs make the division
+        # bit-identical cross-engine, but ranking on the rounded value
+        # is the established belt-and-braces (cf. tfidf_top_terms)
+        .withColumn("jaccard", F.round("__j", 4))
+    )
+    best = jac.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("doc_new").orderBy(F.desc("jaccard"), "doc_idx")
+        ),
+    ).filter(F.col("__rk") == 1)
+    return incoming.select(F.col(id_col).alias("doc_id")).join(
+        best.select(
+            F.col("doc_new").alias("doc_id"),
+            F.col("doc_idx").alias("dup_of"),
+            "jaccard",
+        ),
+        "doc_id",
+        "left",
+    )
+
+
 def drop_boilerplate_shingles(sh: DataFrame, max_df: int) -> DataFrame:
     """Remove shingles present in more than ``max_df`` documents.
 

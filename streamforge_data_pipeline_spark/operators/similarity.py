@@ -49,6 +49,51 @@ def topk_cosine(
     )
 
 
+def hard_negatives(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query
+    vector, the top-k most similar vectors carrying a DIFFERENT label —
+    the pairs that teach an embedding model the most (easy negatives
+    are already far away; positives share the label).
+
+    Same plan shape as :func:`topk_cosine` — queries broadcast, one
+    rank window partitioned by query — plus the label-exclusion
+    predicate pushed into the candidate filter so excluded rows never
+    reach the similarity fold. At corpus scale the candidate side is
+    LSH/IVF-blocked first (ann_* operators) and this exact kernel
+    reranks within the blocks.
+    """
+    q = F.broadcast(
+        query.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col(label_col).alias("q_label"),
+        )
+    )
+    sims = (
+        vectors.crossJoin(q)
+        .filter((F.col(id_col) != F.col("q_id")) & (F.col(label_col) != F.col("q_label")))
+        .select(
+            "q_id",
+            F.col(id_col),
+            F.col(label_col).alias("neg_label"),
+            F.round(cosine(F.col(vec_col), F.col("q_vec")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "neg_label", "sim", "rank")
+    )
+
+
 def near_dup_pairs(
     vectors: DataFrame, tau: float, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -500,6 +500,57 @@ def inverted_index(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     )
 
 
+def corpus_mixture(df: DataFrame, budgets: dict[str, int],
+                   id_col: str = "doc_id", text: str = "text",
+                   source: str = "source", salt: str = "mix1") -> DataFrame:
+    """Training-mixture construction: deterministically sample each
+    source up to a per-source TOKEN budget — the step that turns raw
+    corpora plus a mixture spec ({source: token_budget}) into the
+    actual pretraining data mix.
+
+    Selection is a salted-hash prefix per source: docs are ordered by a
+    content-independent deterministic hash (re-running, resharding, or
+    growing the cluster never changes the sample — df.sample() gives
+    none of that), and a doc is kept while the running token total is
+    within budget. Changing `salt` redraws the mixture; budgets for
+    sources absent from the corpus are no-ops.
+
+    Scale notes: one projection (tokenize+hash) and ONE window shuffle
+    on source; the running sum is a bounded frame, the budget table is
+    a broadcast of |sources| rows. No global sort, no driver loops —
+    at 100 TB each source's prefix scan is an independent partition
+    group. Greedy-prefix semantics (an overflowing doc is dropped even
+    if a later smaller one would fit) keep the operator one-pass;
+    bin-packing lives in seq_packing.
+    """
+    from pyspark.sql import Window
+
+    from streamforge_data_pipeline_spark.functions import hash60
+
+    spark = df.sparkSession
+    b = spark.createDataFrame(
+        [(s, int(t)) for s, t in budgets.items()], "source string, __budget long"
+    )
+    h = hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    toks = df.select(
+        F.col(id_col),
+        F.col(source).alias("source"),
+        F.size(tokens(text)).cast("long").alias("n_tokens"),
+        h.alias("__h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .join(F.broadcast(b), "source")
+        .filter(F.col("cum_tokens") <= F.col("__budget"))
+        .select(id_col, "source", "n_tokens", "cum_tokens")
+    )
+
+
 def corpus_shuffle(df: DataFrame, id_col: str = "doc_id",
                    n_shards: int = 8, salt: str = "shuf1") -> DataFrame:
     """Deterministic global shuffle for training order: every document

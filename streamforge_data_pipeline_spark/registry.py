@@ -81,19 +81,26 @@ SELECT doc_a, doc_b, round(inter*1.0/(sa.n+sb.n-inter), 4) AS jaccard
 FROM p JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id
 WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.5"""
 
-# MinHash -> LSH banding -> candidate pairs, shared by the pair query
-# and the connected-components oracle.
-_LSH_CAND_CTES = """hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) AS h FROM sh),
+# MinHash signature + banding CTEs (signatures are per-document, so the
+# same relations serve self-join dedup AND the incremental probe).
+_LSH_BANDS_CTES = """hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) AS h FROM sh),
 expd AS (SELECT doc_id, h, unnest(range(0,16)) AS perm_id FROM hashed),
 sigs AS (SELECT doc_id, perm_id,
            MIN(((perm_id*2+1)*(h % 2147483647) + (perm_id*7919+12345)) % 2147483647) AS minhash
          FROM expd GROUP BY doc_id, perm_id),
 bands AS (SELECT doc_id, CAST(perm_id // 4 AS INTEGER) AS band,
             string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm_id) AS band_sig
-          FROM sigs GROUP BY doc_id, CAST(perm_id // 4 AS INTEGER)),
+          FROM sigs GROUP BY doc_id, CAST(perm_id // 4 AS INTEGER))"""
+
+# ... -> candidate pairs, shared by the pair query and the
+# connected-components oracle.
+_LSH_CAND_CTES = (
+    _LSH_BANDS_CTES
+    + """,
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -321,6 +328,15 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     return minhash.minhash_lsh_dedup(load(spark, sf_dir, "documents"), tau=0.5)
 
 
+def q_lsh_probe_dedup(spark, sf_dir):
+    """Incremental near-dup: every 5th doc plays the incoming batch,
+    the rest play the already-indexed corpus."""
+    docs = load(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    index = docs.filter(F.col("doc_id") % 5 != 0)
+    return minhash.lsh_probe_dedup(incoming, index, tau=0.5)
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """LSH pairs -> connected components -> cluster assignment.
     Iterative (non-SQL-expressible); verified vs union-find in pytest."""
@@ -335,6 +351,11 @@ def q_simhash(spark, sf_dir):
 def q_topk_cosine(spark, sf_dir):
     vecs = load(spark, sf_dir, "embeddings")
     return similarity.topk_cosine(vecs, vecs.filter(F.col("vec_id") < 5), k=10)
+
+
+def q_hard_negatives(spark, sf_dir):
+    vecs = load(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(vecs, vecs.filter(F.col("vec_id") < 5), k=5)
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -988,6 +1009,13 @@ def q_corpus_shuffle(spark, sf_dir):
     return text.corpus_shuffle(load(spark, sf_dir, "documents"))
 
 
+def q_corpus_mixture(spark, sf_dir):
+    """Mixture spec: even-numbered sources get a 4000-token budget,
+    odd-numbered 2000 — the oracle states the same rule as a CASE."""
+    budgets = {f"src{i}": 4000 if i % 2 == 0 else 2000 for i in range(100)}
+    return text.corpus_mixture(load(spark, sf_dir, "documents"), budgets)
+
+
 def q_multimodal_meta(spark, sf_dir):
     media = attach_media(load(spark, sf_dir, "documents"))
     return media_summary(media)
@@ -1170,6 +1198,34 @@ FROM s WHERE event_type <> 'view' GROUP BY event_type""",
         ),
         "E2: MinHash(16 perms) + LSH(4x4 bands) + exact-Jaccard verify",
     ),
+    "lsh_probe_dedup": QuerySpec(
+        q_lsh_probe_dedup,
+        f"""WITH {SHINGLE_CTES},
+{_LSH_BANDS_CTES},
+cand AS (SELECT DISTINCT n.doc_id AS doc_new, i.doc_id AS doc_idx
+         FROM bands n JOIN bands i
+           ON n.band = i.band AND n.band_sig = i.band_sig
+         WHERE n.doc_id % 5 = 0 AND i.doc_id % 5 <> 0),
+p AS (SELECT x.doc_id AS doc_new, y.doc_id AS doc_idx, count(*) AS inter
+      FROM sh x JOIN sh y ON x.sh = y.sh
+        JOIN cand c ON c.doc_new = x.doc_id AND c.doc_idx = y.doc_id
+      GROUP BY x.doc_id, y.doc_id),
+s AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+jac AS (SELECT doc_new, doc_idx,
+          round(inter*1.0/(sn.n+si.n-inter), 4) AS jaccard
+        FROM p JOIN s sn ON doc_new = sn.doc_id
+          JOIN s si ON doc_idx = si.doc_id
+        WHERE inter*1.0/(sn.n+si.n-inter) >= 0.5),
+best AS (SELECT doc_new, doc_idx, jaccard,
+           ROW_NUMBER() OVER (PARTITION BY doc_new
+                              ORDER BY jaccard DESC, doc_idx) AS rk
+         FROM jac)
+SELECT d.doc_id, b.doc_idx AS dup_of, b.jaccard
+FROM documents d
+LEFT JOIN best b ON b.doc_new = d.doc_id AND b.rk = 1
+WHERE d.doc_id % 5 = 0""",
+        "incremental LSH dedup: probe new docs against an indexed corpus",
+    ),
     "near_dup_clusters": QuerySpec(
         q_near_dup_clusters,
         f"""WITH RECURSIVE {SHINGLE_CTES},
@@ -1214,6 +1270,19 @@ r AS (SELECT q_id, vec_id, sim,
       FROM sims)
 SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 10""",
         "E3: exact top-k cosine (broadcast queries, double-precision fold)",
+    ),
+    "hard_negatives": QuerySpec(
+        q_hard_negatives,
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id < 5),
+sims AS (SELECT q_id, e.vec_id, e.label AS neg_label,
+           round(list_cosine_similarity(e.v, q.qv), 4) AS sim
+         FROM e, q WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
+r AS (SELECT q_id, vec_id, neg_label, sim,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+SELECT q_id, vec_id, neg_label, sim, rank FROM r WHERE rank <= 5""",
+        "hard-negative mining: top-k similar vectors with a different label",
     ),
     "embedding_near_dup": QuerySpec(
         q_embedding_near_dup,
@@ -2182,6 +2251,22 @@ SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
   CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INTEGER) AS pos
 FROM h""",
         "deterministic salted-hash training-order shuffle (shard, pos)",
+    ),
+    "corpus_mixture": QuerySpec(
+        q_corpus_mixture,
+        f"""WITH {TOKS_CTE},
+t AS (SELECT d.doc_id, d.source, CAST(len(ts) AS BIGINT) AS n_tokens,
+        CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), ':mix1')),1,15)) AS BIGINT) AS h
+      FROM documents d JOIN toks ON d.doc_id = toks.doc_id),
+c AS (SELECT doc_id, source, n_tokens,
+        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c
+WHERE cum_tokens <= CASE WHEN CAST(substr(source, 4, 10) AS INT) % 2 = 0
+                         THEN 4000 ELSE 2000 END""",
+        "training-mixture sampling: per-source token budgets, salted-hash prefix",
     ),
     "event_transitions": QuerySpec(
         behavior.event_transitions,
