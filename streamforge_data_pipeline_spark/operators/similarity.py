@@ -420,6 +420,86 @@ def ivf_assign(
     return vectors.select(id_col, vec_col).mapInPandas(_assign, schema)
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    tau: float = 0.95,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings coarsely, then inside each
+    cluster drop all but one member of every cosine>=tau duplicate
+    group. Exact near-dup catches reworded/re-encoded copies that
+    shingle methods miss; clustering makes it sub-quadratic.
+
+    Returns one row per vector: (id, group_id, keep) with group_id =
+    the min id of its semantic-duplicate component (its own id when
+    unique) and keep = True exactly for the canonical member.
+
+    Scale shape: the k-means train/assign is the IVF machinery (one
+    matmul pass per iteration, n_cells x dim rows to the driver); the
+    pair stage is an equi-join on cell — all-pairs only WITHIN a cell,
+    so n_cells is the knob that bounds the quadratic term (SemDeDup's
+    own design: cells ~ sqrt-corpus keeps cell populations flat as the
+    corpus grows). Duplicate groups close under transitivity via the
+    same bounded-lineage label propagation the shingle pipeline uses.
+    Iterative (k-means + fixpoint) -> rows-only driver check, like the
+    other ann_* operators.
+    """
+    from streamforge_data_pipeline_spark.functions import dot_double
+    from streamforge_data_pipeline_spark.operators.dedup import connected_components
+
+    cents = kmeans_centroids(
+        vectors, n_clusters=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col, nprobe=1)
+    vc = (
+        vectors.select(id_col, vec_col)
+        .join(assigned, id_col)
+        .select(
+            "cell",
+            F.col(id_col),
+            F.col(vec_col),
+            F.sqrt(dot_double(F.col(vec_col), F.col(vec_col))).alias("__n"),
+        )
+        .persist()
+    )
+    a = vc.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = vc.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "__sim",
+            dot_double(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("__sim") >= tau)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    out = vectors.select(F.col(id_col)).join(
+        comps.select(F.col("doc_id").alias(id_col), F.col("cluster_id").alias("__g")),
+        id_col,
+        "left",
+    )
+    group = F.coalesce(F.col("__g"), F.col(id_col))
+    return out.select(
+        id_col,
+        group.alias("group_id"),
+        (group == F.col(id_col)).alias("keep"),
+    )
+
+
 def ann_topk_ivf(
     vectors: DataFrame,
     query: DataFrame,

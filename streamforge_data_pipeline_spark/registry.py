@@ -758,6 +758,15 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.ann_topk_lsh(vecs, vecs.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup group assignment over the embeddings table; iterative
+    (k-means + component fixpoint) -> rows-only driver check, semantics
+    asserted on planted duplicates in tests/test_semantic_dedup.py."""
+    return similarity.semantic_dedup(
+        load(spark, sf_dir, "embeddings"), n_cells=8, tau=0.95
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     return similarity.label_centroids(load(spark, sf_dir, "embeddings"))
 
@@ -1295,6 +1304,11 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.4""",
     ),
     "ann_lsh": QuerySpec(
         q_ann_lsh, None, "sign-LSH bucketed ANN + rerank (recall-tested)"
+    ),
+    "semantic_dedup": QuerySpec(
+        q_semantic_dedup,
+        None,
+        "SemDeDup: k-means cells + within-cell cosine dup groups (rows-only)",
     ),
     "ann_ivf": QuerySpec(
         q_ann_ivf, None, "IVF coarse-quantizer ANN + nprobe rerank (recall-tested)"

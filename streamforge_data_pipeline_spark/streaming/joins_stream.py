@@ -25,6 +25,28 @@ from pyspark.sql import DataFrame, functions as F
 from .event_time import as_event_time as _as_event_time
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static equi-join — in-flight dimension enrichment.
+
+    The static side is re-planned inside every micro-batch (so a dim
+    refreshed on disk is picked up at the next trigger) and broadcast
+    by default: dimension tables are small by definition, and the
+    broadcast keeps the stream side shuffle-free. Pass
+    ``broadcast_dim=False`` for a large static side and let stats/AQE
+    choose. No watermark or state store is involved — unlike
+    stream-stream joins, the static side is fully available, so
+    nothing buffers.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)
+
+
 def streaming_dedup(
     stream: DataFrame,
     key_cols: list[str],

@@ -70,3 +70,27 @@ def test_interval_join_matches_batch(spark, tmp_path):
     _drain(joined, "ij_out")
     got = {(r["l_id"], r["r_id"]) for r in spark.table("ij_out").collect()}
     assert got == expected and expected
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    from streamforge_data_pipeline_spark.streaming.joins_stream import enrich_stream
+
+    src = str(tmp_path / "enrich_events")
+    ev = load(spark, SF_SMALL, "events").select("event_id", "user_id", "event_type")
+    ev.write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    # static dim: per-user tier derived deterministically
+    dim = (
+        batch.select("user_id").distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 3 == 0, "gold").otherwise("std"))
+    )
+
+    expected = {
+        (r["event_id"], r["tier"])
+        for r in batch.join(dim, "user_id", "left").collect()
+    }
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    _drain(enrich_stream(stream, dim, "user_id"), "enrich_out")
+    got = {(r["event_id"], r["tier"]) for r in spark.table("enrich_out").collect()}
+    assert got == expected and got
