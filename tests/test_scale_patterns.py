@@ -95,3 +95,28 @@ def test_salted_join_left_keeps_unmatched(spark):
     out = salted_join(big, dim, on="k", salt_buckets=4, how="left").collect()
     got = {r["k"]: r["d"] for r in out}
     assert got == {1: "d1", 2: None}
+
+
+def test_corpus_mixture_layout_independent(spark):
+    """The mixture sample must be identical no matter how the corpus is
+    partitioned (salted-hash prefix, not df.sample): resharding a 100 TB
+    corpus cannot change what gets trained on."""
+    from streamforge_data_pipeline_spark.operators.text import corpus_mixture
+    from streamforge_data_pipeline_spark.session import load
+
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents")
+    budgets = {f"src{i}": 1500 if i % 2 == 0 else 700 for i in range(50)}
+    base = corpus_mixture(docs, budgets)
+    reshard = corpus_mixture(docs.repartition(7, "lang"), budgets)
+    assert base.count() > 0
+    assert base.exceptAll(reshard).count() == 0
+    assert reshard.exceptAll(base).count() == 0
+    # budget respected per source
+    from pyspark.sql import functions as F
+
+    over = base.groupBy("source").agg(F.max("cum_tokens").alias("m")).join(
+        spark.createDataFrame(budgets.items(), "source string, b long"), "source"
+    ).filter(F.col("m") > F.col("b"))
+    assert over.count() == 0
