@@ -65,6 +65,15 @@ class TableStore:
         """JSON sink (interchange format for downstream consumers)."""
         df.write.mode("overwrite").json(self.path(table) + "_json")
 
+    def write_orc(self, df: DataFrame, table: str) -> None:
+        """ORC sink — the other columnar interchange format (Hive
+        ecosystems); same predicate-pushdown/column-pruning properties
+        as parquet, tested in tests/test_store_formats.py."""
+        df.write.mode("overwrite").orc(self.path(table) + "_orc")
+
+    def read_orc(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.orc(self.path(table) + "_orc")
+
     def read_json(self, spark: SparkSession, table: str, schema=None) -> DataFrame:
         r = spark.read
         if schema is not None:

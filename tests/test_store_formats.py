@@ -62,3 +62,17 @@ def test_malformed_csv_rows_surface_as_errors(spark, tmp_path):
     validated = validate(df, spark.createDataFrame([], "external_id string"), "row_id")
     good = validated.filter(F.col("error").isNull())
     assert good.filter(F.col("externalId") == "B2").count() <= 1
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    store = TableStore(str(tmp_path))
+    ev = load(spark, SF_SMALL, "events").select("event_id", "event_type", "value")
+    store.write_orc(ev, "events")
+    back = store.read_orc(spark, "events")
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0
+    # predicate + projection reach the ORC scan like parquet
+    q = back.filter(F.col("event_type") == "click").select("event_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "event_type" in plan
+    assert "ReadSchema: struct<event_id:bigint" in plan
