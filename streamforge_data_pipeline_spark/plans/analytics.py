@@ -415,6 +415,55 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_revenue_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame (the frame type rows-frames can't
+    express): per-customer trailing 7-DAY spend. The frame is defined
+    on the value axis — all orders within 6 days before the current
+    row's date are in, however many there are — so same-day peer rows
+    share one deterministic result (no tiebreak needed, unlike rows
+    frames). Ordering key is integer days-since-epoch: RANGE over a
+    numeric key is the portable formulation (both engines; and at
+    scale an integer sort key beats per-row date arithmetic).
+    """
+    orders = load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return orders.withColumn("day", day).select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w), 2)
+        .cast("double")
+        .alias("spend_7d"),
+    )
+
+
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form of which cube_sales /
+    rollup_sales are specializations: exactly the (status), (priority),
+    and grand-total groupings in ONE pass (a UNION of groupBys would
+    scan three times; grouping sets expand inside a single Expand +
+    aggregate exchange). grouping_id disambiguates the NULL produced
+    by the expansion from a genuine NULL key."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
 def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated MIN — for each qualifying part, the
     supplier(s) achieving the minimum unit cost. The testdata has no

@@ -1791,6 +1791,28 @@ FROM events GROUP BY event_type""",
 FROM orders""",
         "window frames: cumulative + moving aggregate per customer",
     ),
+    "rolling_revenue_days": QuerySpec(
+        analytics.rolling_revenue_days,
+        """WITH o AS (SELECT o_custkey, o_orderkey,
+  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day,
+  o_totalprice FROM orders)
+SELECT o_custkey, o_orderkey, day,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+    PARTITION BY o_custkey ORDER BY day
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS spend_7d
+FROM o""",
+        "time-based RANGE frame: per-customer trailing 7-day spend",
+    ),
+    "grouping_sets_sales": QuerySpec(
+        analytics.grouping_sets_sales,
+        """SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+  count(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+        "explicit GROUPING SETS: three groupings in one Expand+agg pass",
+    ),
     "embedding_normalize": QuerySpec(
         q_embedding_normalize,
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
