@@ -154,6 +154,45 @@ class TableStore:
         )
         return self.path(table)
 
+    def write_manifest(self, spark: SparkSession, table: str) -> dict:
+        """Shard manifest for downstream consumers (training jobs
+        verify completeness against it before reading): per-file row
+        counts + byte sizes, totals, and the schema — written as
+        `_manifest.json` next to the data. Row counts come from ONE
+        column-pruned scan grouped by input_file_name; byte sizes from
+        the filesystem listing. Returns the manifest dict.
+        """
+        import glob as _glob
+        import json as _json
+
+        df = self.read(spark, table)
+        per_file = {
+            r["f"]: r["rows"]
+            for r in df.groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        }
+        files = []
+        for p in sorted(_glob.glob(os.path.join(self.path(table), "part-*"))):
+            uri = "file://" + p
+            files.append(
+                {
+                    "path": os.path.basename(p),
+                    "bytes": os.path.getsize(p),
+                    "rows": per_file.get(uri, per_file.get(p, 0)),
+                }
+            )
+        manifest = {
+            "table": table,
+            "files": files,
+            "total_rows": sum(f["rows"] for f in files),
+            "total_bytes": sum(f["bytes"] for f in files),
+            "schema": df.schema.jsonValue(),
+        }
+        with open(os.path.join(self.path(table), "_manifest.json"), "w") as fh:
+            _json.dump(manifest, fh, indent=1, sort_keys=True)
+        return manifest
+
     def compact(self, spark: SparkSession, table: str, target_files: int) -> int:
         """Small-files compaction — the operational chore of any
         streaming/chunked sink at scale (each micro-batch writes >=1

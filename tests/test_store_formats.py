@@ -76,3 +76,20 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "event_type" in plan
     assert "ReadSchema: struct<event_id:bigint" in plan
+
+
+def test_manifest_matches_data(spark, tmp_path):
+    store = TableStore(str(tmp_path))
+    ev = load(spark, SF_SMALL, "events").select("event_id", "event_type")
+    ev.repartition(4).write.parquet(store.path("ev"))
+    m = store.write_manifest(spark, "ev")
+    assert m["total_rows"] == ev.count()
+    assert len(m["files"]) == 4
+    assert all(f["rows"] > 0 and f["bytes"] > 0 for f in m["files"])
+    # manifest is on disk next to the data and self-consistent
+    import json, os
+
+    with open(os.path.join(store.path("ev"), "_manifest.json")) as fh:
+        disk = json.load(fh)
+    assert disk["total_rows"] == m["total_rows"]
+    assert {f["name"] for f in disk["schema"]["fields"]} == {"event_id", "event_type"}
