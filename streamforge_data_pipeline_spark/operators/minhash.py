@@ -280,15 +280,73 @@ def lsh_probe_dedup(
             Window.partitionBy("doc_new").orderBy(F.desc("jaccard"), "doc_idx")
         ),
     ).filter(F.col("__rk") == 1)
-    return incoming.select(F.col(id_col).alias("doc_id")).join(
-        best.select(
-            F.col("doc_new").alias("doc_id"),
-            F.col("doc_idx").alias("dup_of"),
-            "jaccard",
-        ),
-        "doc_id",
-        "left",
+    # Materialize the best-match table (bounded by the incoming batch —
+    # this is a micro-batch operator by design), then RELEASE the two
+    # token-scale shingle caches: without this, repeated probe calls in
+    # a long-lived session accumulate executor storage (r3 advice).
+    best = best.select(
+        F.col("doc_new").alias("doc_id"),
+        F.col("doc_idx").alias("dup_of"),
+        "jaccard",
+    ).persist()
+    best.count()
+    sh_new.unpersist()
+    sh_idx.unpersist()
+    return incoming.select(F.col(id_col).alias("doc_id")).join(best, "doc_id", "left")
+
+
+def sketch_max_df(sh: DataFrame, sample_docs_mod: int = 1, n_docs_sampled: int | None = None) -> tuple[int, int]:
+    """(max shingle document-frequency, docs seen) over a deterministic
+    doc sample of the shingle relation.
+
+    The sample keeps doc_id's where xxhash64(doc_id) % sample_docs_mod
+    == 0 (1 = exact, no sampling). Sampling whole DOCS — not shingle
+    rows — preserves each surviving shingle's df/n ratio in
+    expectation, which is the statistic the skew trigger needs: for a
+    boilerplate shingle df_sample ~ Binomial(df, 1/mod) and n_sample ~
+    Binomial(n, 1/mod), so df_sample/n_sample ≈ df/n. One
+    map-side-combined aggregation over the sampled shingles; at 100 TB
+    pick mod so ~100k docs survive.
+    """
+    s = sh if sample_docs_mod <= 1 else sh.filter(
+        F.pmod(F.xxhash64("doc_id"), F.lit(sample_docs_mod)) == 0
     )
+    row = (
+        s.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .agg(F.max("df").alias("max_df"))
+        .collect()[0]
+    )
+    if n_docs_sampled is None:
+        n_docs_sampled = s.select("doc_id").distinct().count()
+    return (row["max_df"] or 0), n_docs_sampled
+
+
+def auto_boilerplate_max_df(
+    sh: DataFrame,
+    df_ratio: float = 0.01,
+    floor: int = 20,
+    sample_docs_mod: int = 1,
+) -> int | None:
+    """Decide the boilerplate-shingle cap from a sampled df sketch.
+
+    Returns the cap to pass to :func:`drop_boilerplate_shingles` when
+    the corpus shows boilerplate skew — some shingle's document
+    frequency exceeds ``df_ratio`` of (sampled) docs AND the absolute
+    floor (so tiny corpora never engage on noise) — else None.
+
+    The cap itself is ``max(floor, df_ratio * docs)`` scaled back to
+    the full corpus: candidate generation then ignores shingles shared
+    by more than ~1% of documents, which is what bounds LSH band
+    buckets on templated corpora (headers/footers/licenses). Measured
+    on the driver corpus: max df 25 / 5000 docs (0.5%) -> trigger
+    stays off and signatures are bit-identical to the uncapped path.
+    """
+    max_df, n_docs = sketch_max_df(sh, sample_docs_mod=sample_docs_mod)
+    threshold = max(floor, int(df_ratio * n_docs))
+    if max_df <= threshold:
+        return None
+    return max(floor, int(df_ratio * n_docs * sample_docs_mod))
 
 
 def drop_boilerplate_shingles(sh: DataFrame, max_df: int) -> DataFrame:
@@ -312,12 +370,17 @@ def drop_boilerplate_shingles(sh: DataFrame, max_df: int) -> DataFrame:
 
 
 def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text",
-                      tau: float = 0.5, max_df: int | None = None,
+                      tau: float = 0.5, max_df: int | None | str = "auto",
                       size_prune: bool = False) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact Jaccard >= tau.
 
-    ``max_df`` (optional): compute signatures from shingles appearing
-    in at most that many docs (see :func:`drop_boilerplate_shingles`).
+    ``max_df``: compute signatures from shingles appearing in at most
+    that many docs (see :func:`drop_boilerplate_shingles`). The
+    default ``"auto"`` runs the sampled df sketch
+    (:func:`auto_boilerplate_max_df`) and engages the cap only when
+    the corpus shows boilerplate skew — on unskewed corpora (the
+    driver testdata: max df 0.5% of docs) the sketch costs one cheap
+    aggregation and the pipeline is bit-identical to ``max_df=None``.
     Verification still uses the FULL shingle sets, so reported Jaccard
     values are exact; only candidate generation ignores boilerplate —
     pairs similar *solely* through boilerplate stop being candidates,
@@ -332,6 +395,8 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     # its candidate semi-join — so the corpus-wide distinct shuffle is
     # gone entirely. persist so tokenization runs once.
     sh = shingles_raw(df, id_col, text).persist()
+    if max_df == "auto":
+        max_df = auto_boilerplate_max_df(sh)
     sig_input = drop_boilerplate_shingles(sh, max_df) if max_df else sh
     cands = candidate_pairs(band_keys(signatures(sig_input)))  # one shuffle to sigs
     verified = exact_jaccard(sh, cands, tau=tau if size_prune else None)

@@ -487,6 +487,11 @@ def semantic_dedup(
     comps = connected_components(
         pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     )
+    # connected_components materializes its labels (per-round fixpoint
+    # counts), so the cell/vector cache has served both its consumers
+    # (pair join sides) by now — release it instead of letting repeated
+    # calls accumulate executor storage (r3 advice).
+    vc.unpersist()
     out = vectors.select(F.col(id_col)).join(
         comps.select(F.col("doc_id").alias(id_col), F.col("cluster_id").alias("__g")),
         id_col,

@@ -2383,28 +2383,27 @@ def _verified_counts() -> dict[str, int]:
     return counts
 
 
-# Keys whose implementation changed AFTER their most recent green driver
-# row. They jump the rotation (right behind never-checked keys) so the
-# next driver window re-verifies the changed code path instead of
-# trusting a stale green. Remove entries once a new green row lands.
-_CHANGED_SINCE_LAST_CHECK: tuple[str, ...] = (
-    # round 2: PERMISSIVE corrupt-record intake rewrite (only driver
-    # row is r01, pre-change)
-    "validate",
-    "csv_scan",
-    "error_counts",
-    "error_report",
-    "first_wins_dedup",
-    # round 3: postings bounded pre-aggregation (inverted_index is
-    # never-checked so it fronts the window via tier 0 regardless)
-)
+def _stale_keys() -> frozenset[str]:
+    """Keys whose implementation changed after their most recent green
+    driver row — derived from git (see staleness.py), replacing the
+    hand-maintained tuple this rotation used through r3. They jump the
+    rotation (right behind never-checked keys) so the next driver
+    window re-verifies the changed code path instead of trusting a
+    stale green; once the new green row lands, the derivation expires
+    them automatically."""
+    from streamforge_data_pipeline_spark import staleness
+
+    try:
+        return staleness.stale_keys(REGISTRY)
+    except Exception:
+        return frozenset()  # fail-safe: rotation falls back to counts
 
 
 def _ordered_names() -> list[str]:
     counts = _verified_counts()
     names = list(REGISTRY)
     index = {name: i for i, name in enumerate(names)}
-    stale = set(_CHANGED_SINCE_LAST_CHECK)
+    stale = set(_stale_keys())
 
     def rank(name: str) -> tuple[int, int, int]:
         c = counts.get(name, 0)

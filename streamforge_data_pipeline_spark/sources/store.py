@@ -164,22 +164,29 @@ class TableStore:
         """
         import glob as _glob
         import json as _json
+        from urllib.parse import unquote, urlparse
 
         df = self.read(spark, table)
-        per_file = {
-            r["f"]: r["rows"]
-            for r in df.groupBy(F.input_file_name().alias("f"))
+        # Key per-file rows by NORMALIZED filesystem path: Spark's
+        # input_file_name() returns a URI whose characters (spaces,
+        # '%', '#'...) are percent-encoded, so a raw string compare
+        # against the glob path under-counts silently (r3 advice).
+        per_file = {}
+        for r in (
+            df.groupBy(F.input_file_name().alias("f"))
             .agg(F.count(F.lit(1)).alias("rows"))
             .collect()
-        }
+        ):
+            parsed = urlparse(r["f"])
+            key = unquote(parsed.path) if parsed.scheme else r["f"]
+            per_file[os.path.normpath(key)] = r["rows"]
         files = []
         for p in sorted(_glob.glob(os.path.join(self.path(table), "part-*"))):
-            uri = "file://" + p
             files.append(
                 {
                     "path": os.path.basename(p),
                     "bytes": os.path.getsize(p),
-                    "rows": per_file.get(uri, per_file.get(p, 0)),
+                    "rows": per_file.get(os.path.normpath(p), 0),
                 }
             )
         manifest = {
@@ -189,6 +196,15 @@ class TableStore:
             "total_bytes": sum(f["bytes"] for f in files),
             "schema": df.schema.jsonValue(),
         }
+        # completeness is the manifest's whole purpose: a key mismatch
+        # must fail loudly, never write rows=0
+        scanned_total = sum(per_file.values())
+        if manifest["total_rows"] != scanned_total:
+            raise ValueError(
+                f"manifest row accounting mismatch for {table!r}: "
+                f"per-file sum {manifest['total_rows']} != scanned {scanned_total} "
+                f"(input_file_name keys: {sorted(per_file)[:3]}...)"
+            )
         with open(os.path.join(self.path(table), "_manifest.json"), "w") as fh:
             _json.dump(manifest, fh, indent=1, sort_keys=True)
         return manifest

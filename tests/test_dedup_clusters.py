@@ -104,3 +104,21 @@ def test_size_prune_identical_results(spark):
     pruned = minhash_lsh_dedup(docs, tau=0.5, size_prune=True)
     assert plain.count() == pruned.count()
     assert plain.exceptAll(pruned).count() == 0
+
+
+def test_long_chain_crosses_checkpoint_generations(spark):
+    """A 17-node path graph needs 16 label-propagation rounds — four
+    localCheckpoint generations at checkpoint_every=4. Guards the
+    previous-generation block-release path (_free_local_checkpoint
+    reaches through py4j internals; if a Spark upgrade moves them,
+    this surfaces as a failure here instead of silent storage
+    retention — r3 advice)."""
+    n = 17
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, max_iters=30).collect()
+    }
+    assert got == {i: 0 for i in range(n)}

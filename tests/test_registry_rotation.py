@@ -29,9 +29,12 @@ def test_contract_dicts_are_consistent():
 
 def test_tiering_never_then_stale_then_verified(monkeypatch):
     names = list(registry.REGISTRY)
-    stale = registry._CHANGED_SINCE_LAST_CHECK
-    assert set(stale) <= set(names)
-    # fake history: everything green once except two keys
+    # fake staleness (the real derivation is git-based, tested in
+    # test_staleness.py) and fake history: everything green once
+    # except two never-checked keys
+    stale = tuple(n for n in names if n.startswith("near_"))[:2]
+    assert stale
+    monkeypatch.setattr(registry, "_stale_keys", lambda: frozenset(stale))
     fake_never = [n for n in names if n not in stale][:2]
     counts = {n: 1 for n in names}
     for n in fake_never:

@@ -93,3 +93,17 @@ def test_manifest_matches_data(spark, tmp_path):
         disk = json.load(fh)
     assert disk["total_rows"] == m["total_rows"]
     assert {f["name"] for f in disk["schema"]["fields"]} == {"event_id", "event_type"}
+
+
+def test_manifest_survives_uri_hostile_store_path(spark, tmp_path):
+    """input_file_name() percent-encodes spaces/%/# in its URI; the
+    manifest must key per-file counts by normalized path instead of
+    silently writing rows=0 (r3 advice)."""
+    hostile = tmp_path / "my store 100% #demo"
+    hostile.mkdir()
+    store = TableStore(str(hostile))
+    ev = load(spark, SF_SMALL, "events").select("event_id", "event_type")
+    ev.repartition(3).write.parquet(store.path("ev"))
+    m = store.write_manifest(spark, "ev")
+    assert m["total_rows"] == ev.count()
+    assert all(f["rows"] > 0 for f in m["files"])
