@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -49,7 +50,9 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    m = re.match(r"\d+(?:\.\d+)?", tail)
+    sf = m.group(0) if m else "0"
     spark = get_session("streamforge-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -71,5 +71,10 @@ JOB_STEPS = (
     "INIT DB_PREFETCH PREFETCH_COMPLETE COUNTING_ROWS COUNTING_COMPLETE "
     "PROCESS_ALL_OR_NOTHING PROCESS_CHUNK_COMMIT PROCESSING DB_COMMIT "
     "DB_COMMIT_SUCCESS DB_COMMIT_FAILED JOB_COMPLETE JOB_FAILED "
-    "UPLOAD_FAILED FILE_WRITE_FAILED NOT_FOUND"
+    "UPLOAD_FAILED FILE_WRITE_FAILED NOT_FOUND "
+    # pool-admission states (AsyncConfig.java:13-21 bounded executor:
+    # a job past maxPoolSize waits in the queue; past queueCapacity it
+    # is rejected — surfaced by the reference as an executor error,
+    # surfaced here as an explicit status)
+    "QUEUED REJECTED"
 ).split()

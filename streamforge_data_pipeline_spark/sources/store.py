@@ -80,6 +80,42 @@ class TableStore:
             r = r.schema(schema)
         return r.json(self.path(table) + "_json")
 
+    # The short name "avro" resolves only when the external spark-avro
+    # module's DataSourceRegister is deployed; the FileFormat class
+    # itself ships on this distribution's classpath, and DataSource
+    # lookup accepts the fully-qualified class name — so the store uses
+    # the FQCN and works either way.
+    _AVRO_FMT = "org.apache.spark.sql.avro.AvroFileFormat"
+
+    @classmethod
+    def avro_available(cls, spark: SparkSession) -> bool:
+        """Probe via a real JVM class load (py4j package lookups are
+        lazy and never raise)."""
+        try:
+            spark._jvm.java.lang.Class.forName(cls._AVRO_FMT)
+            return True
+        except Exception:
+            return False
+
+    def write_avro(self, df: DataFrame, table: str) -> None:
+        """Avro sink (row-oriented interchange: Kafka/schema-registry
+        ecosystems). Raises a clear error when no Avro FileFormat is
+        on the classpath instead of Spark's raw lookup failure."""
+        if not self.avro_available(df.sparkSession):
+            raise RuntimeError(
+                "avro format needs org.apache.spark.sql.avro on the classpath "
+                "(deploy org.apache.spark:spark-avro_2.13)"
+            )
+        df.write.mode("overwrite").format(self._AVRO_FMT).save(self.path(table) + "_avro")
+
+    def read_avro(self, spark: SparkSession, table: str) -> DataFrame:
+        if not self.avro_available(spark):
+            raise RuntimeError(
+                "avro format needs org.apache.spark.sql.avro on the classpath "
+                "(deploy org.apache.spark:spark-avro_2.13)"
+            )
+        return spark.read.format(self._AVRO_FMT).load(self.path(table) + "_avro")
+
     def write_bucketed(
         self,
         df: DataFrame,

@@ -52,3 +52,84 @@ def test_no_duplicates_all_kept(spark):
     )
     out = semantic_dedup(df, n_cells=4, tau=0.999).collect()
     assert all(r["keep"] and r["group_id"] == r["vec_id"] for r in out)
+
+
+def _same_group_pairs(rows):
+    """rows: (id, group_id) -> set of intra-group (a<b) pairs."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for vid, gid in rows:
+        groups[gid].append(vid)
+    pairs = set()
+    for members in groups.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+    return pairs
+
+
+def _closure_pairs(edge_rows, all_ids):
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return _same_group_pairs((i, find(i)) for i in all_ids)
+
+
+def test_recall_curve_vs_exact_baseline(spark):
+    """r4 brief #7: measure the n_cells-vs-recall trade against the
+    exact all-pairs baseline instead of asserting it. Precision is
+    structurally 1.0 (within-cell pairs are exact-cosine-verified, so
+    semantic groups are a sub-closure of the exact closure); recall
+    dips as cells shrink because a duplicate pair can straddle a cell
+    boundary — that is SemDeDup's documented knob."""
+    from streamforge_data_pipeline_spark.operators.similarity import near_dup_pairs
+
+    rng = np.random.default_rng(23)
+    tau = 0.95
+    rows = []
+    vid = 0
+    bases = rng.normal(size=(50, 16))
+    for b in bases:
+        b = b / np.linalg.norm(b)
+        rows.append((vid, b.tolist()))
+        base_id = vid
+        vid += 1
+        for _ in range(2):  # two near-dups per base, cos ~ 0.95-0.99
+            scale = rng.uniform(0.12, 0.30)
+            v = b + rng.normal(scale=scale / 4, size=16)
+            v = v / np.linalg.norm(v)
+            rows.append((vid, v.tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").persist()
+    all_ids = [r[0] for r in rows]
+
+    exact_edges = [
+        (r["id_a"], r["id_b"]) for r in near_dup_pairs(df, tau=tau).collect()
+    ]
+    truth = _closure_pairs(exact_edges, all_ids)
+    assert len(truth) >= 50  # the corpus actually contains planted dups
+
+    recalls = {}
+    for n_cells in (4, 8, 16):
+        got = _same_group_pairs(
+            (r["vec_id"], r["group_id"])
+            for r in semantic_dedup(df, n_cells=n_cells, tau=tau).collect()
+        )
+        assert got <= truth, "precision must be exactly 1.0"
+        recalls[n_cells] = len(got & truth) / len(truth)
+    df.unpersist()
+    # default knob (n_cells=8): high recall required
+    assert recalls[8] >= 0.9, recalls
+    # the whole curve stays usable on this corpus
+    assert min(recalls.values()) >= 0.7, recalls

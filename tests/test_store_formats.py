@@ -107,3 +107,23 @@ def test_manifest_survives_uri_hostile_store_path(spark, tmp_path):
     m = store.write_manifest(spark, "ev")
     assert m["total_rows"] == ev.count()
     assert all(f["rows"] > 0 for f in m["files"])
+
+
+def test_avro_roundtrip_or_clear_gate(spark, tmp_path):
+    """Avro completes the format matrix when the external spark-avro
+    module is deployed; without it (this container) the store must
+    fail with an actionable message, not Spark's raw lookup error."""
+    import pytest
+
+    store = TableStore(str(tmp_path))
+    ev = load(spark, SF_SMALL, "events").select("event_id", "event_type", "value")
+    if TableStore.avro_available(spark):
+        store.write_avro(ev, "events")
+        back = store.read_avro(spark, "events")
+        assert back.count() == ev.count()
+        assert back.exceptAll(ev).count() == 0
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            store.write_avro(ev, "events")
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            store.read_avro(spark, "events")
