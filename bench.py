@@ -32,6 +32,7 @@ HEADLINE = [
     "region_sales",
     "exact_dedup",
     "near_dedup",
+    "allpairs_jaccard",
     "minhash_lsh_dedup",
     "simhash",
     "topk_cosine",

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Full DuckDB oracle differential over every oracle-backed registry key.
+
+Mirrors the driver's correctness gate (row count + schema + value hash)
+at an arbitrary SF dir — the per-round driver check caps ~50 keys at
+sf0.01; this sweeps ALL keys and is how scale correctness (sf1) is
+evidenced.
+
+Usage: python scripts/oracle_sweep.py [SF_DIR]
+Prints one line per key and a final JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from streamforge_data_pipeline_spark.registry import REGISTRY  # noqa: E402
+from streamforge_data_pipeline_spark.session import get_session  # noqa: E402
+from tests.utils import compare, duckdb_connection  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_session("oracle-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb_connection(sf_dir)
+    keys = [k for k in REGISTRY if REGISTRY[k].oracle]
+    bad: list[tuple[str, str]] = []
+    times: dict[str, float] = {}
+    for k in keys:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        try:
+            ok, msg = compare(REGISTRY[k].fn(spark, sf_dir), con, REGISTRY[k].oracle)
+        except Exception as e:  # noqa: BLE001 — sweep must report, not die
+            ok, msg = False, f"EXC {type(e).__name__}: {e}"
+        times[k] = round(time.time() - t0, 1)
+        print(f"{'ok ' if ok else 'FAIL'} {k:28s} {times[k]:7.1f}s {'' if ok else msg[:160]}", flush=True)
+        if not ok:
+            bad.append((k, msg[:300]))
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "keys": len(keys),
+                "mismatches": len(bad),
+                "bad": bad,
+                "total_s": round(sum(times.values()), 1),
+                "slowest": sorted(times.items(), key=lambda kv: -kv[1])[:8],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -295,6 +295,133 @@ def lsh_probe_dedup(
     return incoming.select(F.col(id_col).alias("doc_id")).join(best, "doc_id", "left")
 
 
+def allpairs_jaccard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    tau: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs token-3-gram Jaccard >= tau via prefix filtering.
+
+    Same result set as the naive shared-shingle self-join, but the
+    candidate join runs on each document's PREFIX only — its rarest
+    ``n - ceil(tau*n) + 1`` shingles under a global (df asc, shingle)
+    order (AllPairs / PPJoin prefix-filter principle, Bayardo et al.
+    WWW'07; Xiao et al. WWW'08 — public literature). Any pair with
+    Jaccard >= tau provably shares at least one prefix shingle, so
+    pruning is lossless; candidates are then verified with the exact
+    full-set intersection (:func:`exact_jaccard`).
+
+    Why this matters at scale: the naive join's cost is sum(df^2) over
+    shingles — quadratic in document frequency, and dominated by
+    ubiquitous shingles (measured on the 10x corpus: 9.4x wall for 10x
+    docs). Ordering by rarity pushes exactly those shingles out of
+    every prefix, so the join cost tracks the RARE end of the df
+    distribution. Three further lossless prunes shrink the candidate
+    set before any full-set work happens:
+
+    - length filter: Jaccard <= min(|A|,|B|)/max(|A|,|B|), so pairs
+      with size ratio below tau can't qualify;
+    - overlap lower bound: J >= tau  <=>  |A∩B| >= tau/(1+tau) *
+      (|A|+|B|)  (alpha below);
+    - prefix-overlap upper bound: counting the pair's shared PREFIX
+      shingles k and comparing prefix boundary values under the global
+      order, |A∩B| <= k + (suffix size of the side whose prefix
+      boundary is smaller) — every shared shingle outside the two
+      prefixes' intersection must rank above the smaller boundary, so
+      it lives in that side's suffix. Pairs whose bound is below alpha
+      are dropped by a per-pair aggregate, BEFORE the verify join.
+
+    Shape: shingle df agg (one groupBy sh) -> per-doc rarity window
+    (one shuffle on doc_id) -> prefix equi-join on sh -> per-pair
+    count agg + bound filter -> candidate verify on survivors only.
+    Nothing quadratic in corpus size; no driver materialization.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(df, id_col, text).persist()
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("doc_id").orderBy("__df", "sh")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .select(
+            "doc_id",
+            "sh",
+            F.col("__df"),
+            F.row_number().over(w).alias("__pos"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("__n"),
+        )
+    )
+    # prefix length n - ceil(tau*n) + 1; the 1e-9 slack biases ceil DOWN
+    # on float noise (e.g. 0.3*10 = 3.0000000000000004), which can only
+    # LENGTHEN the prefix — extra candidates, never a missed pair.
+    plen = F.col("__n") - F.ceil(F.lit(tau) * F.col("__n") - F.lit(1e-9)) + 1
+    prefix = ranked.withColumn("__plen", plen).filter(F.col("__pos") <= F.col("__plen"))
+    # each doc's TRUE prefix boundary: its largest prefix element under
+    # the (df, sh) order. Window over doc_id reuses the partitioning
+    # the rarity window already established — no extra shuffle.
+    # persist: the self-join below references this subtree twice (a/b
+    # sides), and it carries a df-join plus two windows — recomputing
+    # it per reference measurably dominates (2x on the 20k-doc corpus).
+    prefix = prefix.withColumn(
+        "__bnd", F.max(F.struct("__df", "sh")).over(Window.partitionBy("doc_id"))
+    ).persist()
+    joined = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # lossless length filter: jaccard <= min(|a|,|b|)/max(|a|,|b|)
+        .filter(
+            F.least("a.__n", "b.__n")
+            >= F.lit(tau) * F.greatest("a.__n", "b.__n") - F.lit(1e-9)
+        )
+    )
+    # per-pair prefix-shared count k and each side's prefix BOUNDARY
+    # (its largest prefix element under the (df, sh) order — struct
+    # max compares exactly the window's sort key). One map-side-
+    # combined aggregate over the prefix-join rows.
+    agg = joined.groupBy(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.first(F.col("a.__n")).alias("__na"),
+        F.first(F.col("b.__n")).alias("__nb"),
+        F.first(F.col("a.__plen")).alias("__pa"),
+        F.first(F.col("b.__plen")).alias("__pb"),
+        F.first(F.col("a.__bnd")).alias("__bnd_a"),
+        F.first(F.col("b.__bnd")).alias("__bnd_b"),
+    )
+    alpha = F.ceil(
+        F.lit(tau / (1.0 + tau)) * (F.col("__na") + F.col("__nb")) - F.lit(1e-9)
+    )
+    # Validity (WLOG bnd_a <= bnd_b): a shared shingle not counted in k
+    # is outside one of the prefixes; if outside A's prefix it ranks
+    # above bnd_a (A-suffix); it cannot be inside A's prefix yet outside
+    # B's — that would need rank > bnd_b >= bnd_a while also <= bnd_a.
+    # So ALL uncounted shared shingles sit in A's suffix: overlap <=
+    # k + (na - pa). Symmetric for the other branch.
+    suffix_cap = F.when(
+        F.col("__bnd_a") <= F.col("__bnd_b"), F.col("__na") - F.col("__pa")
+    ).otherwise(F.col("__nb") - F.col("__pb"))
+    # persist: exact_jaccard references the candidate set three times
+    # (id-set union, the pair semi-join, the size prune); candidates
+    # are true-pair scale by construction, so the cache is tiny.
+    cands = agg.filter(F.col("__k") + F.greatest(suffix_cap, F.lit(0)) >= alpha).select(
+        "doc_a", "doc_b"
+    ).persist()
+    # materialize candidates (true-pair scale), then release the
+    # prefix cache — verification only needs `sh` and `cands`
+    cands.count()
+    prefix.unpersist()
+    verified = exact_jaccard(sh, cands)
+    return verified.filter(F.col("jaccard") >= tau).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 def sketch_max_df(sh: DataFrame, sample_docs_mod: int = 1, n_docs_sampled: int | None = None) -> tuple[int, int]:
     """(max shingle document-frequency, docs seen) over a deterministic
     doc sample of the shingle relation.

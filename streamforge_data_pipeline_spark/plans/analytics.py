@@ -500,7 +500,13 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_brand",
             "s_name",
             F.col("n_name").alias("supp_nation"),
-            F.round("cost", 4).alias("min_unit_cost"),
+            # NOT F.round: engines disagree by 1 ulp when the double
+            # quotient sits on a .00005 tie (observed at sf1). floor(x*1e4
+            # + 0.5)/1e4 is the same IEEE op sequence in Spark and DuckDB,
+            # so the rounded value is bit-identical cross-engine.
+            (F.floor(F.col("cost") * 10000 + F.lit(0.5)).cast("double") / 10000).alias(
+                "min_unit_cost"
+            ),
         )
     )
 

@@ -286,6 +286,56 @@ def gen_embeddings(spark: SparkSession, n: int) -> DataFrame:
     return spark.range(n).mapInPandas(_embeddings_kernel, EMB_SCHEMA)
 
 
+ZIPF_VOCAB = 20_000
+
+
+def _documents_zipf_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow kernel: id -> document over a Zipf-tailed vocabulary.
+
+    Word ranks are log-uniform (rank = V^u, the continuous inverse-CDF
+    of a 1/x frequency law) — the realistic corpus shape where a few
+    words are ubiquitous and most are rare. Same planted ~4% dup
+    structure and pure-per-id determinism as the base corpus.
+    """
+    for pdf in batches:
+        ids = pdf["id"].to_numpy()
+        is_dup = (ids >= 50) & (_mix(ids, 11) % np.uint64(25) == 0)
+        seed = ids.astype(np.uint64).copy()
+        for k in np.nonzero(is_dup)[0]:
+            s = int(_mix(ids[k : k + 1], 12)[0] % np.uint64(ids[k]))
+            while s >= 50 and int(_mix(np.array([s], dtype=np.uint64), 11)[0] % np.uint64(25)) == 0:
+                s = int(_mix(np.array([s], dtype=np.uint64), 12)[0] % np.uint64(max(s, 1)))
+            seed[k] = s
+        n_words = (30 + _mix(seed, 13) % np.uint64(71)).astype(np.int64)
+        texts = []
+        logv = np.log(float(ZIPF_VOCAB))
+        for s, nw, d in zip(seed, n_words, is_dup):
+            pos = np.arange(nw, dtype=np.uint64)
+            u = (
+                _splitmix64(np.uint64(s) * np.uint64(8191) + pos + np.uint64(SEED))
+                >> np.uint64(11)
+            ).astype(np.float64) / float(1 << 53)
+            ranks = np.exp(u * logv).astype(np.int64)  # 1..V, ~1/r law
+            t = " ".join("w%d" % r for r in ranks)
+            texts.append(t + " zq zq zq" if d else t)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "text": texts,
+                "lang": "en",
+                "source": ["src%d" % k for k in (_mix(ids, 14) % np.uint64(20)).astype(np.int64)],
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+
+
+def gen_documents_zipf(spark: SparkSession, n: int) -> DataFrame:
+    """Documents over a 20k-word Zipf vocabulary — the corpus regime
+    where prefix-filtered exact similarity joins (allpairs_jaccard)
+    dominate the naive inverted-index self-join."""
+    return spark.range(n).mapInPandas(_documents_zipf_kernel, DOC_SCHEMA)
+
+
 # --- driver API -------------------------------------------------------------
 
 def generate_star(spark: SparkSession, sf: float) -> dict[str, DataFrame]:

@@ -1,0 +1,101 @@
+"""Prefix-filtered exact all-pairs Jaccard (r4): lossless vs naive.
+
+allpairs_jaccard claims byte-identical output to the naive
+shared-shingle self-join at any tau — prefix filtering and the length
+filter must only drop pairs that provably cannot reach the threshold.
+These tests brute-force that claim on the real corpus and on an
+adversarial templated corpus (ubiquitous boilerplate shingles — the
+exact case the prefix order is supposed to neutralize), across tau
+values including one with awkward float behavior (0.3*10 != 3.0).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamforge_data_pipeline_spark.operators import minhash as M
+from streamforge_data_pipeline_spark.session import load
+
+from tests.conftest import SF_SMALL
+
+
+def naive_pairs(docs, tau):
+    sh = M.shingles(docs)
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    )
+    return j.filter(F.col("jaccard") >= tau).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def as_set(df):
+    return {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()}
+
+
+@pytest.mark.parametrize("tau", [0.3, 0.5, 0.8])
+def test_allpairs_equals_naive_on_corpus(spark, tau):
+    docs = load(spark, SF_SMALL, "documents")
+    assert as_set(M.allpairs_jaccard(docs, tau=tau)) == as_set(naive_pairs(docs, tau))
+
+
+def test_allpairs_equals_naive_on_templated_corpus(spark):
+    # every doc shares header+footer shingles (df == corpus size): the
+    # worst case for the naive join, and the shingles the prefix order
+    # must rank LAST so they never generate candidates.
+    header = "all rights reserved internal use only do not distribute"
+    docs = (
+        load(spark, SF_SMALL, "documents")
+        .limit(200)
+        .select(
+            "doc_id",
+            F.concat(F.lit(header + " "), F.col("text"), F.lit(" " + header)).alias("text"),
+        )
+    )
+    assert as_set(M.allpairs_jaccard(docs, tau=0.5)) == as_set(naive_pairs(docs, 0.5))
+
+
+def test_prefix_join_is_smaller_than_naive(spark):
+    """The point of the operator: candidate volume must collapse.
+
+    Compare co-shingle join row counts (the quadratic term) between the
+    full shingle relation and the prefix relation on the real corpus.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, SF_SMALL, "documents")
+    sh = M.shingles(docs)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("doc_id").orderBy("__df", "sh")
+    ranked = sh.join(dfreq, "sh").select(
+        "doc_id", "sh",
+        F.row_number().over(w).alias("__pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("__n"),
+    )
+    prefix = ranked.filter(
+        F.col("__pos") <= F.col("__n") - F.ceil(F.lit(0.5) * F.col("__n") - F.lit(1e-9)) + 1
+    )
+
+    def join_rows(rel):
+        return (
+            rel.alias("a")
+            .join(rel.alias("b"),
+                  (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .count()
+        )
+
+    full, pref = join_rows(sh), join_rows(prefix)
+    assert pref < full / 2, (pref, full)
