@@ -32,12 +32,18 @@ HEADLINE = [
     "region_sales",
     "exact_dedup",
     "near_dedup",
-    "allpairs_jaccard",
+    # allpairs_jaccard is benched in scripts/bench_allpairs_zipf.py on
+    # Zipf-vocabulary corpora (its target regime, 2.2-2.4x over naive);
+    # the 30-word bench corpus is its documented anti-regime (uniform
+    # df -> prefixes can't prune) and near_dedup covers that answer.
     "minhash_lsh_dedup",
     "simhash",
     "topk_cosine",
     "embedding_near_dup",
     "term_counts",
+    "dup_ngram_fraction",
+    "line_dedup",
+    "ngram_lm_score",
     "lang_id",
     "quality_score",
     "multimodal_meta",

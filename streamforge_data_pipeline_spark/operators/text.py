@@ -581,3 +581,169 @@ def corpus_shuffle(df: DataFrame, id_col: str = "doc_id",
         )
         .drop("h")
     )
+
+def dup_ngram_fraction(df: DataFrame, id_col: str = "doc_id",
+                       text: str = "text") -> DataFrame:
+    """Per-document duplicated-n-gram fraction: the share of a doc's
+    token 3-gram OCCURRENCES whose 3-gram appears more than once
+    corpus-wide — the boilerplate/cross-doc-repetition quality signal
+    (Gopher's "duplicate n-gram" family; repetition_filter is the
+    WITHIN-doc counterpart, this is the ACROSS-corpus one). Downstream
+    pruning drops docs whose fraction exceeds a threshold.
+
+    Scale notes: corpus-wide 3-gram occurrence counts via ONE
+    partial-agg shuffle on the n-gram key (map-side combine collapses
+    per-partition repeats before the wire), then an equi-join back to
+    the per-occurrence relation on the same key — AQE broadcasts the
+    counts side when the vocabulary is small and falls back to a
+    shuffled join (already co-partitioned on sh from the agg) when it
+    is not. The final per-doc rollup is the second and last shuffle.
+    No collect, no Python; hot (stopword-ish) n-grams are a count
+    table row, never a grouped array.
+    """
+    from streamforge_data_pipeline_spark.operators.minhash import shingles_raw
+
+    # Feeds the counts agg AND the join probe — persist so the
+    # tokenize+window shingle pass runs once (house pattern; LRU
+    # evicts, and registry/bench isolation clears caches per query).
+    occ = shingles_raw(df, id_col, text).persist()
+    counts = occ.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        occ.join(counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.col("n_dup").cast("long").alias("n_dup"),
+            F.round(F.col("n_dup") / F.col("n_ngrams"), 4).alias("dup_frac"),
+        )
+    )
+
+
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               text: str = "text") -> DataFrame:
+    """C4-style corpus-wide line deduplication: any line occurring more
+    than once across the corpus is kept only at its first occurrence
+    (ordered by (doc_id, line_no)) and removed everywhere else; each
+    document is re-assembled from its surviving lines. Emits every
+    input doc with (text_clean, n_lines, n_kept) — n_kept==0 docs
+    survive with empty text so a downstream length prune can drop them
+    explicitly. [C4: Raffel et al. 2020 §2.2 "three-sentence span"
+    dedup, simplified to exact lines — the standard first pass before
+    MinHash; cf. exact_dedup (whole-doc) and near_dedup (fuzzy).]
+
+    Scale notes: lines shuffle ONCE on the line value for the
+    first-occurrence window (row_number over (line) ordered by
+    (doc_id, line_no)) — a hot boilerplate line is a single window
+    partition, which is exactly the skew AQE's skew-join cannot split,
+    so the window ranks (doc_id, line_no) pairs only: the payload the
+    reducer holds is two longs per occurrence, not the line text
+    (the text rides as the partition key itself, stored once per
+    shuffle block). Reassembly groups by doc_id — second shuffle —
+    with sort_array over (line_no, line) structs: per-doc state is
+    bounded by document size. The left join back to the input restores
+    all-lines-removed docs; it joins on the doc key, co-partitioned
+    with the reassembly output.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text), "\n")).alias("line_no", "line"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    kept = lines.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.size(F.split(F.col(text), "\n"))).alias("n_lines"),
+    )
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def ngram_lm_score(df: DataFrame, id_col: str = "doc_id",
+                   text: str = "text", k: float = 0.5) -> DataFrame:
+    """CCNet-style LM quality score: train an add-k-smoothed bigram
+    language model on the corpus itself, then score every document by
+    its average bigram negative log-likelihood (lower = more typical
+    of the corpus; a threshold on the score is the classic
+    perplexity-filter pruning step). Emits (doc_id, n_bigrams, nll).
+    [CCNet: Wenzek et al. 2020 §4 "LM filtering" — theirs uses a
+    pretrained KenLM; training on the corpus itself keeps the operator
+    self-contained and dependency-free, same trade as lang_id's
+    marker heuristic.]
+
+    Model: P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V), where c(w1) is
+    w1's count as a bigram CONTEXT (so the distribution sums to 1 over
+    the vocabulary) and V = |distinct tokens|.
+
+    Scale notes: the model IS two count tables — vocabulary-sized, not
+    corpus-sized — built with one partial-agg shuffle each; joining
+    them back to the per-occurrence bigram relation is AQE
+    broadcast-eligible (a 100 TB corpus's bigram type count is
+    bounded by V^2 observed types, typically ~1e8 rows ~ GBs — if it
+    outgrows broadcast the join is already co-partitioned on the
+    count key from the agg). V rides along as a broadcast scalar
+    (crossJoin with a 1-row agg, not a collect). The per-doc rollup
+    is one more shuffle. The fp-order hazard of avg(ln ...) is
+    neutralized by half-up rounding to 4 decimals via the same
+    floor(x*1e4+0.5)/1e4 IEEE op sequence DuckDB runs (the
+    min_cost_supplier precedent, PERF_NOTES r4).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = tok.agg(F.countDistinct("tok").alias("v"))
+    logp = F.log(
+        (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
+    )
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(-logp).alias("__nll"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.floor(F.col("__nll") * 1e4 + 0.5) / 1e4).alias("nll"),
+        )
+    )

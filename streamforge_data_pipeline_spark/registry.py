@@ -1035,6 +1035,18 @@ def q_inverted_index(spark, sf_dir):
     return text.inverted_index(load(spark, sf_dir, "documents"))
 
 
+def q_dup_ngram_fraction(spark, sf_dir):
+    return text.dup_ngram_fraction(load(spark, sf_dir, "documents"))
+
+
+def q_line_dedup(spark, sf_dir):
+    return text.line_dedup(load(spark, sf_dir, "documents"))
+
+
+def q_ngram_lm_score(spark, sf_dir):
+    return text.ngram_lm_score(load(spark, sf_dir, "documents"))
+
+
 def q_corpus_shuffle(spark, sf_dir):
     return text.corpus_shuffle(load(spark, sf_dir, "documents"))
 
@@ -2292,6 +2304,51 @@ SELECT sh AS ngram, CAST(count(*) AS BIGINT) AS n,
   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM shr GROUP BY sh ORDER BY n DESC, ngram LIMIT 50""",
         "corpus top-k 3-gram counts with document frequency",
+    ),
+    "dup_ngram_fraction": QuerySpec(
+        q_dup_ngram_fraction,
+        f"""WITH {TOKS_CTE},
+idx AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts)-2, 0))) AS x FROM toks),
+shr AS (SELECT doc_id, ts[x+1] || ' ' || ts[x+2] || ' ' || ts[x+3] AS sh FROM idx),
+c AS (SELECT sh, count(*) AS cnt FROM shr GROUP BY sh)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+  round(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)*1.0/count(*), 4) AS dup_frac
+FROM shr JOIN c USING(sh) GROUP BY doc_id""",
+        "per-doc duplicated-3-gram occurrence fraction (cross-corpus repetition signal)",
+    ),
+    "line_dedup": QuerySpec(
+        q_line_dedup,
+        """WITH sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+l AS (SELECT doc_id, ls, unnest(range(0, len(ls))) AS line_no FROM sp),
+ln AS (SELECT doc_id, line_no, ls[line_no+1] AS line FROM l),
+r AS (SELECT doc_id, line_no, line,
+        row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      FROM ln),
+kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(line, chr(10) ORDER BY line_no) AS text_clean
+         FROM r WHERE rn = 1 GROUP BY doc_id),
+base AS (SELECT doc_id, CAST(len(string_split(text, chr(10))) AS INTEGER) AS n_lines
+         FROM documents)
+SELECT b.doc_id, coalesce(text_clean, '') AS text_clean, n_lines,
+  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id""",
+        "C4-style corpus-wide duplicate-line removal, docs reassembled",
+    ),
+    "ngram_lm_score": QuerySpec(
+        q_ngram_lm_score,
+        f"""WITH {TOKS_CTE},
+idx AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts)-1, 0))) AS x FROM toks),
+bg AS (SELECT doc_id, ts[x+1] AS w1, ts[x+2] AS w2 FROM idx),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(ts) AS t FROM toks)),
+s AS (SELECT doc_id, -ln((c12.c12 + 0.5)/(c1.c1 + 0.5*v.v)) AS nl
+      FROM bg JOIN c12 USING(w1, w2) JOIN c1 USING(w1) CROSS JOIN v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  floor(avg(nl)*1e4 + 0.5)/1e4 AS nll
+FROM s GROUP BY doc_id""",
+        "corpus-trained add-k bigram LM: per-doc avg negative log-likelihood",
     ),
     "inverted_index": QuerySpec(
         q_inverted_index,

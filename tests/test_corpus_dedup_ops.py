@@ -1,0 +1,164 @@
+"""Semantics tests for the r4 corpus-hygiene operators: C4-style
+line_dedup, cross-corpus dup_ngram_fraction, and the corpus-trained
+bigram LM scorer — each brute-force cross-checked against a plain
+Python recomputation (house pattern: the DuckDB differential in
+test_oracle_differential.py covers them on the real corpus; these
+pin the SEMANTICS on constructed corpora where the answer is legible).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from streamforge_data_pipeline_spark.operators.text import (
+    dup_ngram_fraction,
+    line_dedup,
+    ngram_lm_score,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- line_dedup
+
+
+def test_line_dedup_keeps_first_occurrence_only(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "unique alpha\nCOMMON FOOTER\nunique beta"),
+            (2, "unique gamma\nCOMMON FOOTER"),
+            (3, "COMMON FOOTER\nunique delta"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    # doc 1 holds the first occurrence (lowest doc_id) — keeps all lines
+    assert out[1]["text_clean"] == "unique alpha\nCOMMON FOOTER\nunique beta"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+    # later docs lose the duplicated line but keep their unique ones
+    assert out[2]["text_clean"] == "unique gamma"
+    assert out[2]["n_kept"] == 1
+    assert out[3]["text_clean"] == "unique delta"
+    assert out[3]["n_kept"] == 1
+
+
+def test_line_dedup_all_lines_removed_doc_survives_empty(spark):
+    df = _docs(spark, [(1, "only line"), (2, "only line")])
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert out[1]["text_clean"] == "only line"
+    assert out[2]["text_clean"] == "" and out[2]["n_kept"] == 0
+    assert out[2]["n_lines"] == 1
+
+
+def test_line_dedup_within_doc_repeat_also_deduped(spark):
+    # C4 semantics are corpus-wide: a line repeated WITHIN one doc is
+    # still one surviving occurrence (the first by line_no).
+    df = _docs(spark, [(7, "x\ny\nx\nz\nx")])
+    (row,) = line_dedup(df).collect()
+    assert row["text_clean"] == "x\ny\nz"
+    assert row["n_lines"] == 5 and row["n_kept"] == 3
+
+
+def test_line_dedup_preserves_line_order(spark):
+    df = _docs(spark, [(1, "c\na\nb"), (2, "q\na\nr")])
+    out = {r["doc_id"]: r["text_clean"] for r in line_dedup(df).collect()}
+    assert out[1] == "c\na\nb"  # original order, not sorted
+    assert out[2] == "q\nr"
+
+
+# ------------------------------------------------------- dup_ngram_fraction
+
+
+def _trigram_occurrences(text):
+    toks = [t for t in text.lower().split() if t]
+    return [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+
+
+def test_dup_ngram_fraction_brute_force(spark):
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c x y"),  # shares 'a b c' with doc 1
+        (3, "p q r s t"),  # fully unique
+        (4, "a b c d e"),  # exact dup of doc 1 — all grams duplicated
+    ]
+    counts: dict[str, int] = {}
+    per_doc: dict[int, list[str]] = {}
+    for doc_id, text in rows:
+        grams = _trigram_occurrences(text)
+        per_doc[doc_id] = grams
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+    expected = {}
+    for doc_id, grams in per_doc.items():
+        dup = sum(1 for g in grams if counts[g] >= 2)
+        expected[doc_id] = (len(grams), dup, round(dup / len(grams), 4))
+
+    out = {r["doc_id"]: r for r in dup_ngram_fraction(_docs(spark, rows)).collect()}
+    assert set(out) == set(expected)
+    for doc_id, (n, d, frac) in expected.items():
+        r = out[doc_id]
+        assert (r["n_ngrams"], r["n_dup"]) == (n, d)
+        assert r["dup_frac"] == pytest.approx(frac, abs=1e-9)
+    # spot-check the legible facts
+    assert out[3]["n_dup"] == 0
+    assert out[4]["dup_frac"] == 1.0
+
+
+# ----------------------------------------------------------- ngram_lm_score
+
+
+def test_ngram_lm_score_brute_force(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "dogs bark loudly at night"),
+    ]
+    k = 0.5
+    bigrams_by_doc: dict[int, list[tuple[str, str]]] = {}
+    c12: dict[tuple[str, str], int] = {}
+    c1: dict[str, int] = {}
+    vocab: set[str] = set()
+    for doc_id, text in rows:
+        toks = text.lower().split()
+        vocab.update(toks)
+        bgs = list(zip(toks, toks[1:]))
+        bigrams_by_doc[doc_id] = bgs
+        for w1, w2 in bgs:
+            c12[(w1, w2)] = c12.get((w1, w2), 0) + 1
+            c1[w1] = c1.get(w1, 0) + 1
+    v = len(vocab)
+    expected = {}
+    for doc_id, bgs in bigrams_by_doc.items():
+        nll = -sum(
+            math.log((c12[bg] + k) / (c1[bg[0]] + k * v)) for bg in bgs
+        ) / len(bgs)
+        expected[doc_id] = (len(bgs), math.floor(nll * 1e4 + 0.5) / 1e4)
+
+    out = {r["doc_id"]: r for r in ngram_lm_score(_docs(spark, rows)).collect()}
+    assert set(out) == set(expected)
+    for doc_id, (n, nll) in expected.items():
+        assert out[doc_id]["n_bigrams"] == n
+        assert out[doc_id]["nll"] == pytest.approx(nll, abs=1e-9)
+
+
+def test_ngram_lm_score_repeated_doc_scores_lower(spark):
+    # A doc whose bigrams the corpus has seen many times scores lower
+    # (more likely) than a doc of one-off bigrams — the property the
+    # perplexity prune relies on.
+    rows = [(i, "spark shuffles data fast") for i in range(1, 6)] + [
+        (99, "zebra quantum violin umbrella")
+    ]
+    out = {r["doc_id"]: r["nll"] for r in ngram_lm_score(_docs(spark, rows)).collect()}
+    assert out[1] < out[99]
+    # identical docs score identically
+    assert out[1] == out[5]
+
+
+def test_ngram_lm_score_excludes_sub_bigram_docs(spark):
+    rows = [(1, "solo"), (2, "two tokens here")]
+    out = {r["doc_id"] for r in ngram_lm_score(_docs(spark, rows)).collect()}
+    assert out == {2}
