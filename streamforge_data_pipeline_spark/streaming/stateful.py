@@ -14,7 +14,7 @@ from typing import Any, Iterator, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -72,4 +72,103 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("dup_of", T.LongType()),
+    ]
+)
+
+DEDUP_STATE_SCHEMA = T.StructType([T.StructField("first_id", T.LongType())])
+
+
+def dedup_stream(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Cross-micro-batch exact content dedup: the streaming counterpart
+    of operators/dedup.exact_dedup, for continuous corpus ingestion.
+    Every arriving row is emitted annotated — ``dup_of`` NULL for the
+    first occurrence of its sha256(content), else the doc_id that
+    claimed the hash first — so a downstream filter keeps uniques while
+    the duplicate stream still feeds observability counts. Within one
+    batch the LOWEST doc_id wins (sorted before the scan), matching the
+    batch operator's deterministic first-wins; across batches the
+    winner is whoever the state saw first.
+
+    Why custom state instead of the built-in
+    ``dropDuplicatesWithinWatermark``: the built-in silently DROPS
+    duplicates and scopes state by event-time watermark; training-data
+    ingestion wants the annotate-don't-drop shape (same as
+    lsh_probe_dedup's output contract) and processing-time state TTL
+    (``ttl_minutes``) independent of any event-time column. TTL is the
+    standard bounded-state trade: a duplicate arriving after its
+    hash's state expired is re-admitted as a first — size the TTL to
+    the dedup horizon the pipeline contracts for (set None for
+    unbounded state: exactness for as long as the store holds).
+    Operational caveat: drain TTL'd queries with ``Trigger.Once`` or a
+    processing-time trigger — ``availableNow`` keeps scheduling
+    batches to service future state timeouts and never terminates
+    (pinned in tests/test_streaming_dedup.py).
+
+    Scale notes: state per key is ONE long (the winning doc_id) keyed
+    by the 64-char hash — ~80 bytes/doc in the state store, RocksDB-
+    backed at cluster scale; the shuffle key is the hash, so arriving
+    batches partition evenly regardless of content skew. The pandas
+    frames per key are duplicate groups — tiny; no batch-wide
+    collection anywhere.
+    """
+    hashed = docs_stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.sha2(F.col(text).cast("binary"), 256).alias("content_hash"),
+    )
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = state.get[0] if state.exists else None
+        ids: list[int] = []
+        dups: list[Any] = []
+        for pdf in pdfs:
+            for doc_id in sorted(int(x) for x in pdf["doc_id"]):
+                if first is None:
+                    first = doc_id
+                    dups.append(None)
+                else:
+                    dups.append(first)
+                ids.append(doc_id)
+        state.update((first,))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "content_hash": [key[0]] * len(ids),
+                    "dup_of": dups,
+                }
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        update,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
     )

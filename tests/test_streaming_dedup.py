@@ -1,0 +1,114 @@
+"""Cross-micro-batch streaming exact dedup (applyInPandasWithState):
+annotate-don't-drop contract, deterministic within-batch first-wins,
+state persistence across batches, and TTL smoke."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from streamforge_data_pipeline_spark.streaming.stateful import dedup_stream
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _drain(spark, src, name, ttl_minutes=None, max_files=1):
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src)
+    )
+    writer = (
+        dedup_stream(stream, ttl_minutes=ttl_minutes)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+    )
+    # availableNow + ProcessingTimeTimeout keeps scheduling batches to
+    # service future state timeouts and never terminates; Trigger.Once
+    # drains exactly the present data for the TTL variant.
+    if ttl_minutes is None:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.trigger(once=True).start()
+        q.awaitTermination(120)
+        q.stop()
+    return spark.table(name).collect()
+
+
+def test_dedup_stream_annotates_first_and_duplicates(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # batch 1 written first (older mtime -> processed first)
+    _write_batch(
+        spark,
+        src,
+        [(10, "alpha"), (11, "beta"), (12, "alpha")],  # in-batch dup of 10
+    )
+    time.sleep(1.1)
+    _write_batch(
+        spark,
+        src,
+        [(20, "alpha"), (21, "gamma"), (22, "beta")],  # cross-batch dups
+    )
+
+    rows = _drain(spark, src, "dedup_out")
+    assert len(rows) == 6  # annotate, never drop
+    by_id = {r["doc_id"]: r for r in rows}
+    # one winner per distinct content, everyone else points at it
+    for content_ids in ([10, 12, 20], [11, 22], [21]):
+        winners = [i for i in content_ids if by_id[i]["dup_of"] is None]
+        assert len(winners) == 1
+        w = winners[0]
+        for i in content_ids:
+            if i != w:
+                assert by_id[i]["dup_of"] == w
+    # batch 1's in-batch dup resolves to the LOWEST id (10, not 12),
+    # and batch 2's "alpha" arrival must point at a batch-1 id —
+    # proof the state crossed the micro-batch boundary.
+    assert by_id[12]["dup_of"] == 10
+    assert by_id[20]["dup_of"] in (10, 12)
+    assert by_id[22]["dup_of"] == 11
+    # distinct hashes: 3 contents
+    assert len({r["content_hash"] for r in rows}) == 3
+
+
+def test_dedup_stream_matches_batch_exact_dedup(spark, tmp_path):
+    """Filtering dup_of IS NULL reproduces the batch exact-dedup key
+    set regardless of how files were split into micro-batches."""
+    src = str(tmp_path / "src")
+    rows1 = [(i, f"text-{i % 7}") for i in range(0, 20)]
+    rows2 = [(i, f"text-{i % 7}") for i in range(20, 40)]
+    _write_batch(spark, src, rows1)
+    time.sleep(1.1)
+    _write_batch(spark, src, rows2)
+
+    got = _drain(spark, src, "dedup_parity")
+    kept = {r["doc_id"] for r in got if r["dup_of"] is None}
+    batch = spark.read.parquet(src)
+    expected = {
+        r["doc_id"]
+        for r in batch.groupBy(F.sha2(F.col("text").cast("binary"), 256))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    # the stream's winners are first-ARRIVAL; with batch-1 ids below
+    # batch-2 ids and in-batch min-id ordering, they coincide with the
+    # batch operator's min-id winners.
+    assert kept == expected
+    assert len(got) == 40
+
+
+def test_dedup_stream_ttl_path_runs(spark, tmp_path):
+    """TTL smoke: the ProcessingTimeTimeout variant drains green and
+    produces the same annotations within a single horizon."""
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [(1, "x"), (2, "x"), (3, "y")])
+    rows = _drain(spark, src, "dedup_ttl", ttl_minutes=5)
+    by_id = {r["doc_id"]: r["dup_of"] for r in rows}
+    assert by_id == {1: None, 2: 1, 3: None}
