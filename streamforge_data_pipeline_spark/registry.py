@@ -1035,6 +1035,38 @@ def q_inverted_index(spark, sf_dir):
     return text.inverted_index(load(spark, sf_dir, "documents"))
 
 
+def q_stream_exact_dedup(spark, sf_dir):
+    """Streaming exact dedup drained to a static result: documents as
+    an availableNow file-stream through streaming/stateful.dedup_stream
+    (cross-batch keyed state). The testdata table is ONE parquet file →
+    one micro-batch, so the operator's within-batch lowest-id-wins
+    policy makes the annotation deterministic and SQL-expressible —
+    which is what lets a custom STREAMING stateful operator carry a
+    DuckDB oracle row at all."""
+    import uuid
+
+    from streamforge_data_pipeline_spark.streaming.stateful import dedup_stream
+
+    df = load(spark, sf_dir, "documents")
+    name = "stream_exact_dedup_" + uuid.uuid4().hex[:8]
+    # file source wants a DIRECTORY; glob-filter it to the one table
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_dup_ngram_fraction(spark, sf_dir):
     return text.dup_ngram_fraction(load(spark, sf_dir, "documents"))
 
@@ -2304,6 +2336,17 @@ SELECT sh AS ngram, CAST(count(*) AS BIGINT) AS n,
   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM shr GROUP BY sh ORDER BY n DESC, ngram LIMIT 50""",
         "corpus top-k 3-gram counts with document frequency",
+    ),
+    "stream_exact_dedup": QuerySpec(
+        q_stream_exact_dedup,
+        """WITH h AS (SELECT doc_id, sha256(text) AS content_hash FROM documents),
+w AS (SELECT doc_id, content_hash,
+        min(doc_id) OVER (PARTITION BY content_hash) AS first_id
+      FROM h)
+SELECT doc_id, content_hash,
+  CASE WHEN doc_id = first_id THEN NULL ELSE first_id END AS dup_of
+FROM w""",
+        "streaming stateful exact dedup drained over the corpus (annotate-don't-drop)",
     ),
     "dup_ngram_fraction": QuerySpec(
         q_dup_ngram_fraction,
