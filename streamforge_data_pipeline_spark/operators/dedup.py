@@ -248,3 +248,55 @@ def simhash_near_pairs(sigs: DataFrame, doc_id: str = "doc_id",
     return cand.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b"))).filter(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+
+
+def canonical_selection(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Resolve near-dup clusters to a keep/replace map: every document
+    gets the canonical id of its cluster — the member with the LONGEST
+    content (``length_col`` desc, tie-break lowest id; "keep the
+    longest variant" is the standard near-dup resolution: truncated or
+    stripped copies lose to the fullest one). Docs in no cluster are
+    their own canonical. Emits (doc_id, canonical_id, kept) — the
+    final dedup step a training pipeline applies after
+    minhash_lsh_dedup + connected_components found the clusters.
+
+    Scale notes: builds on :func:`connected_components` (distributed
+    label propagation, bounded lineage); the canonical pick is one
+    row_number window partitioned by cluster_id — cluster-sized
+    partitions (near-cliques, small by construction), then an
+    AQE-broadcastable join of the (cluster -> canonical) table back to
+    the cluster membership, and a final left join on the doc key. No
+    driver materialization; no full-corpus window.
+    """
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs)
+    sized = cc.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(length_col).alias("__len")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("__len"), "doc_id")
+    canon = (
+        sized.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("__canon"))
+    )
+    resolved = cc.join(canon, "cluster_id").select(
+        "doc_id", F.col("__canon").alias("canonical_id")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(resolved, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
+            (F.coalesce("canonical_id", F.col("doc_id")) == F.col("doc_id")).alias(
+                "kept"
+            ),
+        )
+    )

@@ -747,3 +747,40 @@ def ngram_lm_score(df: DataFrame, id_col: str = "doc_id",
             (F.floor(F.col("__nll") * 1e4 + 0.5) / 1e4).alias("nll"),
         )
     )
+
+
+def vocab_coverage(df: DataFrame, text: str = "text", k: int = 1000) -> DataFrame:
+    """Token-vocabulary coverage curve: the top-``k`` terms by
+    occurrence count with each term's rank and the CUMULATIVE fraction
+    of all token occurrences covered through that rank — the statistic
+    a tokenizer/vocab designer reads to size a vocabulary ("how many
+    types cover 95% of tokens?"). Ties broken by term for determinism.
+
+    Scale notes: term counts are one partial-agg shuffle
+    (vocabulary-sized output, corpus-sized input); the top-k is
+    TakeOrderedAndProject (per-partition heaps). The cumulative sum
+    then runs over AT MOST k rows in a single partition — bounded by
+    the parameter, not the corpus — and the total-occurrences scalar
+    rides in via a broadcast 1-row crossJoin, not a collect.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(text)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    top = counts.orderBy(F.col("n").desc(), "term").limit(k)
+    w = Window.orderBy(F.col("n").desc(), "term").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(Window.orderBy(F.col("n").desc(), "term")).alias("rank"),
+            "term",
+            "n",
+            F.round(F.sum("n").over(w) / F.col("__total"), 4).alias("cum_frac"),
+        )
+    )

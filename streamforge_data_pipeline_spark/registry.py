@@ -1035,6 +1035,19 @@ def q_inverted_index(spark, sf_dir):
     return text.inverted_index(load(spark, sf_dir, "documents"))
 
 
+def q_canonical_selection(spark, sf_dir):
+    """Near-dup clusters resolved to a keep/replace map (longest
+    member wins); composes minhash_lsh_dedup + connected_components +
+    canonical pick — the pipeline's final dedup resolution step."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash.minhash_lsh_dedup(docs, tau=0.5)
+    return dedup.canonical_selection(docs, pairs)
+
+
+def q_vocab_coverage(spark, sf_dir):
+    return text.vocab_coverage(load(spark, sf_dir, "documents"))
+
+
 def q_stream_exact_dedup(spark, sf_dir):
     """Streaming exact dedup drained to a static result: documents as
     an availableNow file-stream through streaming/stateful.dedup_stream
@@ -2336,6 +2349,50 @@ SELECT sh AS ngram, CAST(count(*) AS BIGINT) AS n,
   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM shr GROUP BY sh ORDER BY n DESC, ngram LIMIT 50""",
         "corpus top-k 3-gram counts with document frequency",
+    ),
+    "canonical_selection": QuerySpec(
+        q_canonical_selection,
+        f"""WITH RECURSIVE {SHINGLE_CTES},
+{_LSH_CAND_CTES},
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+s AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT doc_a, doc_b
+          FROM p JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id
+          WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.5),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+r AS (SELECT u AS node, u AS reach FROM edges
+      UNION
+      SELECT r.node, e.v FROM r JOIN edges e ON r.reach = e.u),
+cc AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM r GROUP BY node),
+canon AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+    SELECT cc.cluster_id, cc.doc_id,
+      row_number() OVER (PARTITION BY cc.cluster_id
+                         ORDER BY d.n_chars DESC, cc.doc_id) AS rn
+    FROM cc JOIN documents d ON cc.doc_id = d.doc_id) WHERE rn = 1),
+resolved AS (SELECT cc.doc_id, canon.canonical_id
+             FROM cc JOIN canon ON cc.cluster_id = canon.cluster_id)
+SELECT d.doc_id, coalesce(resolved.canonical_id, d.doc_id) AS canonical_id,
+  coalesce(resolved.canonical_id, d.doc_id) = d.doc_id AS kept
+FROM documents d LEFT JOIN resolved ON d.doc_id = resolved.doc_id""",
+        "near-dup cluster resolution: longest member canonical, full keep/replace map",
+    ),
+    "vocab_coverage": QuerySpec(
+        q_vocab_coverage,
+        f"""WITH {TOKS_CTE},
+tok AS (SELECT unnest(ts) AS term FROM toks),
+c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY term),
+t AS (SELECT sum(n) AS total FROM c),
+top AS (SELECT term, n FROM c ORDER BY n DESC, term LIMIT 1000)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS INTEGER) AS rank,
+  term, n,
+  round(sum(n) OVER (ORDER BY n DESC, term ROWS UNBOUNDED PRECEDING)
+        * 1.0 / (SELECT total FROM t), 4) AS cum_frac
+FROM top""",
+        "token-vocabulary cumulative coverage curve (tokenizer sizing statistic)",
     ),
     "stream_exact_dedup": QuerySpec(
         q_stream_exact_dedup,

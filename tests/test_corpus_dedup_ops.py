@@ -162,3 +162,70 @@ def test_ngram_lm_score_excludes_sub_bigram_docs(spark):
     rows = [(1, "solo"), (2, "two tokens here")]
     out = {r["doc_id"] for r in ngram_lm_score(_docs(spark, rows)).collect()}
     assert out == {2}
+
+
+# -------------------------------------------------- canonical_selection
+
+
+def test_canonical_selection_longest_wins(spark):
+    from streamforge_data_pipeline_spark.operators.dedup import canonical_selection
+
+    docs = spark.createDataFrame(
+        [
+            (1, 40),   # cluster A, shorter
+            (2, 90),   # cluster A, longest -> canonical
+            (3, 90),   # cluster A, same length, higher id -> loses tie
+            (4, 10),   # unclustered
+            (5, 70),   # cluster B, shorter
+            (6, 80),   # cluster B, longest -> canonical
+        ],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r for r in canonical_selection(docs, pairs).collect()}
+    assert out[2]["canonical_id"] == 2 and out[2]["kept"]
+    assert out[1]["canonical_id"] == 2 and not out[1]["kept"]
+    assert out[3]["canonical_id"] == 2 and not out[3]["kept"]  # tie -> lower id
+    assert out[4]["canonical_id"] == 4 and out[4]["kept"]      # self-canonical
+    assert out[6]["canonical_id"] == 6 and out[6]["kept"]      # 80 > 70
+    assert out[5]["canonical_id"] == 6 and not out[5]["kept"]
+    # exactly one kept doc per cluster + all unclustered
+    assert sum(1 for r in out.values() if r["kept"]) == 3
+
+
+def test_canonical_selection_transitive_cluster(spark):
+    """A chain a-b, b-c resolves all three to ONE canonical even though
+    a and c never paired directly (connected components, not pairs)."""
+    from streamforge_data_pipeline_spark.operators.dedup import canonical_selection
+
+    docs = spark.createDataFrame(
+        [(10, 5), (11, 9), (12, 7)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(10, 11), (11, 12)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r["canonical_id"] for r in canonical_selection(docs, pairs).collect()}
+    assert out == {10: 11, 11: 11, 12: 11}
+
+
+# ------------------------------------------------------ vocab_coverage
+
+
+def test_vocab_coverage_brute_force(spark):
+    from streamforge_data_pipeline_spark.operators.text import vocab_coverage
+
+    rows = [(1, "a a a b b c"), (2, "a b d"), (3, "a c c e")]
+    counts: dict[str, int] = {}
+    for _, t in rows:
+        for tok in t.split():
+            counts[tok] = counts.get(tok, 0) + 1
+    total = sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    out = vocab_coverage(_docs(spark, rows), k=3).collect()
+    assert [r["term"] for r in out] == [t for t, _ in ranked[:3]]
+    cum = 0
+    for r, (t, n) in zip(out, ranked):
+        cum += n
+        assert r["n"] == n
+        assert r["cum_frac"] == pytest.approx(round(cum / total, 4), abs=1e-9)
+    assert out[0]["rank"] == 1 and out[-1]["rank"] == 3
