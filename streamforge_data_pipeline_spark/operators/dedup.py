@@ -152,11 +152,18 @@ def connected_components(
     """
     checkpoint_every = 4
     prev_ckpt = None
+    # localCheckpoint, NOT persist: persist caches the DATA but every
+    # iteration's join (and its `changed` count action) would still
+    # re-analyze the full logical plan behind `pairs` — for LSH-derived
+    # pairs that subtree is the whole minhash pipeline, and the
+    # per-iteration Catalyst cost dominated end-to-end time (measured
+    # at sf0.1: 34.8 s for 256 pairs with persist, ~3 s flattened).
+    # The edge list is pair-sized — far smaller than the corpus.
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -195,7 +202,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
+    # edges is localCheckpoint-ed: unpersist() would be a no-op (the
+    # blocks never enter the cache manager), and an explicit free would
+    # be UNSAFE — the returned labels generation, when merely persisted
+    # (not on a checkpoint boundary), still reaches edges through its
+    # lineage if a partition gets evicted. The blocks release when the
+    # frame's RDD handle is GC'd after callers drop the result.
     return labels
 
 
@@ -275,7 +287,15 @@ def canonical_selection(
     """
     from pyspark.sql import Window
 
-    cc = connected_components(pairs)
+    # Flatten the component labels to a LogicalRDD before fanning out:
+    # this plan references cc FOUR times (sized, canon, resolved, and
+    # the final join), and cc's own plan is iterations-deep over the
+    # full pair-generation subtree — without the checkpoint, Catalyst
+    # re-analyzes that tree per reference (measured ~85 s of fixed
+    # plan-analysis at ANY data size; 19 s after). The checkpointed
+    # frame holds only clustered docs — dup-cluster membership, far
+    # smaller than the corpus.
+    cc = connected_components(pairs).localCheckpoint(eager=True)
     sized = cc.join(
         docs.select(F.col(id_col).alias("doc_id"), F.col(length_col).alias("__len")),
         "doc_id",

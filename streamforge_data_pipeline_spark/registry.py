@@ -1062,12 +1062,18 @@ def q_stream_exact_dedup(spark, sf_dir):
 
     df = load(spark, sf_dir, "documents")
     name = "stream_exact_dedup_" + uuid.uuid4().hex[:8]
-    # file source wants a DIRECTORY; glob-filter it to the one table
-    stream = (
-        spark.readStream.schema(df.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    # file source wants a DIRECTORY: multi-file layouts store the
+    # table AS a directory (stream it directly); the driver's
+    # single-FILE layout needs the parent dir + a glob on the name
+    table_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(table_path):
+        stream = spark.readStream.schema(df.schema).parquet(table_path)
+    else:
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
     q = (
         dedup_stream(stream)
         .writeStream.format("memory")
