@@ -1035,6 +1035,43 @@ def q_inverted_index(spark, sf_dir):
     return text.inverted_index(load(spark, sf_dir, "documents"))
 
 
+def q_stream_near_dedup(spark, sf_dir):
+    """Continuous near-dup ingestion drained over the corpus as ONE
+    micro-batch (streaming/near_dedup_stream): with no pre-existing
+    corpus the decision log is exactly the in-batch resolution —
+    connected-component members point at their cluster minimum
+    ('batch'), representatives admit ('admitted') — which the
+    recursive-CTE closure expresses in SQL. The multi-batch/probe
+    path is covered by tests/test_streaming_near_dedup.py
+    postconditions."""
+    import tempfile
+
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from streamforge_data_pipeline_spark.streaming.near_dedup_stream import (
+        start_stream_near_dedup,
+    )
+
+    work = tempfile.mkdtemp(prefix="sfdp_stream_nd_")
+    store = TableStore(os.path.join(work, "store"))
+    table_path = os.path.join(sf_dir, "documents.parquet")
+    src = table_path if os.path.isdir(table_path) else sf_dir
+    q = start_stream_near_dedup(
+        spark,
+        src,
+        store,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        max_files_per_trigger=10_000,  # one batch: deterministic + oracle-able
+    )
+    q.awaitTermination()
+    log = store.read(spark, "near_dup_log")
+    if not os.path.isdir(table_path):
+        # single-file layout streamed the whole sf_dir: scope to docs
+        log = log.join(
+            load(spark, sf_dir, "documents").select("doc_id"), "doc_id", "left_semi"
+        )
+    return log
+
+
 def q_canonical_selection(spark, sf_dir):
     """Near-dup clusters resolved to a keep/replace map (longest
     member wins); composes minhash_lsh_dedup + connected_components +
@@ -2355,6 +2392,30 @@ SELECT sh AS ngram, CAST(count(*) AS BIGINT) AS n,
   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM shr GROUP BY sh ORDER BY n DESC, ngram LIMIT 50""",
         "corpus top-k 3-gram counts with document frequency",
+    ),
+    "stream_near_dedup": QuerySpec(
+        q_stream_near_dedup,
+        f"""WITH RECURSIVE {SHINGLE_CTES},
+{_LSH_CAND_CTES},
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+s AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT doc_a, doc_b
+          FROM p JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id
+          WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.5),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+r AS (SELECT u AS node, u AS reach FROM edges
+      UNION
+      SELECT r.node, e.v FROM r JOIN edges e ON r.reach = e.u),
+cc AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM r GROUP BY node),
+m AS (SELECT doc_id, cluster_id FROM cc WHERE doc_id <> cluster_id)
+SELECT d.doc_id, m.cluster_id AS dup_of, CAST(NULL AS DOUBLE) AS jaccard,
+  CASE WHEN m.cluster_id IS NOT NULL THEN 'batch' ELSE 'admitted' END AS origin
+FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""",
+        "continuous near-dup ingestion drained as one batch: decision log",
     ),
     "canonical_selection": QuerySpec(
         q_canonical_selection,
