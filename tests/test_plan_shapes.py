@@ -121,3 +121,29 @@ def test_inverted_index_bounds_postings_before_agg(spark):
 
     collects = re.findall(r"collect_list\([^)]*\)", plan)
     assert collects and all("CASE WHEN" in c for c in collects), plan
+
+
+def test_new_text_ops_stay_jvm_side(spark):
+    # r4 corpus ops: tokenize/count/window work must be codegen'd
+    # column expressions — no Python in any hot path.
+    for key in ("dup_ngram_fraction", "line_dedup", "ngram_lm_score",
+                "vocab_coverage"):
+        plan = _plan(spark, key)
+        assert "BatchEvalPython" not in plan, key
+        assert "ArrowEvalPython" not in plan, key
+        assert "CartesianProduct" not in plan, key
+
+
+def test_ngram_lm_score_broadcasts_vocab_scalar(spark):
+    # V rides in as a broadcast 1-row relation, never a collect; the
+    # count-table joins must not degrade to a cartesian.
+    plan = _plan(spark, "ngram_lm_score")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row V crossJoin
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_vocab_coverage_uses_take_ordered_heap(spark):
+    # top-k must be per-partition heaps; the cumulative window then
+    # touches only k rows.
+    plan = _plan(spark, "vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
