@@ -10,14 +10,19 @@ import duckdb
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
     ):
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # multi-file layouts store each table AS a directory of parts
+        # (datagen_star --multi-file); the driver layout is one file
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 
