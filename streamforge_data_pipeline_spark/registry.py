@@ -1072,6 +1072,52 @@ def q_stream_near_dedup(spark, sf_dir):
     return log
 
 
+def q_stream_running_totals(spark, sf_dir):
+    """applyInPandasWithState keyed accumulators drained over the
+    events table; the per-user FINAL accumulator (update-mode streams
+    emit one row per key per batch — max() collapses to the last) must
+    equal the batch aggregate. Integer columns only: the double
+    total_value accumulates in pandas arrival order, which no
+    engine-portable oracle can replay (covered instead by the
+    stream==batch parity pytest)."""
+    df = load(spark, sf_dir, "events")
+    import uuid
+
+    from streamforge_data_pipeline_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    table_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(table_path):
+        stream = spark.readStream.schema(df.schema).parquet(table_path)
+    else:
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    # nanos-parquet adapter: the raw stream reads ts as long; the
+    # stateful op only touches value/event_id, so no rebuild needed
+    name = "stream_running_totals_" + uuid.uuid4().hex[:8]
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("last_event_id").alias("last_event_id"),
+        )
+    )
+
+
 def q_canonical_selection(spark, sf_dir):
     """Near-dup clusters resolved to a keep/replace map (longest
     member wins); composes minhash_lsh_dedup + connected_components +
@@ -2392,6 +2438,13 @@ SELECT sh AS ngram, CAST(count(*) AS BIGINT) AS n,
   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM shr GROUP BY sh ORDER BY n DESC, ngram LIMIT 50""",
         "corpus top-k 3-gram counts with document frequency",
+    ),
+    "stream_running_totals": QuerySpec(
+        q_stream_running_totals,
+        """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(max(event_id) AS BIGINT) AS last_event_id
+FROM events GROUP BY user_id""",
+        "stateful streaming accumulators drained: final per-user counters == batch agg",
     ),
     "stream_near_dedup": QuerySpec(
         q_stream_near_dedup,
