@@ -280,19 +280,30 @@ def lsh_probe_dedup(
             Window.partitionBy("doc_new").orderBy(F.desc("jaccard"), "doc_idx")
         ),
     ).filter(F.col("__rk") == 1)
-    # Materialize the best-match table (bounded by the incoming batch —
-    # this is a micro-batch operator by design), then RELEASE the two
-    # token-scale shingle caches: without this, repeated probe calls in
-    # a long-lived session accumulate executor storage (r3 advice).
+    # Materialize the final per-incoming-doc result (bounded by the
+    # incoming batch — this is a micro-batch operator by design) as an
+    # eager localCheckpoint, then RELEASE every cache this call made:
+    # the two token-scale shingle frames AND the best-match table.
+    # Leaving `best` persisted leaked one cached table per probe call —
+    # in the continuous near_dedup_stream path (one probe per
+    # micro-batch) executor storage crept until the JVM ContextCleaner
+    # happened to GC it (r4 advice; the r3 note here only released the
+    # shingle caches). Checkpointing the result also flattens the plan
+    # for the stream composition's downstream multi-reference joins.
     best = best.select(
         F.col("doc_new").alias("doc_id"),
         F.col("doc_idx").alias("dup_of"),
         "jaccard",
     ).persist()
-    best.count()
+    out = (
+        incoming.select(F.col(id_col).alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .localCheckpoint(eager=True)
+    )
+    best.unpersist()
     sh_new.unpersist()
     sh_idx.unpersist()
-    return incoming.select(F.col(id_col).alias("doc_id")).join(best, "doc_id", "left")
+    return out
 
 
 def allpairs_jaccard(

@@ -625,38 +625,67 @@ def dup_ngram_fraction(df: DataFrame, id_col: str = "doc_id",
 
 
 def line_dedup(df: DataFrame, id_col: str = "doc_id",
-               text: str = "text") -> DataFrame:
-    """C4-style corpus-wide line deduplication: any line occurring more
-    than once across the corpus is kept only at its first occurrence
-    (ordered by (doc_id, line_no)) and removed everywhere else; each
-    document is re-assembled from its surviving lines. Emits every
-    input doc with (text_clean, n_lines, n_kept) — n_kept==0 docs
-    survive with empty text so a downstream length prune can drop them
-    explicitly. [C4: Raffel et al. 2020 §2.2 "three-sentence span"
-    dedup, simplified to exact lines — the standard first pass before
-    MinHash; cf. exact_dedup (whole-doc) and near_dedup (fuzzy).]
+               text: str = "text", min_chars: int = 15) -> DataFrame:
+    """C4-style corpus-wide line deduplication: any dedupable line
+    occurring more than once across the corpus is kept only at its
+    first occurrence (ordered by (doc_id, line_no)) and removed
+    everywhere else; each document is re-assembled from its surviving
+    lines. Lines shorter than ``min_chars`` characters are EXEMPT —
+    they always survive — so paragraph breaks (the empty line) and
+    trivial short lines are never stripped corpus-wide, matching the
+    public line-dedup recipes (C4/CCNet/RefinedWeb all exempt or never
+    consider short lines); set ``min_chars=0`` for strict all-lines
+    dedup. Emits every input doc with (text_clean, n_lines, n_kept) —
+    n_kept==0 docs survive with empty text so a downstream length
+    prune can drop them explicitly. [C4: Raffel et al. 2020 §2.2
+    "three-sentence span" dedup, simplified to exact lines — the
+    standard first pass before MinHash; cf. exact_dedup (whole-doc)
+    and near_dedup (fuzzy).]
 
-    Scale notes: lines shuffle ONCE on the line value for the
-    first-occurrence window (row_number over (line) ordered by
-    (doc_id, line_no)) — a hot boilerplate line is a single window
-    partition, which is exactly the skew AQE's skew-join cannot split,
-    so the window ranks (doc_id, line_no) pairs only: the payload the
-    reducer holds is two longs per occurrence, not the line text
-    (the text rides as the partition key itself, stored once per
-    shuffle block). Reassembly groups by doc_id — second shuffle —
-    with sort_array over (line_no, line) structs: per-doc state is
-    bounded by document size. The left join back to the input restores
-    all-lines-removed docs; it joins on the doc key, co-partitioned
-    with the reassembly output.
+    Scale notes (the r4→r5 de-skew): first occurrence is computed by
+    AGGREGATION, not a window — ``groupBy(group key).agg(min(struct(
+    doc_id, line_no)))``. An aggregation gets map-side partial
+    combine: every map partition contributes ONE row per distinct
+    line, so a corpus-hot boilerplate line reaches its reducer as at
+    most num_map_partitions rows instead of the billions-of-rows
+    single window partition the old ``row_number over (partition by
+    line)`` shape forced (un-splittable skew — AQE cannot split a
+    window partition). Exempt short lines are folded into the SAME
+    single pass by widening the group key with (doc_id, line_no) only
+    when the line is short — each short-line occurrence becomes a
+    singleton group that trivially wins itself, so there is no second
+    scan, no union, and the hottest key in any real corpus (the empty
+    line) never concentrates anywhere. The aggregation's output IS the
+    kept set — (first.doc_id, first.line_no, line) — so no join back
+    to the occurrence relation is needed at all. Reassembly groups by
+    doc_id — second shuffle — with sort_array over (line_no, line)
+    structs: per-doc state is bounded by document size. The left join
+    back to the input restores all-lines-removed docs; it joins on the
+    doc key, co-partitioned with the reassembly output.
     """
     lines = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text), "\n")).alias("line_no", "line"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
-    kept = lines.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    exempt = F.length("line") < F.lit(min_chars)
+    # Group key: the line itself, plus (doc_id, line_no) ONLY for
+    # exempt lines (F.when without otherwise -> typed NULL; groupBy
+    # treats NULLs as equal, so dedupable lines group corpus-wide
+    # while each exempt occurrence is its own singleton group).
+    grp = F.struct(
+        F.col("line").alias("l"),
+        F.when(exempt, F.col("doc_id")).alias("xd"),
+        F.when(exempt, F.col("line_no")).alias("xn"),
+    )
+    kept = (
+        lines.groupBy(grp.alias("g"))
+        .agg(F.min(F.struct("doc_id", "line_no")).alias("f"))
+        .select(
+            F.col("f.doc_id").alias("doc_id"),
+            F.col("f.line_no").alias("line_no"),
+            F.col("g.l").alias("line"),
+        )
+    )
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.concat_ws(

@@ -1044,6 +1044,7 @@ def q_stream_near_dedup(spark, sf_dir):
     recursive-CTE closure expresses in SQL. The multi-batch/probe
     path is covered by tests/test_streaming_near_dedup.py
     postconditions."""
+    import shutil
     import tempfile
 
     from streamforge_data_pipeline_spark.sources.store import TableStore
@@ -1054,21 +1055,27 @@ def q_stream_near_dedup(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="sfdp_stream_nd_")
     store = TableStore(os.path.join(work, "store"))
     table_path = os.path.join(sf_dir, "documents.parquet")
-    src = table_path if os.path.isdir(table_path) else sf_dir
+    if os.path.isdir(table_path):
+        src, glob = table_path, None
+    else:
+        # single-file layout: stream only the documents file — without
+        # the glob every sibling table (lineitem, orders, ...) is read
+        # with the (doc_id, text) schema and floods the pipeline with
+        # junk null rows (millions at sf1)
+        src, glob = sf_dir, "documents.parquet"
     q = start_stream_near_dedup(
         spark,
         src,
         store,
         checkpoint_dir=os.path.join(work, "ckpt"),
         max_files_per_trigger=10_000,  # one batch: deterministic + oracle-able
+        path_glob_filter=glob,
     )
     q.awaitTermination()
-    log = store.read(spark, "near_dup_log")
-    if not os.path.isdir(table_path):
-        # single-file layout streamed the whole sf_dir: scope to docs
-        log = log.join(
-            load(spark, sf_dir, "documents").select("doc_id"), "doc_id", "left_semi"
-        )
+    # pin the result into block-manager storage so the scratch dir can
+    # be deleted before returning (the caller collects lazily)
+    log = store.read(spark, "near_dup_log").localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
     return log
 
 
@@ -2547,13 +2554,14 @@ r AS (SELECT doc_id, line_no, line,
       FROM ln),
 kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
            string_agg(line, chr(10) ORDER BY line_no) AS text_clean
-         FROM r WHERE rn = 1 GROUP BY doc_id),
+         FROM r WHERE rn = 1 OR length(line) < 15 GROUP BY doc_id),
 base AS (SELECT doc_id, CAST(len(string_split(text, chr(10))) AS INTEGER) AS n_lines
          FROM documents)
 SELECT b.doc_id, coalesce(text_clean, '') AS text_clean, n_lines,
   CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
 FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id""",
-        "C4-style corpus-wide duplicate-line removal, docs reassembled",
+        "C4-style corpus-wide duplicate-line removal (short lines <15 "
+        "chars exempt), docs reassembled",
     ),
     "ngram_lm_score": QuerySpec(
         q_ngram_lm_score,

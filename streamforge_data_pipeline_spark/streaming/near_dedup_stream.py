@@ -97,7 +97,9 @@ def _resolve_batch(
     # (observed: their log rows vanished).
     if os.path.exists(store.path(corpus_table)):
         index = store.read(spark, corpus_table)
-        probed = lsh_probe_dedup(reps, index, tau=tau).localCheckpoint(eager=True)
+        # lsh_probe_dedup returns an already-localCheckpoint'ed frame
+        # (and releases its internal caches before returning)
+        probed = lsh_probe_dedup(reps, index, tau=tau)
         index_log = probed.filter(F.col("dup_of").isNotNull()).select(
             "doc_id", "dup_of", "jaccard", F.lit("index").alias("origin")
         )
@@ -107,7 +109,21 @@ def _resolve_batch(
         novel_ids = reps.select("doc_id")
 
     # ---- 3. admit + log (plans above are flat + pinned; the appends
-    # commit the already-determined decisions)
+    # commit the already-determined decisions). The LOG commits FIRST:
+    # it is the decision record the at-least-once re-run guard replays
+    # from. If the process dies between the two appends, the re-run's
+    # anti-join on logged doc_ids drops the whole batch and the only
+    # loss is the admitted docs' corpus rows — content the log already
+    # marks admitted, repairable by a log-vs-corpus anti-join backfill.
+    # The OLD order (corpus first) was worse than lossy: a crash after
+    # the corpus append but before the log append re-resolved the
+    # orphaned cluster members, which could elect a NEW representative
+    # whose jaccard against the already-admitted one falls below tau
+    # (clusters are transitive closures) — double-admitting near-dup
+    # content with no record tying the two together. Residual window:
+    # log-committed-but-corpus-missing batches under-populate the next
+    # batch's probe index until backfilled; decisions stay consistent
+    # because the log, not the corpus, is the idempotency source.
     admitted = reps.join(novel_ids, "doc_id", "left_semi")
     log = batch_log if index_log is None else batch_log.unionByName(index_log)
     admitted_log = admitted.select(
@@ -116,8 +132,8 @@ def _resolve_batch(
         F.lit(None).cast("double").alias("jaccard"),
         F.lit("admitted").alias("origin"),
     )
-    store.append(admitted, corpus_table)
     store.append(log.unionByName(admitted_log), log_table)
+    store.append(admitted, corpus_table)
 
 
 def start_stream_near_dedup(
@@ -130,16 +146,21 @@ def start_stream_near_dedup(
     log_table: str = "near_dup_log",
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    path_glob_filter: str | None = None,
 ) -> StreamingQuery:
     """Tail ``input_dir`` for parquet document files and run the
     resolve/probe/admit pipeline per micro-batch. Returns the running
     query; with ``available_now`` it drains the present files and
-    stops (production would run untriggered against the bucket)."""
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
+    stops (production would run untriggered against the bucket).
+    ``path_glob_filter`` scopes a mixed-table directory to the
+    document files — without it every sibling table is read with the
+    (doc_id, text) schema as junk null rows."""
+    reader = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if path_glob_filter is not None:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
+    stream = reader.parquet(input_dir)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         _resolve_batch(

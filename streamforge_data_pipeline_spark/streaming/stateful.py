@@ -128,38 +128,7 @@ def dedup_stream(
         F.col(id_col).cast("long").alias("doc_id"),
         F.sha2(F.col(text).cast("binary"), 256).alias("content_hash"),
     )
-
-    def update(
-        key: Tuple[Any, ...],
-        pdfs: Iterator[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            state.remove()
-            return
-        first = state.get[0] if state.exists else None
-        ids: list[int] = []
-        dups: list[Any] = []
-        for pdf in pdfs:
-            for doc_id in sorted(int(x) for x in pdf["doc_id"]):
-                if first is None:
-                    first = doc_id
-                    dups.append(None)
-                else:
-                    dups.append(first)
-                ids.append(doc_id)
-        state.update((first,))
-        if ttl_minutes is not None:
-            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
-        if ids:
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "content_hash": [key[0]] * len(ids),
-                    "dup_of": dups,
-                }
-            )
-
+    update = _make_dedup_update(ttl_minutes)
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if ttl_minutes is not None
@@ -172,3 +141,50 @@ def dedup_stream(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def _make_dedup_update(ttl_minutes: int | None):
+    """Build dedup_stream's per-key state function. Module-level (not a
+    closure inside dedup_stream) so the cross-chunk contract is unit-
+    testable with a fake GroupState and hand-built chunk iterators —
+    chunk boundaries are an Arrow batching artifact Spark won't let a
+    test place deterministically."""
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = state.get[0] if state.exists else None
+        # Accumulate ACROSS every pandas chunk before deciding the
+        # winner: applyInPandasWithState delivers a key's batch rows as
+        # an iterator of chunks (split at arrow.maxRecordsPerBatch), so
+        # computing min per-chunk would pin "first" to chunk 1's
+        # minimum and break the documented lowest-id-wins determinism
+        # for duplicate groups larger than one chunk (pinned in
+        # tests/test_streaming_dedup.py::test_dedup_group_spanning_chunks).
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        ids.sort()
+        if first is None and ids:
+            first = ids[0]
+            dups: list[Any] = [None] + [first] * (len(ids) - 1)
+        else:
+            dups = [first] * len(ids)
+        state.update((first,))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "content_hash": [key[0]] * len(ids),
+                    "dup_of": dups,
+                }
+            )
+
+    return update

@@ -35,7 +35,7 @@ def test_line_dedup_keeps_first_occurrence_only(spark):
             (3, "COMMON FOOTER\nunique delta"),
         ],
     )
-    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    out = {r["doc_id"]: r for r in line_dedup(df, min_chars=0).collect()}
     # doc 1 holds the first occurrence (lowest doc_id) — keeps all lines
     assert out[1]["text_clean"] == "unique alpha\nCOMMON FOOTER\nunique beta"
     assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
@@ -48,7 +48,7 @@ def test_line_dedup_keeps_first_occurrence_only(spark):
 
 def test_line_dedup_all_lines_removed_doc_survives_empty(spark):
     df = _docs(spark, [(1, "only line"), (2, "only line")])
-    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    out = {r["doc_id"]: r for r in line_dedup(df, min_chars=0).collect()}
     assert out[1]["text_clean"] == "only line"
     assert out[2]["text_clean"] == "" and out[2]["n_kept"] == 0
     assert out[2]["n_lines"] == 1
@@ -58,16 +58,84 @@ def test_line_dedup_within_doc_repeat_also_deduped(spark):
     # C4 semantics are corpus-wide: a line repeated WITHIN one doc is
     # still one surviving occurrence (the first by line_no).
     df = _docs(spark, [(7, "x\ny\nx\nz\nx")])
-    (row,) = line_dedup(df).collect()
+    (row,) = line_dedup(df, min_chars=0).collect()
     assert row["text_clean"] == "x\ny\nz"
     assert row["n_lines"] == 5 and row["n_kept"] == 3
 
 
 def test_line_dedup_preserves_line_order(spark):
     df = _docs(spark, [(1, "c\na\nb"), (2, "q\na\nr")])
-    out = {r["doc_id"]: r["text_clean"] for r in line_dedup(df).collect()}
+    out = {r["doc_id"]: r["text_clean"] for r in line_dedup(df, min_chars=0).collect()}
     assert out[1] == "c\na\nb"  # original order, not sorted
     assert out[2] == "q\nr"
+
+
+def test_line_dedup_short_lines_exempt_by_default(spark):
+    # Paragraph breaks (empty lines) and sub-min_chars lines survive in
+    # EVERY doc under the default policy — only long boilerplate dedups.
+    long_a = "this line is certainly longer than fifteen characters"
+    df = _docs(
+        spark,
+        [
+            (1, f"short one\n\n{long_a}\ntail of document one here"),
+            (2, f"short one\n\n{long_a}\ntail of document two here"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    # doc 1: everything survives (first occurrences + exempt shorts)
+    assert out[1]["text_clean"] == (
+        f"short one\n\n{long_a}\ntail of document one here"
+    )
+    # doc 2: loses only the long duplicated line; keeps the duplicated
+    # short line AND the empty paragraph break
+    assert out[2]["text_clean"] == "short one\n\ntail of document two here"
+    assert out[2]["n_lines"] == 4 and out[2]["n_kept"] == 3
+
+
+def test_line_dedup_min_chars_boundary(spark):
+    # exactly min_chars long -> dedupable; one char shorter -> exempt
+    line15 = "x" * 15
+    line14 = "y" * 14
+    df = _docs(spark, [(1, f"{line15}\n{line14}"), (2, f"{line15}\n{line14}")])
+    out = {r["doc_id"]: r["text_clean"] for r in line_dedup(df).collect()}
+    assert out[1] == f"{line15}\n{line14}"
+    assert out[2] == line14
+
+
+def test_line_dedup_hot_key_runtime_flat_vs_skewless(spark):
+    """Planted boilerplate skew: every doc shares the same hot footer
+    lines (30% of its lines). Under the old raw-line window all hot
+    occurrences landed in ONE task; the aggregation shape must keep
+    runtime in the same band as a fully skewless corpus of identical
+    size (generous 3x bound — same data volume, same line count)."""
+    import time
+
+    n_docs, lines_per_doc = 2000, 10
+    hot = [f"hot boilerplate footer line number {i} shared everywhere"
+           for i in range(3)]
+
+    def corpus(skewed: bool):
+        rows = []
+        for d in range(n_docs):
+            ls = [f"doc {d} unique content line {j} with enough length"
+                  for j in range(lines_per_doc - (3 if skewed else 0))]
+            if skewed:
+                ls += hot
+            rows.append((d, "\n".join(ls)))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(df):
+        t0 = time.monotonic()
+        df_out = line_dedup(df)
+        n = df_out.count()
+        return time.monotonic() - t0, n
+
+    # warm both paths once to exclude plan-compilation noise
+    run(corpus(True)), run(corpus(False))
+    t_skew, n_skew = run(corpus(True))
+    t_flat, n_flat = run(corpus(False))
+    assert n_skew == n_flat == n_docs
+    assert t_skew < max(3 * t_flat, t_flat + 2.0), (t_skew, t_flat)
 
 
 # ------------------------------------------------------- dup_ngram_fraction

@@ -134,6 +134,17 @@ def test_new_text_ops_stay_jvm_side(spark):
         assert "CartesianProduct" not in plan, key
 
 
+def test_line_dedup_no_window_over_raw_line(spark):
+    # The r5 de-skew: first occurrence must come from an aggregation
+    # (map-side partial combine collapses hot boilerplate lines), NEVER
+    # a Window partitioned by the raw line value — a window partition
+    # is un-splittable, so a corpus-hot line would serialize one task.
+    plan = _plan(spark, "line_dedup")
+    assert "Window" not in plan, plan
+    # and the first-occurrence agg must have a partial (map-side) pass
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan
+
+
 def test_ngram_lm_score_broadcasts_vocab_scalar(spark):
     # V rides in as a broadcast 1-row relation, never a collect; the
     # count-table joins must not degrade to a cartesian.

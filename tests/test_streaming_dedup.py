@@ -104,6 +104,65 @@ def test_dedup_stream_matches_batch_exact_dedup(spark, tmp_path):
     assert len(got) == 40
 
 
+class _FakeState:
+    """Minimal GroupState double for unit-testing the update fn."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_dedup_group_spanning_chunks_global_min_wins():
+    """applyInPandasWithState delivers one key's batch rows as an
+    ITERATOR of pandas chunks (split at arrow.maxRecordsPerBatch).
+    The lowest-id-wins contract is over the whole micro-batch, so the
+    winner must be the min across ALL chunks — a per-chunk decision
+    would crown chunk 1's minimum (50) even though a later chunk holds
+    doc 7. Spark gives tests no deterministic control over chunk
+    placement, hence the direct-invocation double."""
+    import pandas as pd
+
+    from streamforge_data_pipeline_spark.streaming.stateful import (
+        _make_dedup_update,
+    )
+
+    update = _make_dedup_update(None)
+    state = _FakeState()
+    chunks = iter(
+        [
+            pd.DataFrame({"doc_id": [50, 90]}),
+            pd.DataFrame({"doc_id": [7, 60]}),  # global min in chunk 2
+        ]
+    )
+    (out,) = list(update(("hash-x",), chunks, state))
+    got = dict(zip(out["doc_id"], out["dup_of"]))
+    assert got[7] is None or pd.isna(got[7])  # winner is unannotated
+    assert all(got[i] == 7 for i in (50, 60, 90))
+    assert state.get == (7,)
+    # a second batch for the same key defers to the stored winner
+    chunks2 = iter([pd.DataFrame({"doc_id": [3]})])
+    (out2,) = list(update(("hash-x",), chunks2, state))
+    assert list(out2["dup_of"]) == [7]  # state won, even vs a lower id
+    assert state.get == (7,)
+
+
 def test_dedup_stream_ttl_path_runs(spark, tmp_path):
     """TTL smoke: the ProcessingTimeTimeout variant drains green and
     produces the same annotations within a single horizon."""
