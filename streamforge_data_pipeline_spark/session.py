@@ -41,6 +41,31 @@ def get_session(app_name: str = "streamforge-spark", cpus: int | None = None) ->
     )
 
 
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state(spark: SparkSession, enabled: bool = True) -> None:
+    """Route streaming state stores through RocksDB instead of the
+    default HDFS-backed in-memory provider. Runtime conf — applies to
+    queries STARTED after the call (each query latches the provider at
+    start). At cluster scale this is the configuration the stateful
+    docstrings assume: state lives off-heap in per-partition RocksDB
+    instances with incremental snapshot upload to the checkpoint
+    location, so keyed state (e.g. dedup_stream's hash -> first_id
+    map) is bounded by disk, not executor heap. Verified green for
+    both applyInPandasWithState ops in
+    tests/test_state_store_providers.py."""
+    if enabled:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            ROCKSDB_STATE_PROVIDER,
+        )
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 TESTDATA_TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )

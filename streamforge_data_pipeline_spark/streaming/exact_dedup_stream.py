@@ -1,0 +1,170 @@
+"""Continuous exact-dedup corpus ingestion — the all-JVM scan-scale
+counterpart of streaming/stateful.dedup_stream.
+
+Same contract as dedup_stream (annotate-don't-drop, lowest-id-wins
+within a batch, first-arrival-wins across batches), different engine:
+foreachBatch + a persistent (content_hash -> first_id) index table,
+so every per-batch step is a Catalyst-planned JVM aggregation/join —
+no Python touches any row.
+
+Why this exists next to dedup_stream: applyInPandasWithState invokes
+the Python state function once per KEY per batch (~0.65 ms/key
+measured at sf1 — linear in distinct hashes, the one ~linear scaler in
+the r4 sf1 table). The r4 brief's proposed fix — a JVM
+``groupBy(content_hash)`` pre-compaction in front of the state op — is
+rejected by Spark ("applyInPandasWithState in update mode is not
+supported with aggregation on a streaming DataFrame", the
+multiple-stateful-operators rule) and would not have moved the number
+anyway: the sf1 corpus has 49,854 distinct hashes over 50,000 docs, so
+collapsing rows-per-key shaves 0.3% while the per-key invocation count
+— the actual cost — stays put. The scalable shape is to keep the state
+in a TABLE and let joins do the probing, exactly like
+near_dedup_stream does for the fuzzy case:
+
+Per micro-batch (foreachBatch — blocking, sequential, per-batch
+atomic):
+
+1. hash: sha256 over content (JVM codegen).
+2. in-batch winners: ``groupBy(content_hash).agg(min(doc_id))`` — one
+   partial-agg shuffle, content skew collapses map-side.
+3. index probe: left join winners against the stored index; a hit
+   means the hash's first arrival is already fixed (its first_id wins
+   over any in-batch id — first-ARRIVAL-wins, as dedup_stream).
+4. annotate: join the batch's hashed rows back to the per-hash winner;
+   dup_of NULL for the winner row, the winner id everywhere else.
+5. log-first commit: append annotations to the decision log, THEN
+   append novel (hash, first_id) rows to the index (same crash
+   ordering argument as near_dedup_stream: the log is what the
+   at-least-once re-run guard replays from).
+
+Scale notes: the index is corpus-distinct-hash-sized (32-byte hash +
+one long per distinct content — ~3 TB of index for 100 TB of raw text,
+mostly the hashes themselves) and append-only; at cluster scale it
+would be written bucketed on content_hash (sources/store.write_bucketed
+— plan-verified to eliminate both probe-join exchanges) so the
+per-batch probe co-locates without shuffling the index. Per-batch work
+is two shuffles of |batch| rows plus the index probe join; nothing
+grows with the number of batches. State-store framing: the "state" is
+a parquet table the engine re-plans joins against, not per-key entries
+a Python function is invoked over — that is what removes the ~linear
+term (measured in PERF_NOTES r5: sf0.1 -> sf1 wall ratio ~2x vs the
+state op's 9.8x).
+
+Reference parity: annotate-don't-drop mirrors the reference's
+duplicate REPORTING (BackgroundCsvProcessor.java:242 marks in-file
+duplicates as errors rather than silently skipping); the index table
+is the scaled-out form of its in-memory existingIds set
+(BackgroundCsvProcessor.java:61).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from streamforge_data_pipeline_spark.sources.store import TableStore
+
+
+def _resolve_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    store: TableStore,
+    index_table: str,
+    log_table: str,
+    id_col: str,
+    text: str,
+) -> None:
+    # idempotent re-run guard: the log is the decision record — a
+    # doc_id it already holds was fully decided, drop it from the batch
+    if os.path.exists(store.path(log_table)):
+        seen = store.read(spark, log_table).select("doc_id")
+        batch_df = batch_df.join(seen, "doc_id", "left_anti")
+
+    hashed = batch_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.sha2(F.col(text).cast("binary"), 256).alias("content_hash"),
+    ).localCheckpoint(eager=True)
+
+    # in-batch winner per hash: min(doc_id) — partial agg, skew-proof
+    firsts = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("batch_first")
+    )
+    if os.path.exists(store.path(index_table)):
+        idx = store.read(spark, index_table)
+        firsts = firsts.join(idx, "content_hash", "left")
+    else:
+        firsts = firsts.withColumn("first_id", F.lit(None).cast("long"))
+    # the hash's winner: the indexed first arrival if the hash is
+    # known, else this batch's lowest id (which then becomes indexed)
+    winners = firsts.select(
+        "content_hash",
+        F.coalesce("first_id", "batch_first").alias("winner"),
+        F.col("first_id").isNull().alias("novel"),
+    ).localCheckpoint(eager=True)  # pin decisions to the PRE-append index
+
+    out = (
+        hashed.join(winners, "content_hash")
+        .select(
+            "doc_id",
+            "content_hash",
+            F.when(F.col("doc_id") == F.col("winner"), F.lit(None).cast("long"))
+            .otherwise(F.col("winner"))
+            .alias("dup_of"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # log-first commit (see module docstring for the crash argument)
+    store.append(out, log_table)
+    store.append(
+        winners.filter("novel").select(
+            "content_hash", F.col("winner").alias("first_id")
+        ),
+        index_table,
+    )
+
+
+def start_stream_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    store: TableStore,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+    index_table: str = "hash_index",
+    log_table: str = "exact_dedup_log",
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    path_glob_filter: str | None = None,
+) -> StreamingQuery:
+    """Tail ``input_dir`` for parquet document files and run the
+    hash/probe/annotate pipeline per micro-batch. The decision log
+    table accumulates one row per document: (doc_id, content_hash,
+    dup_of) with dup_of NULL for each content's first arrival —
+    byte-identical contract to stateful.dedup_stream's output."""
+    reader = spark.readStream.schema(f"{id_col} long, {text} string").option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if path_glob_filter is not None:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
+    stream = reader.parquet(input_dir)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        _resolve_batch(
+            batch_df.sparkSession,
+            batch_df,
+            store,
+            index_table,
+            log_table,
+            id_col,
+            text,
+        )
+
+    writer = stream.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -118,8 +118,11 @@ def dedup_stream(
     (pinned in tests/test_streaming_dedup.py).
 
     Scale notes: state per key is ONE long (the winning doc_id) keyed
-    by the 64-char hash — ~80 bytes/doc in the state store, RocksDB-
-    backed at cluster scale; the shuffle key is the hash, so arriving
+    by the 64-char hash — ~80 bytes/doc in the state store; at cluster
+    scale run it RocksDB-backed via session.enable_rocksdb_state
+    (wired + green under both providers in
+    tests/test_state_store_providers.py); the shuffle key is the hash,
+    so arriving
     batches partition evenly regardless of content skew. The pandas
     frames per key are duplicate groups — tiny; no batch-wide
     collection anywhere.

@@ -1,0 +1,152 @@
+"""foreachBatch all-JVM exact dedup ingestion (streaming/
+exact_dedup_stream): contract parity with the applyInPandasWithState
+op, first-ARRIVAL-wins across batches, idempotent re-runs."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from streamforge_data_pipeline_spark.sources.store import TableStore
+from streamforge_data_pipeline_spark.streaming.exact_dedup_stream import (
+    _resolve_batch,
+    start_stream_exact_dedup,
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _drain(spark, src, tmp_path, tag, max_files=1):
+    store = TableStore(str(tmp_path / f"store_{tag}"))
+    q = start_stream_exact_dedup(
+        spark,
+        src,
+        store,
+        checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+        max_files_per_trigger=max_files,
+    )
+    q.awaitTermination()
+    return store
+
+
+def test_exact_dedup_stream_annotates_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [(10, "alpha"), (11, "beta"), (12, "alpha")])
+    time.sleep(1.1)
+    # doc 5 has a LOWER id than batch-1's winner but arrives later:
+    # first-ARRIVAL-wins means it must point at 10, not claim the hash
+    _write_batch(spark, src, [(5, "alpha"), (21, "gamma")])
+
+    store = _drain(spark, src, tmp_path, "basic")
+    rows = store.read(spark, "exact_dedup_log").collect()
+    assert len(rows) == 5  # annotate, never drop
+    by_id = {r["doc_id"]: r["dup_of"] for r in rows}
+    assert by_id == {10: None, 11: None, 12: 10, 5: 10, 21: None}
+    # index holds one row per distinct content
+    idx = {r["content_hash"]: r["first_id"]
+           for r in store.read(spark, "hash_index").collect()}
+    assert len(idx) == 3 and set(idx.values()) == {10, 11, 21}
+
+
+def test_exact_dedup_stream_matches_state_op_and_batch(spark, tmp_path):
+    """Same corpus through (a) this engine, (b) the applyInPandasWithState
+    op, (c) the batch exact-dedup aggregate — identical keep sets."""
+    from streamforge_data_pipeline_spark.streaming.stateful import dedup_stream
+
+    src = str(tmp_path / "src")
+    rows1 = [(i, f"text-{i % 7}") for i in range(0, 20)]
+    rows2 = [(i, f"text-{i % 7}") for i in range(20, 40)]
+    _write_batch(spark, src, rows1)
+    time.sleep(1.1)
+    _write_batch(spark, src, rows2)
+
+    store = _drain(spark, src, tmp_path, "parity")
+    jvm = {
+        (r["doc_id"], r["dup_of"])
+        for r in store.read(spark, "exact_dedup_log").collect()
+    }
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("state_op_parity")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = {
+        (r["doc_id"], r["dup_of"])
+        for r in spark.table("state_op_parity").collect()
+    }
+    assert jvm == state
+
+    batch = spark.read.parquet(src)
+    expected_kept = {
+        r["doc_id"]
+        for r in batch.groupBy(F.sha2(F.col("text").cast("binary"), 256))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    assert {d for d, dup in jvm if dup is None} == expected_kept
+
+
+def test_exact_dedup_stream_rerun_is_idempotent(spark, tmp_path):
+    """Re-delivering an already-decided batch (at-least-once) must not
+    duplicate log rows, steal winners, or grow the index."""
+    store = TableStore(str(tmp_path / "store_idem"))
+    batch = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, text string"
+    )
+    _resolve_batch(spark, batch, store, "hash_index", "exact_dedup_log",
+                   "doc_id", "text")
+    first = sorted(
+        (r["doc_id"], r["dup_of"])
+        for r in store.read(spark, "exact_dedup_log").collect()
+    )
+    _resolve_batch(spark, batch, store, "hash_index", "exact_dedup_log",
+                   "doc_id", "text")
+    again = sorted(
+        (r["doc_id"], r["dup_of"])
+        for r in store.read(spark, "exact_dedup_log").collect()
+    )
+    assert first == again == [(1, None), (2, 1), (3, None)]
+    assert store.read(spark, "hash_index").count() == 2
+
+
+def test_exact_dedup_stream_no_python_in_batch_plan(spark, tmp_path):
+    """The per-batch resolution must be pure JVM — that is the point of
+    this engine. Build the same batch plan the foreachBatch commit runs
+    and assert no Python eval node."""
+    store = TableStore(str(tmp_path / "store_plan"))
+    batch = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, text string")
+    _resolve_batch(spark, batch, store, "hash_index", "exact_dedup_log",
+                   "doc_id", "text")
+    # the second-batch shape (index now exists) is the steady state
+    hashed = spark.createDataFrame(
+        [(3, "a"), (4, "b")], "doc_id long, text string"
+    ).select(
+        F.col("doc_id"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("content_hash"),
+    )
+    idx = store.read(spark, "hash_index")
+    plan = (
+        hashed.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("batch_first"))
+        .join(idx, "content_hash", "left")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
