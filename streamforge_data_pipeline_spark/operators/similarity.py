@@ -448,13 +448,28 @@ def semantic_dedup(
     Iterative (k-means + fixpoint) -> rows-only driver check, like the
     other ann_* operators.
     """
-    from streamforge_data_pipeline_spark.functions import dot_double
-    from streamforge_data_pipeline_spark.operators.dedup import connected_components
-
     cents = kmeans_centroids(
         vectors, n_clusters=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
     )
     assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col, nprobe=1)
+    return _dedup_within_cells(vectors, assigned, tau, id_col, vec_col)
+
+
+def _dedup_within_cells(
+    vectors: DataFrame,
+    assigned: DataFrame,
+    tau: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The quadratic-risk machinery shared by :func:`semantic_dedup`
+    and :func:`semantic_dedup_fixed_cells`: within-cell all-pairs
+    cosine >= tau, transitive closure, min-id canonical pick.
+    ``assigned`` is any (id, cell) assignment; the cell function is the
+    only thing the two callers differ in."""
+    from streamforge_data_pipeline_spark.functions import dot_double
+    from streamforge_data_pipeline_spark.operators.dedup import connected_components
+
     vc = (
         vectors.select(id_col, vec_col)
         .join(assigned, id_col)
@@ -503,6 +518,39 @@ def semantic_dedup(
         group.alias("group_id"),
         (group == F.col(id_col)).alias("keep"),
     )
+
+
+def semantic_dedup_fixed_cells(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`semantic_dedup` with a DETERMINISTIC, SQL-expressible
+    coarse quantizer — cell = argmax |component| over the first
+    ``n_cells`` dimensions (ties -> lowest index) — instead of trained
+    k-means cells. Same contract: (id, group_id, keep).
+
+    Why this exists (r4 brief #7): the k-means train step is the ONLY
+    nondeterministic/iterative stage in semantic_dedup, which forced
+    the whole operator into a rows-only driver check. Splitting the
+    quantizer out lets the quadratic-RISK machinery — the within-cell
+    all-pairs cosine join, the >= tau filter, the transitive closure,
+    and the min-id canonical pick, i.e. everything that can actually
+    be WRONG at scale — carry a full DuckDB oracle row
+    (`semantic_dedup_cells`), leaving only the train step rows-only
+    (its recall curve vs the exact baseline is pytest-asserted). The
+    argmax quantizer is a real coarse quantizer (a 1-bit-per-dim polar
+    code over the leading dims), not a hash: cells still group
+    directionally-similar vectors, so the within-cell join exercises
+    the same skew/size behavior the k-means cells produce.
+    """
+    first = F.slice(F.col(vec_col), 1, n_cells)
+    mags = F.transform(first, lambda x: F.abs(x.cast("double")))
+    cell = (F.array_position(mags, F.array_max(mags)) - 1).cast("int")
+    assigned = vectors.select(F.col(id_col), cell.alias("cell"))
+    return _dedup_within_cells(vectors, assigned, tau, id_col, vec_col)
 
 
 def ann_topk_ivf(

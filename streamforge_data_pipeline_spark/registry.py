@@ -301,37 +301,21 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_near_dedup(spark, sf_dir):
-    """Exact token-3-gram Jaccard pairs >= 0.5 via inverted-index join.
-
-    Algorithm choice is corpus-statistic-driven: on this testdata the
-    shingle vocabulary is tiny (30 base words -> ~27k possible
-    3-grams, document frequency near-uniform), so the shared-shingle
-    co-pair volume is an OUTPUT property — no exact candidate scheme
-    can shrink it, and the single-count aggregate below is the
-    cheapest per row (measured: prefix-filtered variants cost 2-5x
-    more here). On realistic Zipf-vocabulary corpora the opposite
-    holds — see minhash.allpairs_jaccard (`allpairs_jaccard` key),
-    which is the documented exact path there, and minhash_lsh_dedup
-    for the probabilistic scale path."""
-    docs = load(spark, sf_dir, "documents")
-    sh = minhash.shingles(docs).persist()
-    inter = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    j = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
-    )
-    return j.filter(F.col("jaccard") >= 0.5).select(
-        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    """Exact token-3-gram Jaccard pairs >= 0.5, scheme AUTO-SELECTED
+    from the corpus df-distribution sketch (r4 brief #3): a high
+    singleton-shingle fraction (Zipf tail) routes to the prefix-
+    filtered AllPairs join; a saturated near-uniform vocabulary to the
+    naive shared-shingle self-join, whose co-pair volume is an output
+    property no candidate scheme can shrink (r4 A/B: prefix variants
+    2-5x slower there, 2.2-2.4x FASTER on Zipf corpora). On this
+    testdata the statistic flips with size — singleton frac 0.57 at
+    sf0.001/0.01 (allpairs), 0.008 at sf0.1+ where 260k occurrences
+    saturate the ~27k trigram types (naive) — which is exactly why the
+    ENGINE sketches instead of trusting a per-corpus note. Both
+    schemes are result-identical; minhash.exact_jaccard_pairs has the
+    decision rule, tests pin both routes, PERF_NOTES r5 has the A/B."""
+    return minhash.exact_jaccard_pairs(
+        load(spark, sf_dir, "documents"), tau=0.5, scheme="auto"
     )
 
 
@@ -788,6 +772,18 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_cells(spark, sf_dir):
+    """SemDeDup's quadratic-risk machinery under a deterministic
+    argmax-|component| quantizer (r4 brief #7): within-cell pair join,
+    cosine >= tau filter, transitive closure, min-id canonical — all
+    oracle-checked; only the k-means train step of the full
+    semantic_dedup remains rows-only. tau 0.4 matches
+    embedding_near_dup's established cross-engine cosine recipe."""
+    return similarity.semantic_dedup_fixed_cells(
+        load(spark, sf_dir, "embeddings"), n_cells=8, tau=0.4
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     return similarity.label_centroids(load(spark, sf_dir, "embeddings"))
 
@@ -1176,6 +1172,42 @@ def q_stream_exact_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_exact_dedup_jvm(spark, sf_dir):
+    """foreachBatch all-JVM exact dedup (streaming/exact_dedup_stream):
+    same annotate-don't-drop contract as stream_exact_dedup but the
+    per-batch engine is a Catalyst agg + index-table joins — the
+    scan-scale path (PERF_NOTES r5 measures it vs the state op).
+    Single-batch drain makes in-batch lowest-id-wins deterministic and
+    SQL-expressible, exactly as the sibling key."""
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from streamforge_data_pipeline_spark.streaming.exact_dedup_stream import (
+        start_stream_exact_dedup,
+    )
+
+    work = tempfile.mkdtemp(prefix="sfdp_stream_xd_")
+    store = TableStore(os.path.join(work, "store"))
+    table_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(table_path):
+        src, glob = table_path, None
+    else:
+        src, glob = sf_dir, "documents.parquet"
+    q = start_stream_exact_dedup(
+        spark,
+        src,
+        store,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        max_files_per_trigger=10_000,  # one batch: deterministic + oracle-able
+        path_glob_filter=glob,
+    )
+    q.awaitTermination()
+    log = store.read(spark, "exact_dedup_log").localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return log
+
+
 def q_dup_ngram_fraction(spark, sf_dir):
     return text.dup_ngram_fraction(load(spark, sf_dir, "documents"))
 
@@ -1488,6 +1520,28 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.4""",
         q_semantic_dedup,
         None,
         "SemDeDup: k-means cells + within-cell cosine dup groups (rows-only)",
+    ),
+    "semantic_dedup_cells": QuerySpec(
+        q_semantic_dedup_cells,
+        """WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id, v,
+        list_position(list_transform(v[1:8], x -> abs(x)),
+                      list_max(list_transform(v[1:8], x -> abs(x)))) - 1 AS cell
+      FROM e),
+pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+          FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+edges AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
+r AS (SELECT u AS node, u AS reach FROM edges
+      UNION
+      SELECT r.node, e2.v FROM r JOIN edges e2 ON r.reach = e2.u),
+g AS (SELECT node, min(reach) AS grp FROM r GROUP BY node)
+SELECT e.vec_id, coalesce(g.grp, e.vec_id) AS group_id,
+       coalesce(g.grp, e.vec_id) = e.vec_id AS keep
+FROM e LEFT JOIN g ON e.vec_id = g.node""",
+        "SemDeDup pair/closure/canonical stages under a deterministic"
+        " argmax quantizer (oracle-backed; train step stays rows-only)",
     ),
     "ann_ivf": QuerySpec(
         q_ann_ivf, None, "IVF coarse-quantizer ANN + nprobe rerank (recall-tested)"
@@ -2531,6 +2585,17 @@ SELECT doc_id, content_hash,
   CASE WHEN doc_id = first_id THEN NULL ELSE first_id END AS dup_of
 FROM w""",
         "streaming stateful exact dedup drained over the corpus (annotate-don't-drop)",
+    ),
+    "stream_exact_dedup_jvm": QuerySpec(
+        q_stream_exact_dedup_jvm,
+        """WITH h AS (SELECT doc_id, sha256(text) AS content_hash FROM documents),
+w AS (SELECT doc_id, content_hash,
+        min(doc_id) OVER (PARTITION BY content_hash) AS first_id
+      FROM h)
+SELECT doc_id, content_hash,
+  CASE WHEN doc_id = first_id THEN NULL ELSE first_id END AS dup_of
+FROM w""",
+        "foreachBatch all-JVM streaming exact dedup (index-table state, scan-scale path)",
     ),
     "dup_ngram_fraction": QuerySpec(
         q_dup_ngram_fraction,

@@ -55,6 +55,10 @@ def read_intake_csv(spark: SparkSession, path: str) -> DataFrame:
         .option("header", True)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        # univocity-default quoting parity ('"' quote, '""' escape —
+        # the reference's parser settings): Spark's default escape is
+        # backslash, which would mis-parse RFC-4180 '""' escapes
+        .option("escape", '"')
         .csv(path)
     )
     return df.withColumn("row_id", F.monotonically_increasing_id()).withColumn(

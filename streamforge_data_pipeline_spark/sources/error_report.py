@@ -26,15 +26,30 @@ def error_report(
     token count != len(cells)) the reference joins however many cells
     the parser saw (``String.join(",", safeArray(row))`` — a 2-cell
     row renders 2 cells, a 5-cell row renders 5), which we recover
-    from the raw line itself. Quoted cells containing commas would
-    render their commas as separators here where univocity strips
-    them in-cell — the reference's own generator never quotes.
+    from the raw line itself. Commas INSIDE quoted cells are stripped
+    first (the quote-parity lookahead matches a comma with an odd
+    number of '"' ahead of it, i.e. inside an open quote — '""'
+    escapes pair up so they cannot flip the parity), which is exactly
+    univocity-cell semantics: safeArray strips in-cell commas, field
+    separators survive. Residual documented divergence: the quote
+    characters themselves are then dropped wholesale, so an escaped
+    quote renders as nothing where the reference would keep a literal
+    '"' in the cell (and an UNTERMINATED quote defeats the parity
+    lookahead entirely) — the reference's generator can produce
+    neither.
     """
     line = report_line(cells)
     if raw is not None and raw in rejected.columns:
+        in_cell_commas_stripped = F.regexp_replace(
+            F.col(raw), r',(?=(?:[^"]*"[^"]*")*[^"]*"[^"]*$)', ""
+        )
         line = F.when(
             F.col(raw).isNotNull(),
-            F.concat_ws(",", F.regexp_replace(F.col(raw), '"', ""), F.col("error")),
+            F.concat_ws(
+                ",",
+                F.regexp_replace(in_cell_commas_stripped, '"', ""),
+                F.col("error"),
+            ),
         ).otherwise(line)
     return rejected.select(line.alias("line"))
 

@@ -68,6 +68,66 @@ def test_allpairs_equals_naive_on_templated_corpus(spark):
     assert as_set(M.allpairs_jaccard(docs, tau=0.5)) == as_set(naive_pairs(docs, 0.5))
 
 
+def test_scheme_auto_select_picks_by_corpus_statistic(spark):
+    """r5: the engine, not a docstring, picks the exact-Jaccard
+    candidate scheme — and the statistic is a property of the corpus
+    AT ITS SIZE. A dense tiny-vocabulary corpus (every trigram
+    repeats; the sf0.1 bench regime, measured singleton frac 0.008)
+    -> naive; a Zipf corpus AND the sf0.001 driver corpus (real
+    singleton tails) -> allpairs. Margins must be wide on both sides
+    of the 0.3 threshold."""
+    from streamforge_data_pipeline_spark.sources.datagen_star import (
+        gen_documents_zipf,
+    )
+
+    # dense regime: 8-word vocab, 200 docs of 20 tokens — ~512
+    # possible trigram types, ~3600 occurrences: nothing is a singleton
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    dense = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 20), "
+        f"j -> element_at(array({','.join(repr(v) for v in vocab)}), "
+        "cast(pmod(hash(id, j), 8) + 1 AS int)))) AS text",
+    )
+    scheme, stats = M.choose_exact_jaccard_scheme(M.shingles(dense))
+    frac = stats["singleton_types"] / max(stats["types"], 1)
+    assert scheme == "naive" and frac < 0.1, (scheme, stats)
+
+    # sparse regimes
+    docs = load(spark, SF_SMALL, "documents")
+    dscheme, dstats = M.choose_exact_jaccard_scheme(M.shingles(docs))
+    dfrac = dstats["singleton_types"] / max(dstats["types"], 1)
+    assert dscheme == "allpairs" and dfrac > 0.5, (dscheme, dstats)
+
+    zipf = gen_documents_zipf(spark, n=500)
+    zscheme, zstats = M.choose_exact_jaccard_scheme(M.shingles(zipf))
+    zfrac = zstats["singleton_types"] / max(zstats["types"], 1)
+    assert zscheme == "allpairs" and zfrac > 0.5, (zscheme, zstats)
+
+
+def test_exact_jaccard_pairs_equivalent_across_schemes(spark):
+    """All three routes (naive, allpairs, auto) produce the identical
+    pair set on BOTH corpus regimes — the auto choice is purely a
+    performance decision."""
+    from streamforge_data_pipeline_spark.sources.datagen_star import (
+        gen_documents_zipf,
+    )
+
+    for docs in (
+        load(spark, SF_SMALL, "documents").limit(300),
+        gen_documents_zipf(spark, n=300),
+    ):
+        expected = as_set(M.exact_jaccard_pairs(docs, tau=0.5, scheme="naive"))
+        assert as_set(M.exact_jaccard_pairs(docs, tau=0.5, scheme="allpairs")) == expected
+        assert as_set(M.exact_jaccard_pairs(docs, tau=0.5, scheme="auto")) == expected
+
+
+def test_exact_jaccard_pairs_rejects_unknown_scheme(spark):
+    docs = load(spark, SF_SMALL, "documents").limit(5)
+    with pytest.raises(ValueError, match="unknown exact-Jaccard scheme"):
+        M.exact_jaccard_pairs(docs, scheme="bogus")
+
+
 def test_prefix_join_is_smaller_than_naive(spark):
     """The point of the operator: candidate volume must collapse.
 

@@ -79,6 +79,49 @@ def test_f1_error_labels_and_dedup_quirk(spark, csv_path, tmp_path):
     assert "B1,Widget,5,too few columns" in lines
 
 
+F_QUOTED = """externalId,name,quantity,expiryDate
+Q1,"Name, with comma",5,2026-09-01
+Q3,"A, B",5
+Q4,"He said ""hi"", twice",7,2026-09-01
+OKQ,Plain,3,2026-09-01
+"""
+
+
+def test_quoted_commas_reference_arity(spark, tmp_path):
+    """r5 (r4 brief #6): a quoted comma must not shift the arity
+    label. univocity's row.length for 'Q3,"A, B",5' is 3 -> 'too few
+    columns' (BackgroundCsvProcessor.java:227); the r4 naive comma
+    split counted 4 and mislabeled it 'expiryDate invalid'. Quoted
+    4-cell rows (incl. '""' escapes) parse as ordinary valid rows."""
+    p = tmp_path / "fq.csv"
+    p.write_text(F_QUOTED)
+    store = TableStore(str(tmp_path / "store_q"))
+    res = run_upload(spark, str(p), store,
+                     error_report_path=str(tmp_path / "err_q"))
+
+    assert res.processed == 4
+    assert res.inserted == 3
+    assert res.failed == 1
+    assert res.error_counts == {"too few columns": 1}
+
+    items = store.read(spark, "items")
+    names = {r["external_id"]: r["name"] for r in items.collect()}
+    # parsed cells are the unquoted, unescaped contents
+    assert names == {
+        "Q1": "Name, with comma",
+        "Q4": 'He said "hi", twice',
+        "OKQ": "Plain",
+    }
+
+    # report rendering: univocity-cell semantics — the in-cell comma
+    # is STRIPPED (safeArray, BackgroundCsvProcessor.java:286-293),
+    # field separators survive, 3 cells render as 3 cells
+    lines = {
+        r["value"] for r in spark.read.text(str(tmp_path / "err_q")).collect()
+    }
+    assert "Q3,A B,5,too few columns" in lines
+
+
 def test_reupload_is_idempotent(spark, csv_path, tmp_path):
     store = TableStore(str(tmp_path / "store"))
     run_upload(spark, csv_path, store)

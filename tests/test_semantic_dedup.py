@@ -133,3 +133,58 @@ def test_recall_curve_vs_exact_baseline(spark):
     assert recalls[8] >= 0.9, recalls
     # the whole curve stays usable on this corpus
     assert min(recalls.values()) >= 0.7, recalls
+
+
+def test_fixed_cells_variant_matches_brute_force(spark):
+    """semantic_dedup_fixed_cells (the oracle-backed r5 variant): the
+    argmax-|component| quantizer + pair/closure/keep stages against a
+    plain Python recomputation. Bases get a DOMINANT leading component
+    so the cell assignment is robust to the planted perturbations."""
+    from streamforge_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_fixed_cells,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(12):
+        v = rng.normal(size=16)
+        v[i % 8] = 6.0  # dominant -> argmax cell = i % 8
+        rows.append((i * 10, (v / np.linalg.norm(v)).tolist()))
+    base = {vid: np.array(v) for vid, v in rows}
+    for i in range(3):  # perturbed copies of bases 0..2
+        for j in (1, 2):
+            v = base[i * 10] + rng.normal(scale=1e-3, size=16)
+            rows.append((i * 10 + j, (v / np.linalg.norm(v)).tolist()))
+
+    tau = 0.98
+    vecs = {vid: np.array(v) for vid, v in rows}
+    cells = {vid: int(np.argmax(np.abs(v[:8]))) for vid, v in vecs.items()}
+    # brute-force union-find over within-cell pairs
+    parent = {vid: vid for vid in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(vecs)
+    for a in ids:
+        for b in ids:
+            if a < b and cells[a] == cells[b]:
+                cos = float(vecs[a] @ vecs[b] /
+                            (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+                if cos >= tau:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    expected = {vid: find(vid) for vid in ids}
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup_fixed_cells(df, n_cells=8, tau=tau).collect()}
+    assert {v: r["group_id"] for v, r in out.items()} == expected
+    for v, r in out.items():
+        assert r["keep"] == (r["group_id"] == v)
+    # sanity: the planted groups actually collapsed (non-trivial test)
+    assert sum(1 for r in out.values() if not r["keep"]) == 6
