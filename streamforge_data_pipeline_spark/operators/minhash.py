@@ -711,3 +711,128 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     return verified.filter(F.col("jaccard") >= tau).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text: str = "text", k: int = 4,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token ``k``-gram,
+    slide a window of ``w`` consecutive k-gram hashes over each
+    document, and select the MINIMUM (hash, position) from every
+    window (leftmost-min tie-break); the distinct selections are the
+    document's fingerprint set. Guarantee: any shared substring of at
+    least w+k-1 tokens contributes at least one COMMON fingerprint to
+    both documents, while only ~2/(w+1) of all k-grams are kept — a
+    sampled, overlap-complete sketch that MinHash (a whole-doc
+    similarity sketch) cannot provide.
+
+    Returns (doc_id, fp, pos): fp is the portable hash60 of the
+    k-gram, pos its token start offset.
+
+    Scale notes: tokenize + lead-window k-grams + a per-doc frame min
+    — every window is partitioned by doc_id (bounded by document
+    length, no corpus-hot keys), and the selection keeps the relation
+    at ~2/(w+1) of the gram count before anything shuffles again.
+    min(struct(hash,pos)) is lexicographic in both engines, so the
+    driver's DuckDB oracle replays the selection bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text)).alias("pos", "tok"),
+    )
+    ww = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(ww) for i in range(1, k)]
+    grams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            hash60(F.concat_ws(" ", F.col("tok"), *leads)).alias("h"),
+            leads[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("doc_id", "pos", "h")
+    )
+    frame = ww.rowsBetween(Window.currentRow, w - 1)
+    sel = grams.select(
+        "doc_id",
+        F.min(F.struct("h", "pos")).over(frame).alias("fp"),
+        # full windows only: the classic definition selects from each
+        # of the n-w+1 complete windows
+        F.lead("pos", w - 1).over(ww).alias("__full"),
+    ).filter(F.col("__full").isNotNull())
+    return sel.select(
+        "doc_id", F.col("fp.h").alias("fp"), F.col("fp.pos").alias("pos")
+    ).distinct()
+
+
+def winnow_overlap(df: DataFrame, id_col: str = "doc_id",
+                   text: str = "text", k: int = 4, w: int = 4,
+                   min_shared: int = 2, max_df: int = 64) -> DataFrame:
+    """Plagiarism-style overlap pairs from winnowing fingerprints:
+    document pairs sharing >= ``min_shared`` distinct fingerprints,
+    scored by containment = shared / min(|fp_a|, |fp_b|). The
+    local-overlap complement to near_dedup's whole-document Jaccard —
+    two documents sharing one long passage score high here and low
+    there.
+
+    ``max_df`` drops fingerprints present in more than that many
+    documents before pairing (the boilerplate guard — cf.
+    drop_boilerplate_shingles): a corpus-universal template line would
+    otherwise put every document in one bucket and the pair join would
+    go quadratic. Dropped fingerprints cannot create candidates, so
+    the result is exact w.r.t. the capped fingerprint relation; at 100
+    TB the cap is the difference between an output-bound equi-join and
+    n^2.
+
+    Scale notes: fingerprint sets are ~2/(w+1) of the gram count; the
+    pair generation is an equi-join on the fingerprint hash with the
+    df cap bounding bucket width (<= max_df docs -> <= max_df^2/2 pair
+    rows per fingerprint); per-doc fingerprint sizes ride in via two
+    broadcastable joins against a doc-count-sized aggregate.
+    """
+    # distinct on (doc, hash): the same k-gram hash selected at two
+    # positions is ONE fingerprint for overlap purposes
+    fps = (
+        winnow_fingerprints(df, id_col, text, k=k, w=w)
+        .select("doc_id", "fp")
+        .distinct()
+        .persist()
+    )
+    df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = fps.join(
+        df_counts.filter(
+            (F.col("n_docs") >= 2) & (F.col("n_docs") <= max_df)
+        ),
+        "fp",
+    ).select("doc_id", "fp")
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_fp", "fp_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_fp", "fp_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            (
+                F.floor(
+                    F.col("n_shared") / F.least("fp_a", "fp_b") * 1e4 + 0.5
+                ) / 1e4
+            ).alias("containment"),
+        )
+    )

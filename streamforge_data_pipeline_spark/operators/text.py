@@ -813,3 +813,110 @@ def vocab_coverage(df: DataFrame, text: str = "text", k: int = 1000) -> DataFram
             F.round(F.sum("n").over(w) / F.col("__total"), 4).alias("cum_frac"),
         )
     )
+
+
+def dup_span_removal(df: DataFrame, id_col: str = "doc_id",
+                     text: str = "text", k: int = 8) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection and removal: any
+    token ``k``-gram occurring more than once corpus-wide (including
+    twice within one document) marks its ``k`` token positions as
+    duplicated; overlapping/adjacent duplicated k-gram hits are merged
+    into MAXIMAL spans, and each document is emitted with its span
+    stats plus ``text_clean`` — the token stream with every duplicated
+    span cut out (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better": the substring-dedup pass that catches the
+    partial overlaps whole-doc and near-dup passes both miss; their
+    suffix-array length-50 criterion becomes a k-token-gram criterion
+    here, the standard map-reduce-able approximation). ``text_clean``
+    is the NORMALIZED token stream rejoined with single spaces — the
+    same normalization every downstream tokenizer-facing operator in
+    this module uses.
+
+    Scale notes: corpus k-gram occurrence counts are ONE partial-agg
+    shuffle keyed on the gram (map-side combine collapses repeats
+    before the wire; at 100 TB key the shuffle on hash60(gram) to ship
+    8-byte keys — kept as the raw string here so the count is exactly
+    collision-free). The join back lands only on grams with cnt>=2 —
+    the duplicated subset, output-bound. Span merging is a per-doc
+    window over duplicated START POSITIONS only (equal-length
+    intervals: a new span begins exactly when pos > lag(pos)+k-1), so
+    window-partition size is bounded by document length, never corpus
+    frequency — the skew shape line_dedup's r5 fix eliminated never
+    appears. Cleaned text is rebuilt with an in-row higher-order
+    filter against the doc's own collected span list (spans per doc
+    are few by construction); no explode-and-reaggregate of the token
+    relation, no Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, k)]
+    # Feeds the counts agg AND the join probe (house pattern, cf.
+    # dup_ngram_fraction): persist so the tokenize+window pass runs
+    # once per action.
+    grams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("gram"),
+            leads[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("doc_id", "pos", "gram")
+        .persist()
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    dup_starts = grams.join(
+        counts.filter(F.col("cnt") >= 2), "gram"
+    ).select("doc_id", "pos")
+    # Equal-length interval merge (gaps-and-islands): the previous
+    # hit covers up to lag(pos)+k-1, so the next hit overlaps or is
+    # ADJACENT iff pos <= lag(pos)+k — merged spans are exactly the
+    # maximal runs of covered token positions.
+    new_span = F.when(
+        F.col("pos") > F.coalesce(F.lag("pos").over(w) + k, F.lit(-1)),
+        1,
+    ).otherwise(0)
+    islands = dup_starts.select(
+        "doc_id",
+        "pos",
+        F.sum(new_span).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__isl"),
+    )
+    spans = islands.groupBy("doc_id", "__isl").agg(
+        F.min("pos").alias("s"), (F.max("pos") + (k - 1)).alias("e")
+    )
+    doc_spans = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__spans"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(text).alias("__toks"))
+    joined = base.join(doc_spans, "doc_id", "left")
+    covered = lambda i: F.exists(  # noqa: E731 — readability of the HOF pair
+        "__spans", lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+    )
+    kept = F.when(F.col("n_spans").isNull(), F.col("__toks")).otherwise(
+        F.filter("__toks", lambda t, i: ~covered(i))
+    )
+    n_tok = F.size("__toks").cast("long")
+    dup = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    # floor(x*1e4+0.5)/1e4 instead of round(): the engine-portable
+    # half-up recipe (cf. ngram_lm_score; round() half-ties diverge
+    # between Spark HALF_UP and DuckDB's double rounding).
+    frac = F.when(
+        n_tok > 0, F.floor(dup / n_tok * 1e4 + 0.5) / 1e4
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        dup.alias("dup_tokens"),
+        frac.alias("dup_frac"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )

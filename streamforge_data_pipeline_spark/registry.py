@@ -1220,6 +1220,16 @@ def q_ngram_lm_score(spark, sf_dir):
     return text.ngram_lm_score(load(spark, sf_dir, "documents"))
 
 
+def q_dup_span_removal(spark, sf_dir):
+    return text.dup_span_removal(load(spark, sf_dir, "documents"))
+
+
+def q_winnow_overlap(spark, sf_dir):
+    from streamforge_data_pipeline_spark.operators.minhash import winnow_overlap
+
+    return winnow_overlap(load(spark, sf_dir, "documents"))
+
+
 def q_corpus_shuffle(spark, sf_dir):
     return text.corpus_shuffle(load(spark, sf_dir, "documents"))
 
@@ -2608,6 +2618,71 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
   round(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)*1.0/count(*), 4) AS dup_frac
 FROM shr JOIN c USING(sh) GROUP BY doc_id""",
         "per-doc duplicated-3-gram occurrence fraction (cross-corpus repetition signal)",
+    ),
+    "dup_span_removal": QuerySpec(
+        q_dup_span_removal,
+        f"""WITH {TOKS_CTE},
+idx AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts)-7, 0))) AS x FROM toks),
+g AS (SELECT doc_id, x AS pos, array_to_string(ts[x+1:x+8], ' ') AS gram FROM idx),
+c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+d AS (SELECT doc_id, pos FROM g JOIN c USING(gram) WHERE cnt >= 2),
+i AS (SELECT doc_id, pos,
+        CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8, -1)
+             THEN 1 ELSE 0 END AS nw
+      FROM d),
+isl AS (SELECT doc_id, pos,
+          sum(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        FROM i),
+sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+       FROM isl GROUP BY doc_id, island),
+st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+       FROM sp GROUP BY doc_id),
+tok AS (SELECT doc_id, unnest(range(0, len(ts))) AS pos,
+          unnest(ts) AS tk FROM toks),
+keep AS (SELECT t.doc_id, t.pos, t.tk FROM tok t
+         WHERE NOT EXISTS (SELECT 1 FROM sp
+                           WHERE sp.doc_id = t.doc_id
+                             AND t.pos BETWEEN sp.s AND sp.e)),
+clean AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text_clean
+          FROM keep GROUP BY doc_id)
+SELECT b.doc_id, CAST(len(b.ts) AS BIGINT) AS n_tokens,
+  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(st.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  CASE WHEN len(b.ts) > 0
+       THEN floor(coalesce(st.dup_tokens, 0)*1.0/len(b.ts)*1e4 + 0.5)/1e4
+       ELSE 0.0 END AS dup_frac,
+  coalesce(clean.text_clean, '') AS text_clean
+FROM toks b LEFT JOIN st USING(doc_id)
+LEFT JOIN clean ON b.doc_id = clean.doc_id""",
+        "ExactSubstr-style duplicated k-gram spans merged + removed per doc (Lee et al. 2021)",
+    ),
+    "winnow_overlap": QuerySpec(
+        q_winnow_overlap,
+        f"""WITH {TOKS_CTE},
+idx AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts)-3, 0))) AS x FROM toks),
+g AS (SELECT doc_id, x AS pos,
+        CAST(concat('0x', substr(md5(array_to_string(ts[x+1:x+4], ' ')),1,15)) AS BIGINT) AS h
+      FROM idx),
+sel AS (SELECT doc_id,
+          min({{'h': h, 'p': pos}}) OVER
+            (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+          lead(pos, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS fl
+        FROM g),
+fps AS (SELECT DISTINCT doc_id, fp.h AS fp FROM sel WHERE fl IS NOT NULL),
+dfc AS (SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp),
+kept AS (SELECT doc_id, fp FROM fps JOIN dfc USING(fp)
+         WHERE n_docs BETWEEN 2 AND 64),
+sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       FROM kept a JOIN kept b USING(fp) WHERE a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+sz AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+  floor(n_shared*1.0/least(sa.n_fp, sb.n_fp)*1e4 + 0.5)/1e4 AS containment
+FROM sh JOIN sz sa ON sh.doc_a = sa.doc_id
+JOIN sz sb ON sh.doc_b = sb.doc_id""",
+        "winnowing (MOSS) fingerprint overlap pairs: shared-passage detection",
     ),
     "line_dedup": QuerySpec(
         q_line_dedup,
