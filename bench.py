@@ -42,8 +42,10 @@ HEADLINE = [
     "embedding_near_dup",
     "term_counts",
     "dup_ngram_fraction",
+    "dup_span_removal",
     "line_dedup",
     "ngram_lm_score",
+    "winnow_overlap",
     "lang_id",
     "quality_score",
     "multimodal_meta",

@@ -839,7 +839,8 @@ def dup_span_removal(df: DataFrame, id_col: str = "doc_id",
     collision-free). The join back lands only on grams with cnt>=2 —
     the duplicated subset, output-bound. Span merging is a per-doc
     window over duplicated START POSITIONS only (equal-length
-    intervals: a new span begins exactly when pos > lag(pos)+k-1), so
+    intervals: a new span begins exactly when pos > lag(pos)+k, i.e.
+    the next hit neither overlaps nor touches the previous cover), so
     window-partition size is bounded by document length, never corpus
     frequency — the skew shape line_dedup's r5 fix eliminated never
     appears. Cleaned text is rebuilt with an in-row higher-order

@@ -158,3 +158,20 @@ def test_vocab_coverage_uses_take_ordered_heap(spark):
     # touches only k rows.
     plan = _plan(spark, "vocab_coverage")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_span_winnow_ops_stay_jvm_and_doc_partitioned(spark):
+    # r5 passage ops: no Python, no cartesian, and every Window node
+    # partitions by doc_id (bounded by document length) — never by a
+    # corpus-frequency key like the gram or fingerprint value, which
+    # would recreate the un-splittable hot-key skew line_dedup's fix
+    # removed.
+    import re
+
+    for key in ("dup_span_removal", "winnow_overlap"):
+        plan = _plan(spark, key)
+        assert "BatchEvalPython" not in plan, key
+        assert "ArrowEvalPython" not in plan, key
+        assert "CartesianProduct" not in plan, key
+        for w in re.findall(r"Window \[.*", plan):
+            assert "doc_id" in w, (key, w)
