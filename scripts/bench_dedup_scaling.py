@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Dedup-family scaling probe: run the batch dedup/corpus-hygiene
+operators at sf0.1 (driver testdata), sf1 and sf2 (datagen_star,
+10x/20x the graded scale) and print per-key wall time + the observed
+scaling ratio per data octave.
+
+The point is the scaling EXPONENT, not the absolute second count: a
+shape that is scan-bound should move ~linearly in input bytes; a
+pair-emitting operator moves with its OUTPUT volume (near_dedup on the
+30-word-vocabulary corpus is the documented quadratic-output case).
+
+Usage: python scripts/bench_dedup_scaling.py [runs_per_cell]
+Prints one JSON line. Generate the inputs first:
+  python -m streamforge_data_pipeline_spark.sources.datagen_star \
+      --sf 1 --out /root/repo/.localdata/sf1 --multi-file   (and sf2)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from streamforge_data_pipeline_spark.registry import REGISTRY  # noqa: E402
+from streamforge_data_pipeline_spark.session import get_session  # noqa: E402
+
+KEYS = [
+    "exact_dedup",
+    "line_dedup",
+    "dup_ngram_fraction",
+    "dup_span_removal",
+    "winnow_overlap",
+    "minhash_lsh_dedup",
+    "near_dedup",
+    "canonical_selection",
+]
+
+SF_DIRS = [
+    ("0.1", "/root/testdata/sf0.1"),
+    ("1", "/root/repo/.localdata/sf1"),
+    ("2", "/root/repo/.localdata/sf2"),
+]
+
+
+def main() -> None:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    spark = get_session("dedup-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm codegen/JIT once per key at sf0.01 (house rule: sf0.001 is
+    # too small to reach C2 thresholds)
+    for key in KEYS:
+        REGISTRY[key].fn(spark, "/root/testdata/sf0.01").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    spark.catalog.clearCache()
+
+    table: dict[str, dict[str, float]] = {k: {} for k in KEYS}
+    for sf, sf_dir in SF_DIRS:
+        if not os.path.isdir(sf_dir):
+            print(f"skip sf{sf}: {sf_dir} missing", file=sys.stderr)
+            continue
+        for key in KEYS:
+            best = float("inf")
+            for _ in range(runs):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                REGISTRY[key].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            table[key][sf] = round(best, 2)
+    ratios = {
+        k: {
+            "r_0.1_to_1": (
+                round(v["1"] / v["0.1"], 2) if "1" in v and "0.1" in v else None
+            ),
+            "r_1_to_2": (
+                round(v["2"] / v["1"], 2) if "2" in v and "1" in v else None
+            ),
+        }
+        for k, v in table.items()
+    }
+    print(json.dumps({"wall_s": table, "ratios": ratios, "runs": runs}))
+
+
+if __name__ == "__main__":
+    main()

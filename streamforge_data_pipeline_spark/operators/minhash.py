@@ -836,3 +836,70 @@ def winnow_overlap(df: DataFrame, id_col: str = "doc_id",
             ).alias("containment"),
         )
     )
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text: str = "text", tau: float = 0.8) -> DataFrame:
+    """Directional Jaccard-CONTAINMENT near-dup pairs: emit
+    (doc_sub, doc_sup, containment) whenever c(A->B) = |A∩B| / |A|
+    >= ``tau`` over token-3-gram sets — the subset-duplicate detector
+    (Broder '97 distinguishes resemblance from containment; public
+    pipeline recipes use it for quote/excerpt/superset cases). A short
+    document wholly quoted inside a long one scores containment ~1.0
+    while its symmetric Jaccard — what near_dedup thresholds — is tiny,
+    so this catches exactly the pairs the resemblance pass misses.
+    Both directions are evaluated; a pair can appear twice (A sub of
+    B, and B sub of A only when the sets are near-identical).
+
+    Scale notes: same candidate shape as near_dedup's shared-shingle
+    equi-join (only co-shingled docs ever meet; one partial-agg
+    shuffle for per-pair intersections, sizes ride in via two
+    broadcastable doc-count-sized joins). The size-ratio prune that
+    speeds symmetric Jaccard deliberately does NOT apply — asymmetric
+    size IS the containment signal. At 100 TB, bound candidate width
+    with the boilerplate df cap (drop_boilerplate_shingles) exactly as
+    the LSH path does; containment against capped sets is then a
+    lower bound, which only drops already-boilerplate evidence.
+    """
+    sh = shingles(df, id_col, text).persist()
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    both = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+    )
+    fwd = both.select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_sup"),
+        (F.col("inter") / F.col("na")).alias("__c"),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_sup"),
+        (F.col("inter") / F.col("nb")).alias("__c"),
+    )
+    return (
+        fwd.unionByName(rev)
+        # 1e-9 slack mirrors exact_jaccard's at-tau guard
+        .filter(F.col("__c") >= F.lit(tau) - F.lit(1e-9))
+        .select(
+            "doc_sub",
+            "doc_sup",
+            (F.floor(F.col("__c") * 1e4 + 0.5) / 1e4).alias("containment"),
+        )
+    )

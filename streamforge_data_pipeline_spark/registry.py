@@ -313,7 +313,18 @@ def q_near_dedup(spark, sf_dir):
     saturate the ~27k trigram types (naive) — which is exactly why the
     ENGINE sketches instead of trusting a per-corpus note. Both
     schemes are result-identical; minhash.exact_jaccard_pairs has the
-    decision rule, tests pin both routes, PERF_NOTES r5 has the A/B."""
+    decision rule, tests pin both routes, PERF_NOTES r5 has the A/B.
+
+    Regime boundary (r5.4 probe): on a uniform tiny-vocab corpus the
+    CANDIDATE volume (co-shingled pairs) grows ~n^2/2 even though the
+    true answer grows linearly — at 100k docs naive and allpairs
+    converge (98s vs 90s) because no exact scheme can skip genuinely
+    co-shingled pairs. Past that point the scalable answer is
+    minhash_lsh_dedup (1.4x per data octave, exact verification of
+    LSH candidates) or an entropy-raising shingle transform; exact
+    all-pairs is the right tool only while candidates stay near
+    answer-scale (Zipf vocabularies, where allpairs keeps them
+    pinned to the rare-df tail)."""
     return minhash.exact_jaccard_pairs(
         load(spark, sf_dir, "documents"), tau=0.5, scheme="auto"
     )
@@ -1228,6 +1239,12 @@ def q_winnow_overlap(spark, sf_dir):
     from streamforge_data_pipeline_spark.operators.minhash import winnow_overlap
 
     return winnow_overlap(load(spark, sf_dir, "documents"))
+
+
+def q_containment_dedup(spark, sf_dir):
+    from streamforge_data_pipeline_spark.operators.minhash import containment_pairs
+
+    return containment_pairs(load(spark, sf_dir, "documents"))
 
 
 def q_corpus_shuffle(spark, sf_dir):
@@ -2656,6 +2673,22 @@ SELECT b.doc_id, CAST(len(b.ts) AS BIGINT) AS n_tokens,
 FROM toks b LEFT JOIN st USING(doc_id)
 LEFT JOIN clean ON b.doc_id = clean.doc_id""",
         "ExactSubstr-style duplicated k-gram spans merged + removed per doc (Lee et al. 2021)",
+    ),
+    "containment_dedup": QuerySpec(
+        q_containment_dedup,
+        f"""WITH {SHINGLE_CTES},
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+s AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+j AS (SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb
+      FROM p JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id),
+u AS (SELECT doc_a AS doc_sub, doc_b AS doc_sup, inter*1.0/na AS c FROM j
+      UNION ALL
+      SELECT doc_b AS doc_sub, doc_a AS doc_sup, inter*1.0/nb AS c FROM j)
+SELECT doc_sub, doc_sup, floor(c*1e4 + 0.5)/1e4 AS containment
+FROM u WHERE c >= 0.8 - 1e-9""",
+        "directional Jaccard-containment pairs: subset/excerpt duplicate detection",
     ),
     "winnow_overlap": QuerySpec(
         q_winnow_overlap,

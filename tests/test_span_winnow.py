@@ -8,6 +8,7 @@ both on the real corpus via their registry oracles).
 from __future__ import annotations
 
 import hashlib
+import math
 import random
 import re
 from collections import Counter
@@ -198,3 +199,72 @@ def test_winnow_overlap_pair_detection_and_boilerplate_cap(spark):
     assert 0.0 < row["containment"] <= 1.0
     # no pair should exist between docs sharing ONLY the boilerplate
     assert (0, 1) not in pairs
+
+
+# ------------------------------------------------------- containment dedup
+
+
+def test_containment_catches_excerpt_that_jaccard_misses(spark):
+    from streamforge_data_pipeline_spark.operators.minhash import (
+        containment_pairs,
+        exact_jaccard_pairs,
+    )
+
+    rng = random.Random(3)
+    vocab = [f"c{i}" for i in range(50)]
+    long_doc = " ".join(rng.choice(vocab) for _ in range(120))
+    excerpt = " ".join(long_doc.split()[20:40])  # 20-token quote
+    df = _docs(
+        spark,
+        [
+            (1, long_doc),
+            (2, excerpt),
+            (3, " ".join(rng.choice(vocab) for _ in range(60))),
+        ],
+    )
+    pairs = {
+        (r["doc_sub"], r["doc_sup"]): r["containment"]
+        for r in containment_pairs(df, tau=0.8).collect()
+    }
+    # the excerpt is fully contained in the long doc...
+    assert pairs.get((2, 1)) == 1.0
+    # ...but NOT the reverse, and the unrelated doc appears nowhere
+    assert (1, 2) not in pairs
+    assert not any(3 in p for p in pairs)
+    # and symmetric Jaccard stays far below any dedup threshold
+    jac = exact_jaccard_pairs(df, tau=0.1, scheme="naive").collect()
+    j12 = [r["jaccard"] for r in jac if {r["doc_a"], r["doc_b"]} == {1, 2}]
+    assert not j12 or j12[0] < 0.25
+
+
+def test_containment_bruteforce_random_corpus(spark):
+    from streamforge_data_pipeline_spark.operators.minhash import containment_pairs
+
+    rng = random.Random(21)
+    vocab = [f"d{i}" for i in range(20)]
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 40))))
+        for d in range(40)
+    ]
+    # make doc 30 a superset-ish rewrite of doc 10
+    rows[30] = (30, rows[10][1] + " extra1 extra2 extra3")
+    tau = 0.8
+
+    def sh_set(text):
+        ts = _toks(text)
+        return {tuple(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    sets = {d: sh_set(t) for d, t in rows}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a == b or not sets[a]:
+                continue
+            c = len(sets[a] & sets[b]) / len(sets[a])
+            if c >= tau - 1e-9:
+                want[(a, b)] = math.floor(c * 1e4 + 0.5) / 1e4
+    got = {
+        (r["doc_sub"], r["doc_sup"]): r["containment"]
+        for r in containment_pairs(_docs(spark, rows), tau=tau).collect()
+    }
+    assert got == want
