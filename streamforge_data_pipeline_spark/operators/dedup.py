@@ -123,13 +123,17 @@ def connected_components(
     """Connected components over a near-dup pair graph -> (doc_id,
     cluster_id) with cluster_id = min doc_id in the component.
 
-    Iterative min-label propagation: every node starts labeled with
-    itself; each round joins labels across edges and keeps the min;
-    converges in O(component diameter) rounds (dup clusters are
-    near-cliques from LSH, so 2-3 rounds in practice; max_iters bounds
-    pathological chains). Each round is two distributed hash joins —
-    no driver-side graph. The driver only checks the fixpoint counter,
-    which is how iterative algorithms look on a 1000-executor cluster.
+    Iterative min-label propagation WITH pointer doubling: every node
+    starts labeled with itself; each round (a) joins labels across
+    edges and keeps the min, then (b) shortcuts label(x) <-
+    label(label(x)) — so convergence is O(log diameter), not
+    O(diameter) (dup clusters are near-cliques from LSH, 2-3 rounds;
+    chain-shaped graphs — e.g. loose-tau cosine graphs — are the case
+    doubling exists for, and non-convergence at max_iters raises
+    instead of returning stale labels). Each round is three
+    distributed hash joins — no driver-side graph. The driver only
+    checks the fixpoint counter, which is how iterative algorithms
+    look on a 1000-executor cluster.
 
     Every ``checkpoint_every`` rounds the label frame is
     ``localCheckpoint``-ed: persist() caches the data but the logical
@@ -177,13 +181,35 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = labels.join(
+        propagated = labels.join(
             neighbor_min, labels["doc_id"] == neighbor_min["src"], "left"
         ).select(
             "doc_id",
             F.least(
                 F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
             ).alias("cluster_id"),
+        )
+        # Pointer doubling (shortcutting): label(x) <- label(label(x)).
+        # A label is always the id of some node in x's component, so
+        # its own label is a smaller-or-equal member id — one extra
+        # node-table self-join per round turns O(diameter) convergence
+        # into O(log diameter). Without it, a chain-shaped component
+        # longer than max_iters hops silently keeps stale labels —
+        # exactly what the sf1 embeddings graph (tau=0.4 percolates
+        # into long chains) exposed against the recursive-CTE oracle;
+        # LSH near-clique clusters never showed it.
+        parent = propagated.select(
+            F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("__p")
+        )
+        new_labels = (
+            propagated.join(parent, "cluster_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("__p"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
         )
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
@@ -202,6 +228,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # With pointer doubling, max_iters=20 covers diameters up to
+        # ~2^20; hitting the cap unconverged means something is deeply
+        # wrong — fail loudly rather than return stale labels (the
+        # silent-wrong mode the sf1 sweep caught pre-doubling).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
     # edges is localCheckpoint-ed: unpersist() would be a no-op (the
     # blocks never enter the cache manager), and an explicit free would
     # be UNSAFE — the returned labels generation, when merely persisted

@@ -105,3 +105,270 @@ def quantize_embeddings(
             )
 
     return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+# --- Product quantization (Jegou/Douze/Schmid, TPAMI 2011) -----------------
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train product-quantization codebooks: split the ``D``-dim space
+    into ``m`` subspaces of D/m dims and k-means each subspace to
+    ``ks`` centroids -> ndarray (m, ks, D/m). PQ is the standard
+    memory story for corpus-scale vector search: codes are m
+    small-integer ids per vector (m=8, ks=16 -> 8 nibbles = 4 bytes
+    against 256 bytes of float32), and distances against a query are
+    table lookups (see :func:`pq_topk`).
+
+    Spark shape: seeding picks the ``ks`` vectors with the smallest
+    md5-derived id hash (seedless determinism — same trick as
+    similarity.kmeans_centroids). Each iteration is ONE linear pass:
+    an Arrow-batched kernel assigns every subvector to its nearest
+    centroid and emits per-partition PARTIAL sums/counts — at most
+    partitions x m x ks tiny rows reach the driver (the house
+    bounded-collect rule), where they reduce to the new codebooks. All
+    m subspaces train inside the same pass, so iteration cost does not
+    scale with m; no shuffle anywhere.
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    seed_rows = (
+        vectors.select(id_col, vec_col)
+        .withColumn(
+            "__h",
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+        )
+        .orderBy("__h", id_col)
+        .limit(ks)
+        .collect()
+    )
+    X = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)  # (ks, D)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = X.reshape(ks, m, dsub).transpose(1, 0, 2).copy()  # (m, ks, dsub)
+    sc = vectors.sparkSession.sparkContext
+
+    schema = T.StructType(
+        [
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("sums", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    for _ in range(iters):
+        b = sc.broadcast(books)
+
+        def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            bk = b.value
+            sums = np.zeros((m, ks, dsub))
+            cnts = np.zeros((m, ks), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = (
+                    np.stack(pdf[vec_col].to_numpy())
+                    .astype(np.float64)
+                    .reshape(len(pdf), m, dsub)
+                )
+                for s in range(m):
+                    c = bk[s]
+                    d2 = (c * c).sum(1)[None, :] - 2.0 * (v[:, s, :] @ c.T)
+                    code = np.argmin(d2, axis=1)
+                    np.add.at(sums[s], code, v[:, s, :])
+                    np.add.at(cnts[s], code, 1)
+            rows = [
+                (s, cde, int(cnts[s, cde]), [float(x) for x in sums[s, cde]])
+                for s in range(m)
+                for cde in range(ks)
+                if cnts[s, cde]
+            ]
+            if rows:
+                yield pd.DataFrame(rows, columns=["sub", "code", "cnt", "sums"])
+
+        parts = vectors.select(vec_col).mapInPandas(_partials, schema).collect()
+        new = books.copy()  # empty cells keep their previous centroid
+        tot_s = np.zeros((m, ks, dsub))
+        tot_n = np.zeros((m, ks), dtype=np.int64)
+        # deterministic reduce order: sort partials by (sub, code)
+        for r in sorted(parts, key=lambda r: (r["sub"], r["code"])):
+            tot_s[r["sub"], r["code"]] += np.array(r["sums"])
+            tot_n[r["sub"], r["code"]] += r["cnt"]
+        nz = tot_n > 0
+        new[nz] = tot_s[nz] / tot_n[nz][:, None]
+        if np.allclose(new, books):
+            break
+        books = new
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each vector's nearest centroid per
+    subspace. One Arrow-batched argmin pass, no shuffle — the
+    write-time index build at corpus scale."""
+    import numpy as np
+
+    bk = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = bk.shape
+    sc = vectors.sparkSession.sparkContext
+    b = sc.broadcast(bk)
+    id_field = vectors.select(id_col).schema.fields[0]
+    schema = T.StructType(
+        [id_field, T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        bkv = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = (
+                np.stack(pdf[vec_col].to_numpy())
+                .astype(np.float64)
+                .reshape(len(pdf), m, dsub)
+            )
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                c = bkv[s]
+                d2 = (c * c).sum(1)[None, :] - 2.0 * (v[:, s, :] @ c.T)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(_enc, schema)
+
+
+def pq_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 5,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine via PQ asymmetric distance (ADC) + an
+    exact rerank of the per-query ``shortlist``: approx dot(q, x) =
+    sum over subspaces of a precomputed (query x codebook) lookup
+    table indexed by x's code; approx |x| from the reconstructed
+    per-code subspace norms. The shortlist (ADC order) is then
+    exactly reranked with true cosine — same output contract as
+    ann_topk_lsh: (q_id, vec_id, sim, rank), recall asserted against
+    the brute-force baseline in tests.
+
+    Scale shape: codes are 4 bytes/vector (the 100 TB memory story:
+    a billion-vector index fits one node's RAM); the scoring pass is
+    a table-gather per Arrow batch over the codes relation, queries
+    broadcast; per-query candidate flow is bounded by ``shortlist``
+    before any join happens, and the exact rerank touches only
+    shortlist x queries vectors.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window, functions as F
+
+    from streamforge_data_pipeline_spark.functions import cosine
+
+    books = pq_train(vectors, m=m, ks=ks, iters=iters, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(vectors, books, id_col=id_col, vec_col=vec_col)
+
+    q_rows = query.select(id_col, vec_col).collect()  # queries are few
+    q_ids = np.array([r[id_col] for r in q_rows])
+    Q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    dsub = books.shape[2]
+    nq = len(q_rows)
+    # LUT[i, s, c] = dot(q_i restricted to subspace s, centroid c)
+    lut = np.einsum("isd,scd->isc", Q.reshape(nq, m, dsub), books)
+    code_norm2 = (books * books).sum(axis=2)  # (m, ks)
+    q_norm = np.sqrt((Q * Q).sum(axis=1))  # (nq,)
+    sc = vectors.sparkSession.sparkContext
+    b = sc.broadcast((q_ids, lut, code_norm2, q_norm))
+
+    id_field = vectors.select(id_col).schema.fields[0]
+    schema = T.StructType(
+        [
+            T.StructField("q_id", id_field.dataType),
+            id_field,
+            T.StructField("approx", T.DoubleType()),
+        ]
+    )
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        qi, lt, cn2, qn = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cd = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            n = len(pdf)
+            sub_idx = np.arange(m)[None, :]
+            dots = lt[:, sub_idx, cd].sum(axis=2)  # (nq, n)
+            xnorm = np.sqrt(cn2[sub_idx, cd].sum(axis=1))  # (n,)
+            sim = dots / (qn[:, None] * np.maximum(xnorm, 1e-12)[None, :])
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(qi, n),
+                    id_col: np.tile(ids, nq),
+                    "approx": sim.reshape(-1),
+                }
+            )
+
+    scored = codes.mapInPandas(_score, schema).filter(
+        F.col("q_id") != F.col(id_col)
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.desc("approx"), F.col(id_col))
+    short = (
+        scored.withColumn("__r", F.row_number().over(ws))
+        .filter(F.col("__r") <= shortlist)
+        .select("q_id", id_col)
+    )
+    rer = (
+        short.join(
+            vectors.select(F.col(id_col), F.col(vec_col).alias("__v")), id_col
+        )
+        .join(
+            F.broadcast(
+                query.select(
+                    F.col(id_col).alias("q_id"), F.col(vec_col).alias("__q")
+                )
+            ),
+            "q_id",
+        )
+        .select(
+            "q_id",
+            id_col,
+            F.round(cosine(F.col("__v"), F.col("__q")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "sim", "rank")
+    )

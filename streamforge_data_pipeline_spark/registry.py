@@ -774,6 +774,16 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.ann_topk_lsh(vecs, vecs.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_pq_topk(spark, sf_dir):
+    """PQ-ADC approximate top-k (4-byte codes + shortlist rerank);
+    k-means train step -> rows-only driver check, recall vs the exact
+    baseline asserted in tests/test_similarity.py."""
+    from streamforge_data_pipeline_spark.operators.embeddings import pq_topk
+
+    vecs = load(spark, sf_dir, "embeddings")
+    return pq_topk(vecs, vecs.filter(F.col("vec_id") < 5), k=10, shortlist=200)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup group assignment over the embeddings table; iterative
     (k-means + component fixpoint) -> rows-only driver check, semantics
@@ -1572,6 +1582,11 @@ FROM e LEFT JOIN g ON e.vec_id = g.node""",
     ),
     "ann_ivf": QuerySpec(
         q_ann_ivf, None, "IVF coarse-quantizer ANN + nprobe rerank (recall-tested)"
+    ),
+    "pq_topk": QuerySpec(
+        q_pq_topk,
+        None,
+        "product-quantization ADC top-k: 4-byte codes + shortlist rerank (recall-tested)",
     ),
     "label_centroids": QuerySpec(
         q_label_centroids,

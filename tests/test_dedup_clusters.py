@@ -122,3 +122,21 @@ def test_long_chain_crosses_checkpoint_generations(spark):
         for r in connected_components(pairs, max_iters=30).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_chain_longer_than_iteration_cap_converges(spark):
+    # Path graph 0-1-...-199: diameter 199 >> max_iters=20. Plain
+    # min-label propagation moves the 0 label ONE hop per round and
+    # would silently return stale labels (the sf1 semantic_dedup_cells
+    # mismatch); pointer doubling makes convergence O(log diameter),
+    # so the default cap must suffice — and non-convergence now raises
+    # rather than returning wrong clusters.
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
