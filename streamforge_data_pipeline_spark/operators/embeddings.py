@@ -110,6 +110,21 @@ def quantize_embeddings(
 # --- Product quantization (Jegou/Douze/Schmid, TPAMI 2011) -----------------
 
 
+def _pq_assign(v, bk):
+    """(n, m) int32 nearest-centroid codes for subvectors ``v`` of
+    shape (n, m, dsub) against codebooks ``bk`` (m, ks, dsub) — the
+    one assignment kernel pq_train and pq_encode share."""
+    import numpy as np
+
+    n, m, _ = v.shape
+    codes = np.empty((n, m), dtype=np.int32)
+    for s in range(m):
+        c = bk[s]
+        d2 = (c * c).sum(1)[None, :] - 2.0 * (v[:, s, :] @ c.T)
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes
+
+
 def pq_train(
     vectors: DataFrame,
     m: int = 8,
@@ -152,6 +167,11 @@ def pq_train(
         .limit(ks)
         .collect()
     )
+    if len(seed_rows) < ks:
+        raise ValueError(
+            f"pq_train needs at least ks={ks} vectors to seed codebooks; "
+            f"corpus has {len(seed_rows)}"
+        )
     X = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)  # (ks, D)
     dim = X.shape[1]
     if dim % m:
@@ -185,12 +205,10 @@ def pq_train(
                     .astype(np.float64)
                     .reshape(len(pdf), m, dsub)
                 )
+                codes = _pq_assign(v, bk)
                 for s in range(m):
-                    c = bk[s]
-                    d2 = (c * c).sum(1)[None, :] - 2.0 * (v[:, s, :] @ c.T)
-                    code = np.argmin(d2, axis=1)
-                    np.add.at(sums[s], code, v[:, s, :])
-                    np.add.at(cnts[s], code, 1)
+                    np.add.at(sums[s], codes[:, s], v[:, s, :])
+                    np.add.at(cnts[s], codes[:, s], 1)
             rows = [
                 (s, cde, int(cnts[s, cde]), [float(x) for x in sums[s, cde]])
                 for s in range(m)
@@ -201,6 +219,11 @@ def pq_train(
                 yield pd.DataFrame(rows, columns=["sub", "code", "cnt", "sums"])
 
         parts = vectors.select(vec_col).mapInPandas(_partials, schema).collect()
+        # the collect consumed this iteration's broadcast — release it
+        # instead of letting superseded codebook generations pin
+        # executor memory until driver GC (same storage-creep class as
+        # the r4 lsh_probe_dedup persist fix)
+        b.destroy()
         new = books.copy()  # empty cells keep their previous centroid
         tot_s = np.zeros((m, ks, dsub))
         tot_n = np.zeros((m, ks), dtype=np.int64)
@@ -248,13 +271,8 @@ def pq_encode(
                 .astype(np.float64)
                 .reshape(len(pdf), m, dsub)
             )
-            codes = np.empty((len(pdf), m), dtype=np.int32)
-            for s in range(m):
-                c = bkv[s]
-                d2 = (c * c).sum(1)[None, :] - 2.0 * (v[:, s, :] @ c.T)
-                codes[:, s] = np.argmin(d2, axis=1)
             yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+                {id_col: pdf[id_col].to_numpy(), "codes": list(_pq_assign(v, bkv))}
             )
 
     return vectors.select(id_col, vec_col).mapInPandas(_enc, schema)

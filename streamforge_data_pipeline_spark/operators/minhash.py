@@ -458,10 +458,12 @@ def shared_shingle_jaccard(
     return _shared_shingle_from_sh(shingles(df, id_col, text).persist(), tau)
 
 
-def _shared_shingle_from_sh(sh: DataFrame, tau: float) -> DataFrame:
-    """Naive scheme body over a (persisted) shingle relation — split
-    out so exact_jaccard_pairs can reuse the cache its sketch pass
-    already materialized instead of re-tokenizing the corpus."""
+def _pair_intersections(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, inter, na, nb) for every co-shingled doc pair
+    (doc_a < doc_b) over a (persisted) distinct-shingle relation — the
+    candidate/intersection machinery shared by the naive Jaccard
+    scheme and :func:`containment_pairs`; only the final similarity
+    formula differs between them."""
     inter = (
         sh.alias("a")
         .join(
@@ -472,18 +474,21 @@ def _shared_shingle_from_sh(sh: DataFrame, tau: float) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    j = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-        )
+    return inter.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+        "doc_b",
+    )
+
+
+def _shared_shingle_from_sh(sh: DataFrame, tau: float) -> DataFrame:
+    """Naive scheme body over a (persisted) shingle relation — split
+    out so exact_jaccard_pairs can reuse the cache its sketch pass
+    already materialized instead of re-tokenizing the corpus."""
+    j = _pair_intersections(sh).withColumn(
+        "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     )
     return j.filter(F.col("jaccard") >= tau).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
@@ -861,28 +866,7 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     the LSH path does; containment against capped sets is then a
     lower bound, which only drops already-boilerplate evidence.
     """
-    sh = shingles(df, id_col, text).persist()
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "sh")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    both = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-            "doc_b",
-        )
-    )
+    both = _pair_intersections(shingles(df, id_col, text).persist())
     fwd = both.select(
         F.col("doc_a").alias("doc_sub"),
         F.col("doc_b").alias("doc_sup"),

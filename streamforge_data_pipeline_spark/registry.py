@@ -1052,35 +1052,28 @@ def q_inverted_index(spark, sf_dir):
     return text.inverted_index(load(spark, sf_dir, "documents"))
 
 
-def q_stream_near_dedup(spark, sf_dir):
-    """Continuous near-dup ingestion drained over the corpus as ONE
-    micro-batch (streaming/near_dedup_stream): with no pre-existing
-    corpus the decision log is exactly the in-batch resolution —
-    connected-component members point at their cluster minimum
-    ('batch'), representatives admit ('admitted') — which the
-    recursive-CTE closure expresses in SQL. The multi-batch/probe
-    path is covered by tests/test_streaming_near_dedup.py
-    postconditions."""
+def _drain_documents_stream(spark, sf_dir, start_fn, log_table, prefix):
+    """Shared scaffold for the single-batch streaming-drain keys: point
+    ``start_fn`` (a start_stream_* factory) at the documents table,
+    drain it as ONE deterministic micro-batch into a scratch
+    TableStore, pin the decision log into block-manager storage, and
+    delete the scratch dir. Single-file layouts stream the sf_dir with
+    a pathGlobFilter — without it every sibling table (lineitem,
+    orders, ...) is read with the (doc_id, text) schema and floods the
+    pipeline with junk null rows (millions at sf1)."""
     import shutil
     import tempfile
 
     from streamforge_data_pipeline_spark.sources.store import TableStore
-    from streamforge_data_pipeline_spark.streaming.near_dedup_stream import (
-        start_stream_near_dedup,
-    )
 
-    work = tempfile.mkdtemp(prefix="sfdp_stream_nd_")
+    work = tempfile.mkdtemp(prefix=prefix)
     store = TableStore(os.path.join(work, "store"))
     table_path = os.path.join(sf_dir, "documents.parquet")
     if os.path.isdir(table_path):
         src, glob = table_path, None
     else:
-        # single-file layout: stream only the documents file — without
-        # the glob every sibling table (lineitem, orders, ...) is read
-        # with the (doc_id, text) schema and floods the pipeline with
-        # junk null rows (millions at sf1)
         src, glob = sf_dir, "documents.parquet"
-    q = start_stream_near_dedup(
+    q = start_fn(
         spark,
         src,
         store,
@@ -1091,9 +1084,27 @@ def q_stream_near_dedup(spark, sf_dir):
     q.awaitTermination()
     # pin the result into block-manager storage so the scratch dir can
     # be deleted before returning (the caller collects lazily)
-    log = store.read(spark, "near_dup_log").localCheckpoint(eager=True)
+    log = store.read(spark, log_table).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return log
+
+
+def q_stream_near_dedup(spark, sf_dir):
+    """Continuous near-dup ingestion drained over the corpus as ONE
+    micro-batch (streaming/near_dedup_stream): with no pre-existing
+    corpus the decision log is exactly the in-batch resolution —
+    connected-component members point at their cluster minimum
+    ('batch'), representatives admit ('admitted') — which the
+    recursive-CTE closure expresses in SQL. The multi-batch/probe
+    path is covered by tests/test_streaming_near_dedup.py
+    postconditions."""
+    from streamforge_data_pipeline_spark.streaming.near_dedup_stream import (
+        start_stream_near_dedup,
+    )
+
+    return _drain_documents_stream(
+        spark, sf_dir, start_stream_near_dedup, "near_dup_log", "sfdp_stream_nd_"
+    )
 
 
 def q_stream_running_totals(spark, sf_dir):
@@ -1200,33 +1211,13 @@ def q_stream_exact_dedup_jvm(spark, sf_dir):
     scan-scale path (PERF_NOTES r5 measures it vs the state op).
     Single-batch drain makes in-batch lowest-id-wins deterministic and
     SQL-expressible, exactly as the sibling key."""
-    import shutil
-    import tempfile
-
-    from streamforge_data_pipeline_spark.sources.store import TableStore
     from streamforge_data_pipeline_spark.streaming.exact_dedup_stream import (
         start_stream_exact_dedup,
     )
 
-    work = tempfile.mkdtemp(prefix="sfdp_stream_xd_")
-    store = TableStore(os.path.join(work, "store"))
-    table_path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isdir(table_path):
-        src, glob = table_path, None
-    else:
-        src, glob = sf_dir, "documents.parquet"
-    q = start_stream_exact_dedup(
-        spark,
-        src,
-        store,
-        checkpoint_dir=os.path.join(work, "ckpt"),
-        max_files_per_trigger=10_000,  # one batch: deterministic + oracle-able
-        path_glob_filter=glob,
+    return _drain_documents_stream(
+        spark, sf_dir, start_stream_exact_dedup, "exact_dedup_log", "sfdp_stream_xd_"
     )
-    q.awaitTermination()
-    log = store.read(spark, "exact_dedup_log").localCheckpoint(eager=True)
-    shutil.rmtree(work, ignore_errors=True)
-    return log
 
 
 def q_dup_ngram_fraction(spark, sf_dir):

@@ -32,10 +32,15 @@ atomic):
    over any in-batch id — first-ARRIVAL-wins, as dedup_stream).
 4. annotate: join the batch's hashed rows back to the per-hash winner;
    dup_of NULL for the winner row, the winner id everywhere else.
-5. log-first commit: append annotations to the decision log, THEN
-   append novel (hash, first_id) rows to the index (same crash
-   ordering argument as near_dedup_stream: the log is what the
-   at-least-once re-run guard replays from).
+5. index-first commit: append novel (hash, first_id) rows to the
+   index, THEN append annotations to the decision log. Winners are a
+   pure function of (batch content, index state), so this ordering is
+   fully idempotent under at-least-once replay — a crash between the
+   appends re-derives byte-identical annotations from the
+   just-appended index (the near-dup pipeline must commit its log
+   first instead, because ITS in-batch resolution is not replayable).
+   The replay guard's log scan is gated behind a last-batch-id marker
+   so normal batches never pay the stream-age-sized anti-join.
 
 Scale notes: the index is corpus-distinct-hash-sized (32-byte hash +
 one long per distinct content — ~3 TB of index for 100 TB of raw text,
@@ -67,6 +72,30 @@ from pyspark.sql.streaming import StreamingQuery
 from streamforge_data_pipeline_spark.sources.store import TableStore
 
 
+def _replay_guard_needed(
+    spark: SparkSession, store: TableStore, marker_table: str, batch_id: int | None
+) -> bool:
+    """True iff this batch may be an at-least-once REPLAY. The marker
+    table holds the highest batch_id ever started; a batch_id above it
+    is provably fresh, so the (log-sized, per-batch-growing) replay
+    anti-join can be skipped on every normal batch — the guard scan
+    runs only after a crash. Callers must OVERWRITE the marker with
+    their batch_id BEFORE any append, so a crash mid-commit leaves
+    marker >= batch_id and the re-run takes the guarded path. A
+    missing/unreadable marker degrades to guard-on (the safe
+    direction). ``batch_id=None`` (direct calls, tests) always
+    guards."""
+    if batch_id is None:
+        return True
+    try:
+        if os.path.exists(store.path(marker_table)):
+            row = store.read(spark, marker_table).collect()
+            return bool(row) and batch_id <= row[0]["batch_id"]
+    except Exception:
+        return True
+    return False
+
+
 def _resolve_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -75,12 +104,23 @@ def _resolve_batch(
     log_table: str,
     id_col: str,
     text: str,
+    batch_id: int | None = None,
 ) -> None:
     # idempotent re-run guard: the log is the decision record — a
-    # doc_id it already holds was fully decided, drop it from the batch
-    if os.path.exists(store.path(log_table)):
+    # doc_id it already holds was fully decided, drop it from the
+    # batch. Gated behind the batch-id marker so the log scan (which
+    # grows with every batch ever ingested) runs only on crash
+    # replays, keeping normal per-batch work independent of stream age.
+    marker = f"{log_table}__last_batch"
+    if _replay_guard_needed(spark, store, marker, batch_id) and os.path.exists(
+        store.path(log_table)
+    ):
         seen = store.read(spark, log_table).select("doc_id")
         batch_df = batch_df.join(seen, "doc_id", "left_anti")
+    if batch_id is not None:
+        store.overwrite(
+            spark.createDataFrame([(batch_id,)], "batch_id long"), marker
+        )
 
     hashed = batch_df.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -116,14 +156,23 @@ def _resolve_batch(
         .localCheckpoint(eager=True)
     )
 
-    # log-first commit (see module docstring for the crash argument)
-    store.append(out, log_table)
+    # INDEX-first commit: unlike the near-dup pipeline (where in-batch
+    # resolution could elect a different representative on replay, so
+    # the decision log must commit first), this engine's winners are a
+    # pure function of (batch content, index state) — so appending the
+    # index first makes the whole commit idempotent with NO residual
+    # window: a crash after the index append replays the batch, the
+    # probe now HITS the appended hashes, re-derives the identical
+    # annotations (same winner ids), finds novel empty, and appends
+    # the log exactly once; a crash after both appends replays into
+    # the replay guard, which drops the batch entirely.
     store.append(
         winners.filter("novel").select(
             "content_hash", F.col("winner").alias("first_id")
         ),
         index_table,
     )
+    store.append(out, log_table)
 
 
 def start_stream_exact_dedup(
@@ -160,6 +209,7 @@ def start_stream_exact_dedup(
             log_table,
             id_col,
             text,
+            batch_id=batch_id,
         )
 
     writer = stream.writeStream.foreachBatch(commit).option(

@@ -58,6 +58,7 @@ def _resolve_batch(
     corpus_table: str,
     log_table: str,
     tau: float,
+    batch_id: int | None = None,
 ) -> None:
     # Every stage boundary below is localCheckpoint(eager=True), NOT
     # persist: persist caches data but keeps the LOGICAL plan, and this
@@ -67,13 +68,49 @@ def _resolve_batch(
     # driver generating the plan string. Checkpointing flattens each
     # stage to a LogicalRDD, and the frames are micro-batch-sized by
     # construction, so the blocks are tiny and die with the batch.
-    # ---- idempotent re-run guard: drop doc_ids already decided
-    if os.path.exists(store.path(log_table)):
-        seen = store.read(spark, log_table).select("doc_id")
-        batch_df = batch_df.join(seen, "doc_id", "left_anti")
-    if os.path.exists(store.path(corpus_table)):
-        admitted_ids = store.read(spark, corpus_table).select("doc_id")
-        batch_df = batch_df.join(admitted_ids, "doc_id", "left_anti")
+    # ---- idempotent re-run guard: drop doc_ids already decided.
+    # Gated behind the last-batch-id marker (shared helper): the
+    # log/corpus anti-joins scan tables that grow with stream age, so
+    # they run only on crash replays, never on normal batches.
+    from streamforge_data_pipeline_spark.streaming.exact_dedup_stream import (
+        _replay_guard_needed,
+    )
+
+    marker = f"{log_table}__last_batch"
+    if _replay_guard_needed(spark, store, marker, batch_id):
+        if os.path.exists(store.path(log_table)):
+            seen_log = store.read(spark, log_table)
+            # crash-window repair: a doc logged 'admitted' whose corpus
+            # row is missing (the process died between the log append
+            # and the corpus append) is re-appended from the replayed
+            # batch rows BEFORE the guard drops it — the log stays the
+            # decision source and the probe index converges to it, so
+            # the once-documented residual window is closed, not just
+            # "repairable".
+            replay_admitted = batch_df.join(
+                seen_log.filter(F.col("origin") == "admitted").select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            if os.path.exists(store.path(corpus_table)):
+                replay_admitted = replay_admitted.join(
+                    store.read(spark, corpus_table).select("doc_id"),
+                    "doc_id",
+                    "left_anti",
+                )
+            replay_admitted = replay_admitted.localCheckpoint(eager=True)
+            if replay_admitted.count():
+                store.append(replay_admitted, corpus_table)
+            batch_df = batch_df.join(
+                seen_log.select("doc_id"), "doc_id", "left_anti"
+            )
+        if os.path.exists(store.path(corpus_table)):
+            admitted_ids = store.read(spark, corpus_table).select("doc_id")
+            batch_df = batch_df.join(admitted_ids, "doc_id", "left_anti")
+    if batch_id is not None:
+        store.overwrite(
+            spark.createDataFrame([(batch_id,)], "batch_id long"), marker
+        )
     batch_df = batch_df.localCheckpoint(eager=True)
 
     # ---- 1. in-batch near-dup resolution
@@ -121,9 +158,12 @@ def _resolve_batch(
     # whose jaccard against the already-admitted one falls below tau
     # (clusters are transitive closures) — double-admitting near-dup
     # content with no record tying the two together. Residual window:
-    # log-committed-but-corpus-missing batches under-populate the next
-    # batch's probe index until backfilled; decisions stay consistent
-    # because the log, not the corpus, is the idempotency source.
+    # log-committed-but-corpus-missing batches under-populate the
+    # probe index ONLY until the crashed batch's at-least-once
+    # redelivery, whose replay guard backfills the corpus from the
+    # replayed rows (see the admitted-backfill above); decisions stay
+    # consistent because the log, not the corpus, is the idempotency
+    # source.
     admitted = reps.join(novel_ids, "doc_id", "left_semi")
     log = batch_log if index_log is None else batch_log.unionByName(index_log)
     admitted_log = admitted.select(
@@ -164,7 +204,13 @@ def start_stream_near_dedup(
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         _resolve_batch(
-            batch_df.sparkSession, batch_df, store, corpus_table, log_table, tau
+            batch_df.sparkSession,
+            batch_df,
+            store,
+            corpus_table,
+            log_table,
+            tau,
+            batch_id=batch_id,
         )
 
     writer = stream.writeStream.foreachBatch(commit).option(

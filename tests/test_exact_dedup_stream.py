@@ -150,3 +150,60 @@ def test_exact_dedup_stream_no_python_in_batch_plan(spark, tmp_path):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_dedup_stream_crash_between_appends_recovers(spark, tmp_path):
+    """Index-first commit: simulate a crash AFTER the index append but
+    BEFORE the log append by deleting the log and re-running the
+    batch. The replay must re-derive byte-identical annotations from
+    the index (first-arrival ids unchanged), append the log exactly
+    once, and not grow the index."""
+    import shutil
+
+    store = TableStore(str(tmp_path / "store_crash"))
+    batch = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, text string"
+    )
+    _resolve_batch(spark, batch, store, "hash_index", "exact_dedup_log",
+                   "doc_id", "text")
+    expected = sorted(
+        (r["doc_id"], r["dup_of"])
+        for r in store.read(spark, "exact_dedup_log").collect()
+    )
+    # crash window: log never happened, index did
+    shutil.rmtree(store.path("exact_dedup_log"))
+    _resolve_batch(spark, batch, store, "hash_index", "exact_dedup_log",
+                   "doc_id", "text")
+    replayed = sorted(
+        (r["doc_id"], r["dup_of"])
+        for r in store.read(spark, "exact_dedup_log").collect()
+    )
+    assert replayed == expected == [(1, None), (2, 1), (3, None)]
+    assert store.read(spark, "hash_index").count() == 2
+
+
+def test_exact_dedup_stream_batch_id_marker_gates_guard(spark, tmp_path):
+    """With monotonically increasing batch_ids the replay guard is
+    skipped (fresh batches) yet a re-delivered batch_id still takes
+    the guarded path and stays idempotent."""
+    store = TableStore(str(tmp_path / "store_marker"))
+    b0 = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, text string")
+    b1 = spark.createDataFrame([(3, "x"), (4, "z")], "doc_id long, text string")
+    _resolve_batch(spark, b0, store, "hash_index", "exact_dedup_log",
+                   "doc_id", "text", batch_id=0)
+    _resolve_batch(spark, b1, store, "hash_index", "exact_dedup_log",
+                   "doc_id", "text", batch_id=1)
+    once = sorted(
+        (r["doc_id"], r["dup_of"])
+        for r in store.read(spark, "exact_dedup_log").collect()
+    )
+    assert once == [(1, None), (2, 1), (3, 1), (4, None)]
+    # at-least-once redelivery of batch 1: marker says replay -> guard
+    _resolve_batch(spark, b1, store, "hash_index", "exact_dedup_log",
+                   "doc_id", "text", batch_id=1)
+    again = sorted(
+        (r["doc_id"], r["dup_of"])
+        for r in store.read(spark, "exact_dedup_log").collect()
+    )
+    assert again == once
+    assert store.read(spark, "hash_index").count() == 2

@@ -105,3 +105,35 @@ def test_stream_near_dedup_rerun_is_idempotent(spark, tmp_path):
         == first_corpus
     )
     assert store.read(spark, "near_dup_log").count() == 2
+
+
+def test_crash_between_log_and_corpus_appends_backfills(spark, tmp_path):
+    """Log-first commit window: simulate dying AFTER the log append but
+    BEFORE the corpus append by deleting the corpus table, then
+    re-deliver the batch. The replay guard must backfill the admitted
+    docs into the corpus from the replayed rows (closing the
+    documented window) without duplicating any log rows."""
+    import shutil
+
+    from streamforge_data_pipeline_spark.streaming.near_dedup_stream import (
+        _resolve_batch,
+    )
+
+    store = TableStore(str(tmp_path / "store_bf"))
+    batch = spark.createDataFrame(
+        [(1, _doc("a", 1)), (2, _doc("a", 2)), (3, _doc("b", 1))],
+        "doc_id long, text string",
+    )
+    _resolve_batch(spark, batch, store, "corpus", "near_dup_log", 0.5)
+    admitted = sorted(r["doc_id"] for r in store.read(spark, "corpus").collect())
+    log_rows = store.read(spark, "near_dup_log").count()
+    assert admitted  # sanity: something was admitted
+
+    shutil.rmtree(store.path("corpus"))  # the crash window
+    _resolve_batch(spark, batch, store, "corpus", "near_dup_log", 0.5)
+
+    assert (
+        sorted(r["doc_id"] for r in store.read(spark, "corpus").collect())
+        == admitted
+    )
+    assert store.read(spark, "near_dup_log").count() == log_rows
