@@ -921,3 +921,109 @@ def dup_span_removal(df: DataFrame, id_col: str = "doc_id",
         frac.alias("dup_frac"),
         F.array_join(kept, " ").alias("text_clean"),
     )
+
+
+def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
+                  text: str = "text") -> DataFrame:
+    """Per-document n-gram NOVELTY: the share of a doc's token 3-gram
+    occurrences whose 3-gram first appears (by lowest doc_id) in THIS
+    document — the "how much new content does this doc contribute"
+    curation signal, the forward-looking complement of
+    dup_ngram_fraction's "how much of this doc is repeated". Docs full
+    of already-seen phrasing score near 0; the first carrier of a
+    phrase scores it as novel (including repeats within the first
+    carrier itself — first-carrier occurrences are all novel by the
+    lowest-doc-id rule, which keeps the statistic a pure function of
+    the corpus, not of arrival order).
+
+    Scale notes: one partial-agg shuffle builds the gram -> first-doc
+    table (min(doc_id) combines map-side; hot grams collapse before
+    the wire), then an equi-join back to the occurrence relation on
+    the gram key — the dup_ngram_fraction plan shape exactly, with min
+    instead of count. Per-doc rollup is the second and last shuffle.
+    """
+    from streamforge_data_pipeline_spark.operators.minhash import shingles_raw
+
+    occ = shingles_raw(df, id_col, text).persist()
+    firsts = occ.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        occ.join(firsts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_novel",
+            (F.floor(F.col("n_novel") / F.col("n_ngrams") * 1e4 + 0.5) / 1e4)
+            .alias("novelty"),
+        )
+    )
+
+
+def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text: str = "text", tau: float = 0.6) -> DataFrame:
+    """Document pairs by tf-idf COSINE >= ``tau`` — bag-of-words
+    near-dup detection weighted by term rarity (the classic IR
+    similarity), complementing the order-sensitive shingle Jaccard:
+    two docs using the same rare vocabulary in different word order
+    score high here and low on 3-gram Jaccard. Weights are
+    tf * ln(N/df) rounded to 6 (the tfidf_top_terms recipe); terms
+    present in every document carry weight exactly 0 and are excluded
+    up front — identical semantics, smaller join.
+
+    Cross-engine float discipline: the shared-term dot product and the
+    per-doc norms are summed as DECIMAL(28,10) — decimal addition is
+    exact and order-free, so the nondeterministic shuffle order of a
+    double sum can never flip a pair across the tau boundary between
+    engines (the house rule "sums go through DECIMAL(28,10)").
+
+    Scale notes: the pair join is an equi-join on the term key, so
+    candidate volume tracks sum(df^2) over SURVIVING terms — tf-idf
+    itself suppresses the hot end (weight-0 universal terms are
+    dropped exactly), and at 100 TB the standard df cap
+    (drop terms with df > max_df, whose weights are ~0 anyway) bounds
+    bucket width the same way the shingle pipeline's boilerplate cap
+    does. Everything reduces at (doc, term) before anything wide.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .filter(F.col("df") < F.col("n_docs"))  # weight would be exactly 0
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("w"),
+        )
+    ).persist()
+    dec = lambda c: c.cast("decimal(28,10)")  # noqa: E731
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(dec(F.col("w") * F.col("w"))).cast("double")).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(dec(F.col("wa") * F.col("wb"))).cast("double").alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")), "doc_b")
+        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= F.lit(tau) - F.lit(1e-9))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(F.col("cos") * 1e4 + 0.5) / 1e4).alias("cosine"),
+        )
+    )

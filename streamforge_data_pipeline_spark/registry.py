@@ -1236,6 +1236,14 @@ def q_dup_span_removal(spark, sf_dir):
     return text.dup_span_removal(load(spark, sf_dir, "documents"))
 
 
+def q_ngram_novelty(spark, sf_dir):
+    return text.ngram_novelty(load(spark, sf_dir, "documents"))
+
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    return text.tfidf_cosine_pairs(load(spark, sf_dir, "documents"), tau=0.85)
+
+
 def q_winnow_overlap(spark, sf_dir):
     from streamforge_data_pipeline_spark.operators.minhash import winnow_overlap
 
@@ -2679,6 +2687,40 @@ SELECT b.doc_id, CAST(len(b.ts) AS BIGINT) AS n_tokens,
 FROM toks b LEFT JOIN st USING(doc_id)
 LEFT JOIN clean ON b.doc_id = clean.doc_id""",
         "ExactSubstr-style duplicated k-gram spans merged + removed per doc (Lee et al. 2021)",
+    ),
+    "ngram_novelty": QuerySpec(
+        q_ngram_novelty,
+        f"""WITH {TOKS_CTE},
+idx AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts)-2, 0))) AS x FROM toks),
+shr AS (SELECT doc_id, ts[x+1] || ' ' || ts[x+2] || ' ' || ts[x+3] AS sh FROM idx),
+f AS (SELECT sh, min(doc_id) AS first_doc FROM shr GROUP BY sh)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  floor(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)*1.0/count(*)*1e4 + 0.5)/1e4
+    AS novelty
+FROM shr JOIN f USING(sh) GROUP BY doc_id""",
+        "per-doc n-gram novelty: share of 3-grams first carried by this doc",
+    ),
+    "tfidf_cosine_pairs": QuerySpec(
+        q_tfidf_cosine_pairs,
+        f"""WITH {TOKS_CTE},
+t AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+w AS (SELECT doc_id, term, round(tf * ln(n_docs*1.0/df), 6) AS w
+      FROM tf JOIN dfq USING(term) CROSS JOIN nd WHERE df < n_docs),
+nrm AS (SELECT doc_id,
+          sqrt(CAST(SUM(CAST(w*w AS DECIMAL(28,10))) AS DOUBLE)) AS nrm
+        FROM w GROUP BY doc_id),
+d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(SUM(CAST(a.w*b.w AS DECIMAL(28,10))) AS DOUBLE) AS dot
+      FROM w a JOIN w b USING(term) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT doc_a, doc_b, floor(dot/(na.nrm*nb.nrm)*1e4 + 0.5)/1e4 AS cosine
+FROM d JOIN nrm na ON doc_a = na.doc_id JOIN nrm nb ON doc_b = nb.doc_id
+WHERE dot/(na.nrm*nb.nrm) >= 0.85 - 1e-9""",
+        "tf-idf cosine >= tau doc pairs (decimal-exact dot/norm sums)",
     ),
     "containment_dedup": QuerySpec(
         q_containment_dedup,

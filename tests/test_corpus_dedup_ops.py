@@ -297,3 +297,101 @@ def test_vocab_coverage_brute_force(spark):
         assert r["n"] == n
         assert r["cum_frac"] == pytest.approx(round(cum / total, 4), abs=1e-9)
     assert out[0]["rank"] == 1 and out[-1]["rank"] == 3
+
+
+# ------------------------------------------------------ ngram_novelty
+
+
+def test_ngram_novelty_first_carrier_vs_copy(spark):
+    from streamforge_data_pipeline_spark.operators.text import ngram_novelty
+
+    orig = "n1 n2 n3 n4 n5 n6 n7 n8"
+    df = _docs(
+        spark,
+        [
+            (1, orig),                    # first carrier: all novel
+            (2, orig),                    # verbatim copy: nothing novel
+            (3, "m1 m2 m3 " + orig),      # partial copy: mixed
+        ],
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0
+    assert out[2]["n_ngrams"] == out[1]["n_ngrams"] == 6
+    # doc 3's novel grams are those touching the m-prefix: m1m2m3,
+    # m2m3n1, m3n1n2 -> 3 of 9
+    assert out[3]["n_novel"] == 3
+    assert out[3]["n_ngrams"] == 9
+
+
+# -------------------------------------------------- tfidf_cosine_pairs
+
+
+def test_tfidf_cosine_finds_bag_of_words_rearrangement(spark):
+    from streamforge_data_pipeline_spark.operators.minhash import (
+        exact_jaccard_pairs,
+    )
+    from streamforge_data_pipeline_spark.operators.text import tfidf_cosine_pairs
+
+    import random
+
+    rng = random.Random(9)
+    filler = [f"f{i}" for i in range(40)]
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    shuffled = words[::-1]
+    rows = [(1, " ".join(words)), (2, " ".join(shuffled))] + [
+        (d, " ".join(rng.choice(filler) for _ in range(25))) for d in range(3, 23)
+    ]
+    df = _docs(spark, rows)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(df, tau=0.9).collect()
+    }
+    # identical bags in reversed order: cosine exactly 1
+    assert pairs.get((1, 2)) == 1.0
+    # ...which 3-gram Jaccard cannot see (no shared trigram at all)
+    jac = exact_jaccard_pairs(df, tau=0.1, scheme="naive").collect()
+    assert not [r for r in jac if {r["doc_a"], r["doc_b"]} == {1, 2}]
+
+
+def test_tfidf_cosine_matches_numpy_bruteforce(spark):
+    import math as m
+    import random
+    from collections import Counter
+
+    from streamforge_data_pipeline_spark.operators.text import tfidf_cosine_pairs
+
+    rng = random.Random(31)
+    vocab = [f"v{i}" for i in range(15)]
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 30))))
+        for d in range(30)
+    ]
+    tau = 0.8
+    tfs = {d: Counter(t.split()) for d, t in rows}
+    df_ct = Counter()
+    for c in tfs.values():
+        df_ct.update(c.keys())
+    n = len(rows)
+    w = {
+        d: {
+            t: round(c[t] * m.log(n * 1.0 / df_ct[t]), 6)
+            for t in c
+            if df_ct[t] < n
+        }
+        for d, c in tfs.items()
+    }
+    want = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            dot = sum(w[a][t] * w[b][t] for t in w[a].keys() & w[b].keys())
+            na = m.sqrt(sum(x * x for x in w[a].values()))
+            nb = m.sqrt(sum(x * x for x in w[b].values()))
+            if na and nb and dot / (na * nb) >= tau - 1e-9:
+                want[(a, b)] = dot / (na * nb)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(_docs(spark, rows), tau=tau).collect()
+    }
+    assert got.keys() == want.keys()
+    assert all(abs(got[p] - want[p]) < 1e-3 for p in got)  # decimal vs float sums
