@@ -6,8 +6,15 @@ at an arbitrary SF dir — the per-round driver check caps ~50 keys at
 sf0.01; this sweeps ALL keys and is how scale correctness (sf1) is
 evidenced.
 
-Usage: python scripts/oracle_sweep.py [SF_DIR]
-Prints one line per key and a final JSON summary.
+Usage: python scripts/oracle_sweep.py [SF_DIR] [MAX_KEY_SECONDS]
+Prints one line per key and a final JSON summary. With a
+MAX_KEY_SECONDS budget (recommended for sf1+: 900), a key whose
+Spark job or DuckDB oracle exceeds it is cancelled and reported in a
+separate "over_budget" list — NOT as a mismatch — because some
+oracles are themselves super-linear SQL (recursive CTEs; the tf-idf
+quadratic term join) that the differential can only afford at small
+SF. Over-budget keys still have their sf0.01 oracle rows and their
+operator-level scale evidence (PERF_NOTES).
 """
 
 from __future__ import annotations
@@ -25,21 +32,45 @@ from tests.utils import compare, duckdb_connection  # noqa: E402
 
 
 def main() -> None:
+    import threading
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    budget = float(sys.argv[2]) if len(sys.argv) > 2 else None
     spark = get_session("oracle-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb_connection(sf_dir)
     keys = [k for k in REGISTRY if REGISTRY[k].oracle]
     bad: list[tuple[str, str]] = []
+    over: list[str] = []
     times: dict[str, float] = {}
     for k in keys:
         spark.catalog.clearCache()
+        timer = None
+        if budget:
+            # watchdog: cancel the Spark jobs AND interrupt DuckDB so
+            # a super-linear key can't stall the whole sweep
+            def _cancel():
+                spark.sparkContext.cancelAllJobs()
+                try:
+                    con.interrupt()
+                except Exception:
+                    pass
+
+            timer = threading.Timer(budget, _cancel)
+            timer.start()
         t0 = time.time()
         try:
             ok, msg = compare(REGISTRY[k].fn(spark, sf_dir), con, REGISTRY[k].oracle)
         except Exception as e:  # noqa: BLE001 — sweep must report, not die
             ok, msg = False, f"EXC {type(e).__name__}: {e}"
+        finally:
+            if timer is not None:
+                timer.cancel()
         times[k] = round(time.time() - t0, 1)
+        if not ok and budget and times[k] >= budget:
+            over.append(k)
+            print(f"SKIP {k:28s} {times[k]:7.1f}s over budget ({budget:.0f}s)", flush=True)
+            continue
         print(f"{'ok ' if ok else 'FAIL'} {k:28s} {times[k]:7.1f}s {'' if ok else msg[:160]}", flush=True)
         if not ok:
             bad.append((k, msg[:300]))
@@ -50,6 +81,7 @@ def main() -> None:
                 "keys": len(keys),
                 "mismatches": len(bad),
                 "bad": bad,
+                "over_budget": over,
                 "total_s": round(sum(times.values()), 1),
                 "slowest": sorted(times.items(), key=lambda kv: -kv[1])[:8],
             }

@@ -966,7 +966,10 @@ def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
 
 
 def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
-                       text: str = "text", tau: float = 0.6) -> DataFrame:
+                       text: str = "text", tau: float = 0.6,
+                       scheme: str = "auto",
+                       dense_vocab_limit: int = 256,
+                       dense_cells_limit: int = 64_000_000) -> DataFrame:
     """Document pairs by tf-idf COSINE >= ``tau`` — bag-of-words
     near-dup detection weighted by term rarity (the classic IR
     similarity), complementing the order-sensitive shingle Jaccard:
@@ -980,15 +983,33 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
     per-doc norms are summed as DECIMAL(28,10) — decimal addition is
     exact and order-free, so the nondeterministic shuffle order of a
     double sum can never flip a pair across the tau boundary between
-    engines (the house rule "sums go through DECIMAL(28,10)").
+    engines (the house rule "sums go through DECIMAL(28,10)"). The
+    dense scheme preserves this bit-for-bit: NumPy only NOMINATES
+    candidates (at tau minus a 1e-6 slack, orders of magnitude wider
+    than any 256-dim float64 dot error), and every emitted pair's
+    cosine is recomputed by the same decimal fold.
 
-    Scale notes: the pair join is an equi-join on the term key, so
-    candidate volume tracks sum(df^2) over SURVIVING terms — tf-idf
-    itself suppresses the hot end (weight-0 universal terms are
-    dropped exactly), and at 100 TB the standard df cap
-    (drop terms with df > max_df, whose weights are ~0 anyway) bounds
-    bucket width the same way the shingle pipeline's boilerplate cap
-    does. Everything reduces at (doc, term) before anything wide.
+    Scheme selection (the near_dedup auto-scheme story, transplanted):
+    the sparse term-equi-join's candidate volume is sum(df^2) over
+    surviving terms — fine on Zipf vocabularies where tf-idf's
+    weight-0 drop and the rare tail keep buckets thin, but on a
+    SATURATED vocabulary (every term in ~every doc) it degenerates to
+    |vocab| x (N/|vocab| density)^2 joined rows: measured 93 s at 5k
+    docs / 30 terms, infeasible at 50k (~2.5e13 rows). ``auto``
+    therefore routes small-vocabulary corpora (vocab <=
+    ``dense_vocab_limit`` AND n_docs x vocab <= ``dense_cells_limit``
+    matrix cells, driver-collectable) to a DENSE path: per-doc weight
+    vectors, candidate pairs from a blocked NumPy matmul against the
+    broadcast matrix (flops-bound: N^2 x vocab multiply-adds, ~75
+    GFLOP for 50k x 30 — seconds, vs the join's trillions of rows),
+    then the exact decimal rerank on candidates only. Large/Zipf
+    vocabularies keep the sparse join. Both schemes return the
+    identical result set (equivalence-tested).
+
+    Scale notes (sparse path): everything reduces at (doc, term)
+    before anything wide; at 100 TB the standard df cap (drop terms
+    with df > max_df, whose weights are ~0 anyway) bounds bucket
+    width the same way the shingle pipeline's boilerplate cap does.
     """
     toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
@@ -1008,14 +1029,33 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(dec(F.col("w") * F.col("w"))).cast("double")).alias("nrm")
     )
-    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
-    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
-    dots = (
-        a.join(b, "term")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(dec(F.col("wa") * F.col("wb"))).cast("double").alias("dot"))
-    )
+
+    if scheme == "auto":
+        # the vocab sketch IS the routing statistic: tiny and saturated
+        # -> dense matmul; large/Zipf -> sparse term join
+        vocab_rows = (
+            w.select("term").distinct().limit(dense_vocab_limit + 1).collect()
+        )
+        n = df.count()
+        dense_ok = (
+            len(vocab_rows) <= dense_vocab_limit
+            and n * len(vocab_rows) <= dense_cells_limit
+        )
+        scheme = "dense" if dense_ok else "sparse"
+
+    if scheme == "dense":
+        dots = _tfidf_dense_candidates(df, w, tau, id_col)
+    elif scheme == "sparse":
+        a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+        b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+        dots = (
+            a.join(b, "term")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(dec(F.col("wa") * F.col("wb"))).cast("double").alias("dot"))
+        )
+    else:
+        raise ValueError(f"unknown scheme {scheme!r}")
     return (
         dots.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")), "doc_a")
         .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")), "doc_b")
@@ -1025,5 +1065,108 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
             "doc_a",
             "doc_b",
             (F.floor(F.col("cos") * 1e4 + 0.5) / 1e4).alias("cosine"),
+        )
+    )
+
+
+def _tfidf_dense_candidates(df: DataFrame, w: DataFrame, tau: float,
+                            id_col: str) -> DataFrame:
+    """(doc_a, doc_b, dot) for the dense small-vocabulary scheme:
+    candidate pairs from a blocked NumPy cosine sweep (tau - 1e-6
+    slack, superset of the answer), each pair's dot then recomputed as
+    the SAME order-free decimal fold the sparse scheme's aggregation
+    produces — absent terms contribute exact 0.0 products, so the
+    dense fold over the full vocabulary equals the sparse sum over
+    shared terms, decimal digit for digit."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    vocab = sorted(r["term"] for r in w.select("term").distinct().collect())
+    v_idx = {t: i for i, t in enumerate(vocab)}
+    dim = len(vocab)
+
+    # per-doc dense weight vector, JVM-side: map lookup per vocab slot
+    wmap = w.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "w"))).alias("__m")
+    )
+    vec = F.transform(
+        F.array(*[F.lit(t) for t in vocab]),
+        lambda t: F.coalesce(F.element_at(F.col("__m"), t), F.lit(0.0)),
+    )
+    dense = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(wmap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__m").isNull(), F.array(*[F.lit(0.0)] * dim))
+            .otherwise(vec)
+            .alias("vec"),
+        )
+        .persist()
+    )
+    rows = dense.collect()  # gated by dense_cells_limit in the caller
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["vec"] for r in rows], dtype=np.float64)
+    mnorm = np.sqrt((mat * mat).sum(axis=1))
+    mnorm[mnorm == 0] = 1.0
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((ids, mat, mnorm))
+    thr = tau - 1e-6
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_a", T.LongType()),
+            T.StructField("doc_b", T.LongType()),
+        ]
+    )
+
+    def _cands(batches):
+        import pandas as pd
+
+        bids, bmat, bnorm = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            vn = np.sqrt((v * v).sum(axis=1))
+            vn[vn == 0] = 1.0
+            vids = pdf["doc_id"].to_numpy()
+            # sub-block the sims matrix so memory stays ~100 MB
+            step = max(1, 200_000_000 // (8 * max(len(bids), 1)))
+            for s in range(0, len(v), step):
+                blk = v[s : s + step]
+                sims = (blk @ bmat.T) / (vn[s : s + step, None] * bnorm[None, :])
+                ai, bi = np.nonzero(sims >= thr)
+                da, db = vids[s + ai], bids[bi]
+                keep = da < db
+                if keep.any():
+                    yield pd.DataFrame({"doc_a": da[keep], "doc_b": db[keep]})
+
+    cands = dense.select("doc_id", "vec").mapInPandas(_cands, schema)
+    # exact decimal rerank: fold the two dense vectors with per-product
+    # DECIMAL(28,10) casts — identical digits to the sparse aggregation
+    av = dense.select(F.col("doc_id").alias("doc_a"), F.col("vec").alias("__va"))
+    bv = dense.select(F.col("doc_id").alias("doc_b"), F.col("vec").alias("__vb"))
+    return (
+        cands.join(av, "doc_a")
+        .join(bv, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.aggregate(
+                F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
+                F.lit(0).cast("decimal(28,10)"),
+                # the per-step re-cast keeps the accumulator type fixed
+                # (Spark's aggregate() requires it); weights are O(1e3)
+                # so the running sum never leaves decimal(28,10) range
+                # and the re-cast is lossless — digits identical to the
+                # sparse SUM(CAST(..)) aggregation
+                lambda acc, v: (acc + v.cast("decimal(28,10)")).cast(
+                    "decimal(28,10)"
+                ),
+            )
+            .cast("double")
+            .alias("dot"),
         )
     )

@@ -395,3 +395,39 @@ def test_tfidf_cosine_matches_numpy_bruteforce(spark):
     }
     assert got.keys() == want.keys()
     assert all(abs(got[p] - want[p]) < 1e-3 for p in got)  # decimal vs float sums
+
+
+def test_tfidf_dense_and_sparse_schemes_identical(spark):
+    """The dense small-vocab scheme (numpy candidates + decimal
+    rerank) must return byte-identical pairs AND cosines to the
+    sparse term-join scheme — on a saturated corpus (its target
+    regime) and on a rare-term corpus (the sparse regime)."""
+    import random
+
+    from streamforge_data_pipeline_spark.operators.text import tfidf_cosine_pairs
+
+    rng = random.Random(41)
+    saturated = [
+        (d, " ".join(rng.choice([f"s{i}" for i in range(12)]) for _ in range(20)))
+        for d in range(40)
+    ]
+    zipfish = [
+        (d, " ".join(
+            rng.choice([f"r{i}" for i in range(200)]) for _ in range(20)
+        ) + f" doc{d}unique")
+        for d in range(40)
+    ]
+    # plant a guaranteed high-cosine pair in the rare-term corpus
+    zipfish[38] = (38, "q1 q2 q3 q4 q5 q6 q7 q8")
+    zipfish[39] = (39, "q8 q7 q6 q5 q4 q3 q2 q1 r0")
+    for rows in (saturated, zipfish):
+        df = _docs(spark, rows)
+        sp = {
+            (r["doc_a"], r["doc_b"]): r["cosine"]
+            for r in tfidf_cosine_pairs(df, tau=0.5, scheme="sparse").collect()
+        }
+        de = {
+            (r["doc_a"], r["doc_b"]): r["cosine"]
+            for r in tfidf_cosine_pairs(df, tau=0.5, scheme="dense").collect()
+        }
+        assert sp == de and sp  # identical and non-trivial
