@@ -54,11 +54,10 @@ def main() -> None:
     orig = near_dedup_stream._resolve_batch
 
     def timed_resolve(spark_, batch_df, store_, corpus_table, log_table, tau,
-                      batch_id=None):
+                      **kwargs):
         t0 = time.monotonic()
         n_in = batch_df.count()
-        orig(spark_, batch_df, store_, corpus_table, log_table, tau,
-             batch_id=batch_id)
+        orig(spark_, batch_df, store_, corpus_table, log_table, tau, **kwargs)
         wall = time.monotonic() - t0
         corpus_n = store_.read(spark_, corpus_table).count()
         log_n = store_.read(spark_, log_table).count()

@@ -1030,6 +1030,7 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
         F.sqrt(F.sum(dec(F.col("w") * F.col("w"))).cast("double")).alias("nrm")
     )
 
+    vocab: list[str] | None = None
     if scheme == "auto":
         # the vocab sketch IS the routing statistic: tiny and saturated
         # -> dense matmul; large/Zipf -> sparse term join
@@ -1042,9 +1043,13 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
             and n * len(vocab_rows) <= dense_cells_limit
         )
         scheme = "dense" if dense_ok else "sparse"
+        if dense_ok:
+            # the sketch already holds the COMPLETE vocabulary (it hit
+            # no limit) — reuse it instead of a second distinct pass
+            vocab = sorted(r["term"] for r in vocab_rows)
 
     if scheme == "dense":
-        dots = _tfidf_dense_candidates(df, w, tau, id_col)
+        dots = _tfidf_dense_candidates(df, w, tau, id_col, vocab=vocab)
     elif scheme == "sparse":
         a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
         b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
@@ -1070,7 +1075,8 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def _tfidf_dense_candidates(df: DataFrame, w: DataFrame, tau: float,
-                            id_col: str) -> DataFrame:
+                            id_col: str,
+                            vocab: list[str] | None = None) -> DataFrame:
     """(doc_a, doc_b, dot) for the dense small-vocabulary scheme:
     candidate pairs from a blocked NumPy cosine sweep (tau - 1e-6
     slack, superset of the answer), each pair's dot then recomputed as
@@ -1082,9 +1088,10 @@ def _tfidf_dense_candidates(df: DataFrame, w: DataFrame, tau: float,
 
     from pyspark.sql import types as T
 
-    vocab = sorted(r["term"] for r in w.select("term").distinct().collect())
-    v_idx = {t: i for i, t in enumerate(vocab)}
+    if vocab is None:
+        vocab = sorted(r["term"] for r in w.select("term").distinct().collect())
     dim = len(vocab)
+    id_type = df.select(id_col).schema.fields[0].dataType
 
     # per-doc dense weight vector, JVM-side: map lookup per vocab slot
     wmap = w.groupBy("doc_id").agg(
@@ -1106,7 +1113,10 @@ def _tfidf_dense_candidates(df: DataFrame, w: DataFrame, tau: float,
         .persist()
     )
     rows = dense.collect()  # gated by dense_cells_limit in the caller
-    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    # dtype inferred from the id values: integer ids stay int64,
+    # string/other ids become object arrays (elementwise < still
+    # works) — the public id_col contract must not assume longs
+    ids = np.array([r["doc_id"] for r in rows])
     mat = np.array([r["vec"] for r in rows], dtype=np.float64)
     mnorm = np.sqrt((mat * mat).sum(axis=1))
     mnorm[mnorm == 0] = 1.0
@@ -1116,8 +1126,8 @@ def _tfidf_dense_candidates(df: DataFrame, w: DataFrame, tau: float,
 
     schema = T.StructType(
         [
-            T.StructField("doc_a", T.LongType()),
-            T.StructField("doc_b", T.LongType()),
+            T.StructField("doc_a", id_type),
+            T.StructField("doc_b", id_type),
         ]
     )
 

@@ -72,28 +72,54 @@ from pyspark.sql.streaming import StreamingQuery
 from streamforge_data_pipeline_spark.sources.store import TableStore
 
 
-def _replay_guard_needed(
-    spark: SparkSession, store: TableStore, marker_table: str, batch_id: int | None
-) -> bool:
-    """True iff this batch may be an at-least-once REPLAY. The marker
-    table holds the highest batch_id ever started; a batch_id above it
-    is provably fresh, so the (log-sized, per-batch-growing) replay
-    anti-join can be skipped on every normal batch — the guard scan
-    runs only after a crash. Callers must OVERWRITE the marker with
-    their batch_id BEFORE any append, so a crash mid-commit leaves
-    marker >= batch_id and the re-run takes the guarded path. A
-    missing/unreadable marker degrades to guard-on (the safe
-    direction). ``batch_id=None`` (direct calls, tests) always
-    guards."""
-    if batch_id is None:
-        return True
+def _replay_guard_decision(
+    spark: SparkSession,
+    store: TableStore,
+    marker_table: str,
+    log_exists: bool,
+    batch_id: int | None,
+    run_id: str | None,
+) -> tuple[bool, bool]:
+    """(guard_needed, owns_store) for this batch. The marker holds
+    (run_id, batch_id, owns_store) of the last batch STARTED, where
+    run_id is the CHECKPOINT LINEAGE identity (the checkpoint dir —
+    stable across crash restarts of the same stream, different for a
+    fresh re-ingestion) and owns_store records whether the lineage
+    found an EMPTY store at its first batch.
+
+    The skip path — no log-sized replay anti-join — is exactly: same
+    lineage, lineage owns the store, strictly higher batch_id. Within
+    one lineage Spark's checkpoint guarantees a higher batch_id never
+    re-delivers rows from that lineage's earlier batches, and
+    ownership guarantees there are no OTHER lineages' decisions the
+    redelivered files could collide with. Everything else guards:
+    - batch_id or run_id None (direct calls, tests);
+    - marker missing/empty/unreadable (pre-marker store, or a crash
+      inside the non-atomic marker overwrite);
+    - a different lineage in the marker (fresh checkpoint over an
+      existing store — its batches re-deliver already-decided docs at
+      ANY batch_id, so such a lineage guards for its whole lifetime:
+      owns_store stays False);
+    - a lineage that never owned the store.
+    Callers must OVERWRITE the marker with their identity BEFORE any
+    append, so a crash mid-commit leaves marker >= batch_id and the
+    re-run takes the guarded path."""
+    if batch_id is None or run_id is None:
+        return True, False
+    row = None
     try:
         if os.path.exists(store.path(marker_table)):
-            row = store.read(spark, marker_table).collect()
-            return bool(row) and batch_id <= row[0]["batch_id"]
+            rows = store.read(spark, marker_table).collect()
+            row = rows[0] if rows else None
     except Exception:
-        return True
-    return False
+        row = None
+    if row is None:
+        # lineage (re)start over this store: it owns the store only if
+        # nothing has been logged yet
+        return True, not log_exists
+    if row["run_id"] != run_id or not row["owns_store"]:
+        return True, False
+    return batch_id <= row["batch_id"], True
 
 
 def _resolve_batch(
@@ -105,21 +131,29 @@ def _resolve_batch(
     id_col: str,
     text: str,
     batch_id: int | None = None,
+    run_id: str | None = None,
 ) -> None:
     # idempotent re-run guard: the log is the decision record — a
     # doc_id it already holds was fully decided, drop it from the
-    # batch. Gated behind the batch-id marker so the log scan (which
-    # grows with every batch ever ingested) runs only on crash
-    # replays, keeping normal per-batch work independent of stream age.
+    # batch. Gated behind the (run_id, batch_id) marker so the log
+    # scan (which grows with every batch ever ingested) runs only on
+    # crash replays, keeping normal per-batch work independent of
+    # stream age.
     marker = f"{log_table}__last_batch"
-    if _replay_guard_needed(spark, store, marker, batch_id) and os.path.exists(
-        store.path(log_table)
-    ):
+    log_exists = os.path.exists(store.path(log_table))
+    guard, owns = _replay_guard_decision(
+        spark, store, marker, log_exists, batch_id, run_id
+    )
+    if guard and log_exists:
         seen = store.read(spark, log_table).select("doc_id")
         batch_df = batch_df.join(seen, "doc_id", "left_anti")
-    if batch_id is not None:
+    if batch_id is not None and run_id is not None:
         store.overwrite(
-            spark.createDataFrame([(batch_id,)], "batch_id long"), marker
+            spark.createDataFrame(
+                [(run_id, batch_id, owns)],
+                "run_id string, batch_id long, owns_store boolean",
+            ),
+            marker,
         )
 
     hashed = batch_df.select(
@@ -199,6 +233,11 @@ def start_stream_exact_dedup(
     if path_glob_filter is not None:
         reader = reader.option("pathGlobFilter", path_glob_filter)
     stream = reader.parquet(input_dir)
+    # lineage identity for the replay-guard marker: the checkpoint dir
+    # is stable across crash restarts of the same stream (batch ids
+    # stay monotone and comparable) and differs for fresh
+    # re-ingestions (which must guard — see _replay_guard_decision)
+    run_id = os.path.abspath(checkpoint_dir)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         _resolve_batch(
@@ -210,6 +249,7 @@ def start_stream_exact_dedup(
             id_col,
             text,
             batch_id=batch_id,
+            run_id=run_id,
         )
 
     writer = stream.writeStream.foreachBatch(commit).option(

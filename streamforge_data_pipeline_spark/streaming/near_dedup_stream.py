@@ -59,6 +59,7 @@ def _resolve_batch(
     log_table: str,
     tau: float,
     batch_id: int | None = None,
+    run_id: str | None = None,
 ) -> None:
     # Every stage boundary below is localCheckpoint(eager=True), NOT
     # persist: persist caches data but keeps the LOGICAL plan, and this
@@ -73,12 +74,16 @@ def _resolve_batch(
     # log/corpus anti-joins scan tables that grow with stream age, so
     # they run only on crash replays, never on normal batches.
     from streamforge_data_pipeline_spark.streaming.exact_dedup_stream import (
-        _replay_guard_needed,
+        _replay_guard_decision,
     )
 
     marker = f"{log_table}__last_batch"
-    if _replay_guard_needed(spark, store, marker, batch_id):
-        if os.path.exists(store.path(log_table)):
+    log_exists = os.path.exists(store.path(log_table))
+    guard, owns = _replay_guard_decision(
+        spark, store, marker, log_exists, batch_id, run_id
+    )
+    if guard:
+        if log_exists:
             seen_log = store.read(spark, log_table)
             # crash-window repair: a doc logged 'admitted' whose corpus
             # row is missing (the process died between the log append
@@ -107,9 +112,13 @@ def _resolve_batch(
         if os.path.exists(store.path(corpus_table)):
             admitted_ids = store.read(spark, corpus_table).select("doc_id")
             batch_df = batch_df.join(admitted_ids, "doc_id", "left_anti")
-    if batch_id is not None:
+    if batch_id is not None and run_id is not None:
         store.overwrite(
-            spark.createDataFrame([(batch_id,)], "batch_id long"), marker
+            spark.createDataFrame(
+                [(run_id, batch_id, owns)],
+                "run_id string, batch_id long, owns_store boolean",
+            ),
+            marker,
         )
     batch_df = batch_df.localCheckpoint(eager=True)
 
@@ -202,6 +211,12 @@ def start_stream_near_dedup(
         reader = reader.option("pathGlobFilter", path_glob_filter)
     stream = reader.parquet(input_dir)
 
+    # lineage identity for the replay-guard marker: the checkpoint dir
+    # is stable across crash restarts of the same stream (batch ids
+    # stay monotone and comparable) and differs for fresh
+    # re-ingestions (which must guard — see _replay_guard_decision)
+    run_id = os.path.abspath(checkpoint_dir)
+
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         _resolve_batch(
             batch_df.sparkSession,
@@ -211,6 +226,7 @@ def start_stream_near_dedup(
             log_table,
             tau,
             batch_id=batch_id,
+            run_id=run_id,
         )
 
     writer = stream.writeStream.foreachBatch(commit).option(

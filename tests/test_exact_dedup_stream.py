@@ -183,27 +183,64 @@ def test_exact_dedup_stream_crash_between_appends_recovers(spark, tmp_path):
 
 
 def test_exact_dedup_stream_batch_id_marker_gates_guard(spark, tmp_path):
-    """With monotonically increasing batch_ids the replay guard is
-    skipped (fresh batches) yet a re-delivered batch_id still takes
-    the guarded path and stays idempotent."""
+    """With monotonically increasing batch_ids IN ONE RUN the replay
+    guard is skipped (fresh batches) yet a re-delivered batch_id still
+    takes the guarded path and stays idempotent — and a DIFFERENT
+    run_id over the same store must re-enable the guard (batch ids are
+    not comparable across checkpoint lineages)."""
     store = TableStore(str(tmp_path / "store_marker"))
     b0 = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, text string")
     b1 = spark.createDataFrame([(3, "x"), (4, "z")], "doc_id long, text string")
     _resolve_batch(spark, b0, store, "hash_index", "exact_dedup_log",
-                   "doc_id", "text", batch_id=0)
+                   "doc_id", "text", batch_id=0, run_id="runA")
     _resolve_batch(spark, b1, store, "hash_index", "exact_dedup_log",
-                   "doc_id", "text", batch_id=1)
+                   "doc_id", "text", batch_id=1, run_id="runA")
     once = sorted(
         (r["doc_id"], r["dup_of"])
         for r in store.read(spark, "exact_dedup_log").collect()
     )
     assert once == [(1, None), (2, 1), (3, 1), (4, None)]
-    # at-least-once redelivery of batch 1: marker says replay -> guard
+    # at-least-once redelivery of batch 1 (same run): marker says
+    # replay -> guard
     _resolve_batch(spark, b1, store, "hash_index", "exact_dedup_log",
-                   "doc_id", "text", batch_id=1)
+                   "doc_id", "text", batch_id=1, run_id="runA")
+    # fresh run over the same store with RESET batch ids: guard must
+    # still drop everything already decided
+    _resolve_batch(spark, b0, store, "hash_index", "exact_dedup_log",
+                   "doc_id", "text", batch_id=0, run_id="runB")
+    _resolve_batch(spark, b1, store, "hash_index", "exact_dedup_log",
+                   "doc_id", "text", batch_id=1, run_id="runB")
     again = sorted(
         (r["doc_id"], r["dup_of"])
         for r in store.read(spark, "exact_dedup_log").collect()
     )
     assert again == once
     assert store.read(spark, "hash_index").count() == 2
+
+
+def test_replay_guard_safe_directions(spark, tmp_path):
+    """Missing marker, empty marker, foreign lineage, non-owning
+    lineage, and None ids must all take the guarded (safe) path; only
+    same-lineage + owns-store + strictly-higher batch id skips."""
+    from streamforge_data_pipeline_spark.streaming.exact_dedup_stream import (
+        _replay_guard_decision,
+    )
+
+    store = TableStore(str(tmp_path / "store_guard"))
+    m = "log__last_batch"
+    sch = "run_id string, batch_id long, owns_store boolean"
+    assert _replay_guard_decision(spark, store, m, False, None, None)[0]
+    # no marker yet: guard; ownership granted only over an empty store
+    assert _replay_guard_decision(spark, store, m, False, 5, "A") == (True, True)
+    assert _replay_guard_decision(spark, store, m, True, 5, "A") == (True, False)
+    store.overwrite(spark.createDataFrame([("A", 3, True)], sch), m)
+    assert _replay_guard_decision(spark, store, m, True, 4, "A") == (False, True)
+    assert _replay_guard_decision(spark, store, m, True, 3, "A") == (True, True)
+    # foreign lineage over an existing store: guard, never owns
+    assert _replay_guard_decision(spark, store, m, True, 99, "B") == (True, False)
+    # a lineage that never owned the store guards at every batch id
+    store.overwrite(spark.createDataFrame([("B", 7, False)], sch), m)
+    assert _replay_guard_decision(spark, store, m, True, 8, "B") == (True, False)
+    # empty-but-readable marker (crash inside the overwrite)
+    store.overwrite(spark.createDataFrame([], sch), m)
+    assert _replay_guard_decision(spark, store, m, True, 99, "A")[0]
