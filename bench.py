@@ -48,6 +48,9 @@ HEADLINE = [
     "winnow_overlap",
     "lang_id",
     "quality_score",
+    "quality_threshold_prune",
+    "source_overlap",
+    "bm25_topk",
     "multimodal_meta",
     "tumbling_window",
     "session_window",

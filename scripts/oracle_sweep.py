@@ -6,7 +6,9 @@ at an arbitrary SF dir — the per-round driver check caps ~50 keys at
 sf0.01; this sweeps ALL keys and is how scale correctness (sf1) is
 evidenced.
 
-Usage: python scripts/oracle_sweep.py [SF_DIR] [MAX_KEY_SECONDS]
+Usage: python scripts/oracle_sweep.py [SF_DIR] [MAX_KEY_SECONDS] [KEYS]
+KEYS (optional): comma-separated registry keys — restrict the sweep
+(e.g. targeted sf1 re-verification of a round's new keys).
 Prints one line per key and a final JSON summary. With a
 MAX_KEY_SECONDS budget (recommended for sf1+: 900), a key whose
 Spark job or DuckDB oracle exceeds it is cancelled and reported in a
@@ -40,6 +42,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb_connection(sf_dir)
     keys = [k for k in REGISTRY if REGISTRY[k].oracle]
+    if len(sys.argv) > 3:
+        wanted = set(sys.argv[3].split(","))
+        unknown = wanted - set(keys)
+        if unknown:
+            raise SystemExit(f"unknown/oracle-less keys: {sorted(unknown)}")
+        keys = [k for k in keys if k in wanted]
     bad: list[tuple[str, str]] = []
     over: list[str] = []
     times: dict[str, float] = {}

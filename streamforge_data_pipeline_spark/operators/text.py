@@ -387,6 +387,134 @@ def quality_prune(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     return ranked.filter(F.col("pct_rank") >= F.lit(1.0) - F.lit(keep_top))
 
 
+def quality_threshold_prune(df: DataFrame, id_col: str = "doc_id",
+                            text: str = "text", group: str = "source",
+                            keep_top: float = 0.5) -> DataFrame:
+    """Per-source quality gate via a HISTOGRAM quantile — the
+    100 TB-shaped sibling of :func:`quality_prune` (whose scale notes
+    promise exactly this plan when a mega-source outgrows one window
+    partition).
+
+    Semantics: per source, the threshold is the highest rounded
+    quality value T such that at least ceil(keep_top * n) documents
+    score >= T; keep every document with quality >= T. Value-based
+    (ties at T all survive) rather than rank-based — the FineWeb-style
+    per-domain calibration cut, stated over the 4-dp score domain so
+    it is exact and engine-portable.
+
+    Scale notes — why this shape survives a mega-source: the quality
+    score is rounded to 4 decimals in [0, ~2], so the (source,
+    quality) histogram has AT MOST ~20k rows per source regardless of
+    corpus size. The plan is (1) one partial-agg shuffle to build the
+    histogram — map-side combine collapses each task's contribution
+    to histogram width, so a source with 10^10 docs still ships only
+    its distinct score values; (2) windows over the HISTOGRAM (input
+    bounded by score cardinality, never doc count — the skew-immunity
+    quality_prune's per-doc percent_rank window lacks); (3) a
+    broadcast join of the per-source thresholds (|sources| rows) back
+    onto the scored docs. No per-doc window, no global sort, no
+    driver-side quantile estimation.
+    """
+    from pyspark.sql import Window
+
+    q = F.round(quality_expr(text), 4)
+    scored = df.select(F.col(id_col), F.col(group), q.alias("quality"))
+    hist = scored.groupBy(group, "quality").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_all = Window.partitionBy(group)
+    w_top = (
+        Window.partitionBy(group)
+        .orderBy(F.desc("quality"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        F.col(group),
+        F.col("quality"),
+        F.sum("cnt").over(w_top).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    thresholds = (
+        cum.filter(F.col("cum") >= F.ceil(F.col("n") * F.lit(keep_top)))
+        .groupBy(group)
+        .agg(F.max("quality").alias("threshold"))
+    )
+    return (
+        scored.join(F.broadcast(thresholds), group)
+        .filter(F.col("quality") >= F.col("threshold"))
+        .select(id_col, group, "quality", "threshold")
+    )
+
+
+def source_overlap(df: DataFrame, text: str = "text",
+                   group: str = "source") -> DataFrame:
+    """Cross-source contamination matrix: token-3-gram Jaccard between
+    every pair of sources — the corpus diagnostic that tells a
+    curation pipeline which domains/dumps duplicate each other before
+    it weights the mixture (the per-PAIR aggregate view of what
+    decontaminate measures per-doc for one split).
+
+    Emits one row per unordered source pair that shares at least one
+    shingle: (source_a, source_b, inter, n_a, n_b, jaccard).
+
+    Scale notes: the distinct (source, shingle) relation is built with
+    one partial-agg shuffle (map-side combine collapses repeats before
+    the exchange), so each source contributes its shingle VOCABULARY,
+    not its token stream. The pair counts come from a self-equi-join
+    keyed on the shingle — a shingle shared by k sources fans out to
+    k(k-1)/2 rows, bounded by |sources|^2 per shingle, and the output
+    is |sources|^2/2 rows total, so with a bounded source taxonomy
+    (dumps, registries, top-level domains) the join is metadata-scale.
+    For a web-scale grouping (millions of hosts) the same relation
+    feeds the sibling formulation — df-capped shingles +
+    collect_set(source) combinations — without changing semantics;
+    this entry point keeps the join form, which is the one the SQL
+    oracle can express.
+    """
+    sh3 = F.concat_ws(
+        " ", F.col("__t0"), F.col("__t1"), F.col("__t2")
+    )
+    toks = df.select(F.col(group).alias("__g"), tokens(text).alias("__ts"))
+    idx = toks.select(
+        "__g",
+        F.posexplode(
+            F.slice(F.col("__ts"), 1, F.greatest(F.size("__ts") - 2, F.lit(0)))
+        ).alias("__x", "__t0"),
+        F.col("__ts"),
+    ).select(
+        "__g",
+        "__t0",
+        F.col("__ts")[F.col("__x") + 1].alias("__t1"),
+        F.col("__ts")[F.col("__x") + 2].alias("__t2"),
+    )
+    sh = idx.select("__g", sh3.alias("sh")).distinct()
+    sizes = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("__g").alias("source_a"), "sh")
+    b = sh.select(F.col("__g").alias("source_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("__g").alias("source_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("__g").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
 def decontaminate(df: DataFrame, id_col: str = "doc_id", text: str = "text",
                   train_pct: int = 80) -> DataFrame:
     """Eval-set decontamination: flag TRAIN documents that share any

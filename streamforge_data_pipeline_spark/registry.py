@@ -1040,6 +1040,20 @@ def q_quality_prune(spark, sf_dir):
     return text.quality_prune(load(spark, sf_dir, "documents"))
 
 
+def q_quality_threshold_prune(spark, sf_dir):
+    return text.quality_threshold_prune(load(spark, sf_dir, "documents"))
+
+
+def q_source_overlap(spark, sf_dir):
+    return text.source_overlap(load(spark, sf_dir, "documents"))
+
+
+def q_bm25_topk(spark, sf_dir):
+    from streamforge_data_pipeline_spark.operators.search import bm25_topk
+
+    return bm25_topk(load(spark, sf_dir, "documents"))
+
+
 def q_decontaminate(spark, sf_dir):
     return text.decontaminate(load(spark, sf_dir, "documents"))
 
@@ -2517,6 +2531,72 @@ r AS (SELECT doc_id, source, quality,
       FROM q)
 SELECT doc_id, source, quality, pct_rank FROM r WHERE pct_rank >= 0.5""",
         "per-source quality-quantile gate: keep each source's top half",
+    ),
+    "quality_threshold_prune": QuerySpec(
+        q_quality_threshold_prune,
+        f"""WITH toks2 AS (SELECT doc_id, source, {SQL_TOKENS.format(x='text')} AS ts FROM documents),
+q AS (SELECT doc_id, source,
+  round(least(1.0, len(ts)/64.0) *
+        (CASE WHEN len(ts) > 0 THEN len(list_distinct(ts))*1.0/len(ts) ELSE 0.0 END) +
+        (CASE WHEN len(ts) > 0
+              THEN len(list_filter(ts, t -> list_contains(['the','a','of','and','is'], t)))*1.0/len(ts)
+              ELSE 0.0 END), 4) AS quality
+  FROM toks2),
+h AS (SELECT source, quality, count(*) AS cnt FROM q GROUP BY source, quality),
+c AS (SELECT source, quality,
+        sum(cnt) OVER (PARTITION BY source ORDER BY quality DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(cnt) OVER (PARTITION BY source) AS n
+      FROM h),
+t AS (SELECT source, max(quality) AS threshold FROM c
+      WHERE cum >= ceil(n * 0.5) GROUP BY source)
+SELECT doc_id, q.source AS source, quality, threshold
+FROM q JOIN t ON q.source = t.source WHERE quality >= threshold""",
+        "histogram-quantile per-source quality cut (the window-free scale shape)",
+    ),
+    "source_overlap": QuerySpec(
+        q_source_overlap,
+        f"""WITH t AS (SELECT source, {SQL_TOKENS.format(x='text')} AS ts FROM documents),
+i AS (SELECT source, ts, unnest(range(0, greatest(len(ts)-2, 0))) AS x FROM t),
+s AS (SELECT DISTINCT source, ts[x+1] || ' ' || ts[x+2] || ' ' || ts[x+3] AS sh FROM i),
+n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM s GROUP BY source),
+p AS (SELECT a.source AS source_a, b.source AS source_b,
+        CAST(count(*) AS BIGINT) AS inter
+      FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY a.source, b.source)
+SELECT source_a, source_b, inter, na.n_sh AS n_a, nb.n_sh AS n_b,
+  round(inter*1.0/(na.n_sh + nb.n_sh - inter), 4) AS jaccard
+FROM p JOIN n na ON source_a = na.source JOIN n nb ON source_b = nb.source""",
+        "cross-source shingle-Jaccard contamination matrix",
+    ),
+    "bm25_topk": QuerySpec(
+        q_bm25_topk,
+        f"""WITH t AS (SELECT doc_id, {SQL_TOKENS.format(x='text')} AS ts FROM documents),
+tok AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM t),
+q(query_id, term) AS (VALUES
+  (1,'hash'),(1,'join'),(1,'spark'),
+  (2,'fast'),(2,'scan'),(2,'table'),
+  (3,'batch'),(3,'merge'),(3,'sort'),(3,'window')),
+qt AS (SELECT DISTINCT term FROM q),
+st AS (SELECT count(*) AS n_docs, sum(len(ts)) AS sum_dl FROM t),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+        FROM tok JOIN qt USING(term) GROUP BY term),
+tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       FROM tok JOIN qt USING(term) GROUP BY doc_id, term),
+sc AS (SELECT query_id, doc_id,
+  CAST(ROUND(SUM(CAST(
+    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+    (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+  AS DECIMAL(28,10))), 4) AS DOUBLE) AS score
+  FROM tf JOIN dfq USING(term) JOIN q USING(term) CROSS JOIN st
+  GROUP BY query_id, doc_id),
+r AS (SELECT query_id, doc_id, score,
+        CAST(row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      FROM sc)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 5""",
+        "BM25 ranked retrieval: top-5 docs per probe query",
     ),
     "decontaminate": QuerySpec(
         q_decontaminate,

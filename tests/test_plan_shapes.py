@@ -175,3 +175,46 @@ def test_span_winnow_ops_stay_jvm_and_doc_partitioned(spark):
         assert "CartesianProduct" not in plan, key
         for w in re.findall(r"Window \[.*", plan):
             assert "doc_id" in w, (key, w)
+
+
+def test_quality_threshold_prune_windows_ride_the_histogram(spark):
+    # The r5 calibration cut: both windows must consume the (source,
+    # quality) HISTOGRAM — their ordered/aggregated column is the
+    # histogram count, never a per-doc rank — and the threshold map-back
+    # must be a broadcast join. percent_rank anywhere means the plan
+    # regressed to quality_prune's per-doc window.
+    import re
+
+    plan = _plan(spark, "quality_threshold_prune")
+    assert "percent_rank" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for w in re.findall(r"Window \[.*", plan):
+        assert "cnt" in w, w
+    # histogram build gets a map-side partial pass
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+
+def test_source_overlap_aggregates_before_the_pair_join(spark):
+    # distinct (source, shingle) must collapse with partial aggregation
+    # BEFORE the self-join, and the size map-backs must broadcast; no
+    # Python, no cartesian.
+    plan = _plan(spark, "source_overlap")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_bm25_topk_pushes_partial_window_group_limit(spark):
+    # Per-query top-k relies on Catalyst's rank-limit pushdown: a
+    # PARTIAL WindowGroupLimit below the exchange caps every map
+    # partition at k rows, so the single per-query reducer receives
+    # k * n_partitions rows, not the whole matched corpus. Also: tiny
+    # sides broadcast, corpus work stays in JVM expressions.
+    plan = _plan(spark, "bm25_topk")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan.split("WindowGroupLimit", 2)[-1] or \
+        plan.count("WindowGroupLimit") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
