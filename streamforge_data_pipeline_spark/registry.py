@@ -461,6 +461,34 @@ def q_histogram_values(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Join-key skew profiler: the top-20 heaviest user_id keys with
+    their traffic share — the detector that tells an operator WHEN the
+    salted plans (q_salted_join / q_salted_agg) are worth their extra
+    round of shuffle, and what the AQE skew-join threshold should be.
+
+    Scale notes: one partial-agg shuffle for the key counts, a
+    TakeOrderedAndProject heap for the top-k (no global sort), and the
+    corpus total rides as a broadcast 1-row aggregate. At 100 TB this
+    exact profile is itself skew-safe (the agg combines map-side);
+    when even the distinct-key count table is too hot, the same
+    interface is served by a count-min/sample sketch — this entry
+    point keeps the exact form the SQL oracle can express."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("total"), 4).alias("share"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
 def q_corr_measures(spark, sf_dir):
     """Exact Pearson correlation + OLS fit of price on quantity from
     decimal-exact co-moment sums — one scan, one single-row agg, and
@@ -1165,6 +1193,63 @@ def q_stream_running_totals(spark, sf_dir):
             F.max("last_event_id").alias("last_event_id"),
         )
     )
+
+
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream event-time interval join drained as ONE
+    micro-batch: error -> purchase attribution within 60 minutes per
+    user (streaming/joins_stream.interval_join). With the whole table
+    in one batch the inner interval join emits every match — the
+    watermarks bound state EVICTION, not emission — so the drain
+    equals the batch range join the SQL oracle expresses. Multi-batch
+    semantics (state eviction, late-row drops) are covered by
+    tests/test_streaming_joins.py and test_streaming_late_data.py.
+    Inputs are staged through one normalized parquet write because the
+    raw testdata carries TIMESTAMP(NANOS), which a file stream cannot
+    watermark without the batch-side rebuild load() performs."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from streamforge_data_pipeline_spark.streaming.joins_stream import (
+        interval_join,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="sfdp_sij_")
+    src = os.path.join(work, "events")
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def side(tp):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_type") == tp)
+        )
+
+    joined = interval_join(
+        side("error"), side("purchase"), key="user_id", upper="60 minutes"
+    )
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("err_id"),
+        F.col("r.event_id").alias("purchase_id"),
+    )
+    name = "stream_interval_join_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table(name).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
 
 
 def q_canonical_selection(spark, sf_dir):
@@ -2336,6 +2421,13 @@ FROM j""",
 FROM events GROUP BY 1""",
         "fixed-width histogram: map-side bucketing + one hash agg",
     ),
+    "heavy_hitters": QuerySpec(
+        q_heavy_hitters,
+        """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+  round(count(*) * 1.0 / (SELECT count(*) FROM events), 4) AS share
+FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20""",
+        "join-key skew profiler: top-20 heaviest keys with traffic share",
+    ),
     "corr_measures": QuerySpec(
         q_corr_measures,
         """WITH a AS (
@@ -2597,6 +2689,15 @@ r AS (SELECT query_id, doc_id, score,
       FROM sc)
 SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 5""",
         "BM25 ranked retrieval: top-5 docs per probe query",
+    ),
+    "stream_interval_join": QuerySpec(
+        q_stream_interval_join,
+        """SELECT l.user_id AS user_id, l.event_id AS err_id,
+  r.event_id AS purchase_id
+FROM events l JOIN events r ON l.user_id = r.user_id
+WHERE l.event_type = 'error' AND r.event_type = 'purchase'
+  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 60 MINUTE""",
+        "stream-stream interval join drained: error->purchase attribution in 60min",
     ),
     "decontaminate": QuerySpec(
         q_decontaminate,

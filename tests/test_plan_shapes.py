@@ -218,3 +218,13 @@ def test_bm25_topk_pushes_partial_window_group_limit(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_heavy_hitters_uses_topk_heap_not_global_sort(spark):
+    # skew profiler: top-k must be TakeOrderedAndProject heaps; the
+    # total must arrive as the 1-row broadcast (a single BNLJ), and the
+    # key counts must partial-aggregate map-side.
+    plan = _plan(spark, "heavy_hitters")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
