@@ -67,11 +67,21 @@ def interval_join(
     lower: str = "0 seconds",
     upper: str = "15 minutes",
     delay: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner equi-join with an event-time interval bound:
+    """Stream-stream equi-join with an event-time interval bound:
     right rows join left rows with ``left_ts <= right_ts <= left_ts +
     upper`` (after ``lower`` offset). Both sides carry watermarks so
-    buffered state is evicted as event time advances."""
+    buffered state is evicted as event time advances.
+
+    ``how`` extends to the outer modes (``leftOuter``, ``rightOuter``,
+    ``fullOuter``): matches emit immediately, but an UNMATCHED row can
+    only emit (null-padded) once the watermark has passed its whole
+    join window — eviction is the proof no future match exists — so in
+    append-mode drains the rows younger than (max event time - delay)
+    stay buffered and never surface. The same watermark+range bound
+    that keeps inner-join state finite is what makes outer results
+    decidable at all on unbounded inputs."""
     l = _as_event_time(left, left_ts).withWatermark(left_ts, delay).alias("l")
     r = _as_event_time(right, right_ts).withWatermark(right_ts, delay).alias("r")
     cond = (
@@ -85,4 +95,4 @@ def interval_join(
             <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
         )
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)

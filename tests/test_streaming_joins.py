@@ -94,3 +94,67 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     _drain(enrich_stream(stream, dim, "user_id"), "enrich_out")
     got = {(r["event_id"], r["tier"]) for r in spark.table("enrich_out").collect()}
     assert got == expected and got
+
+
+def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Outer-mode semantics: an unmatched left row emits null-padded
+    only once the watermark (max event time - delay) has passed its
+    whole join window; younger unmatched rows stay buffered and never
+    surface in the drain. Matched rows emit regardless."""
+    from datetime import datetime
+
+    def ts(s):
+        return datetime.fromisoformat("2024-03-01 " + s)
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    schema = "event_id long, ts timestamp, user_id long"
+    spark.createDataFrame(
+        [
+            (1, ts("01:00:00"), 10),  # matched by right event 100
+            (2, ts("01:00:00"), 20),  # unmatched; window end 01:15 < watermark
+            (3, ts("05:00:00"), 90),  # watermark pusher; too young to flush
+        ],
+        schema,
+    ).write.parquet(lsrc)
+    spark.createDataFrame(
+        [
+            (100, ts("01:05:00"), 10),
+            (200, ts("05:00:00"), 80),  # right-side watermark pusher
+        ],
+        schema,
+    ).write.parquet(rsrc)
+    lb = spark.readStream.schema(schema).parquet(lsrc)
+    rb = spark.readStream.schema(schema).parquet(rsrc)
+
+    out = interval_join(lb, rb, key="user_id", how="leftOuter").select(
+        F.col("l.event_id").alias("l_id"), F.col("r.event_id").alias("r_id")
+    )
+    _drain(out, "lo_join_out")
+    got = {(r["l_id"], r["r_id"]) for r in spark.table("lo_join_out").collect()}
+    # watermark after the data batch: 05:00 - 30min = 04:30 -> row 2's
+    # window [01:00, 01:15] is closed (emits null-padded); row 3's
+    # window reaches 05:15 > 04:30 (stays buffered, absent).
+    assert got == {(1, 100), (2, None)}, got
+
+
+def test_interval_join_inner_never_emits_unmatched(spark, tmp_path):
+    """Same corpus through the default inner mode: only the match."""
+    from datetime import datetime
+
+    def ts(s):
+        return datetime.fromisoformat("2024-03-01 " + s)
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    schema = "event_id long, ts timestamp, user_id long"
+    spark.createDataFrame(
+        [(1, ts("01:00:00"), 10), (2, ts("01:00:00"), 20)], schema
+    ).write.parquet(lsrc)
+    spark.createDataFrame([(100, ts("01:05:00"), 10)], schema).write.parquet(rsrc)
+    lb = spark.readStream.schema(schema).parquet(lsrc)
+    rb = spark.readStream.schema(schema).parquet(rsrc)
+    out = interval_join(lb, rb, key="user_id").select(
+        F.col("l.event_id").alias("l_id"), F.col("r.event_id").alias("r_id")
+    )
+    _drain(out, "in_join_out")
+    got = {(r["l_id"], r["r_id"]) for r in spark.table("in_join_out").collect()}
+    assert got == {(1, 100)}, got
