@@ -546,11 +546,22 @@ def semantic_dedup_fixed_cells(
     directionally-similar vectors, so the within-cell join exercises
     the same skew/size behavior the k-means cells produce.
     """
+    assigned = vectors.select(
+        F.col(id_col), argmax_cell(vec_col, n_cells).alias("cell")
+    )
+    return _dedup_within_cells(vectors, assigned, tau, id_col, vec_col)
+
+
+def argmax_cell(vec_col: str, n_cells: int = 8):
+    """The deterministic coarse quantizer shared by
+    :func:`semantic_dedup_fixed_cells` and the streaming semantic
+    dedup: cell = argmax |component| over the first ``n_cells``
+    dimensions (ties -> lowest index). Stateless and SQL-expressible,
+    so cell assignments agree across batches, engines, and restarts
+    with no trained model to version."""
     first = F.slice(F.col(vec_col), 1, n_cells)
     mags = F.transform(first, lambda x: F.abs(x.cast("double")))
-    cell = (F.array_position(mags, F.array_max(mags)) - 1).cast("int")
-    assigned = vectors.select(F.col(id_col), cell.alias("cell"))
-    return _dedup_within_cells(vectors, assigned, tau, id_col, vec_col)
+    return (F.array_position(mags, F.array_max(mags)) - 1).cast("int")
 
 
 def ann_topk_ivf(

@@ -1094,14 +1094,15 @@ def q_inverted_index(spark, sf_dir):
     return text.inverted_index(load(spark, sf_dir, "documents"))
 
 
-def _drain_documents_stream(spark, sf_dir, start_fn, log_table, prefix):
+def _drain_documents_stream(spark, sf_dir, start_fn, log_table, prefix,
+                            table="documents"):
     """Shared scaffold for the single-batch streaming-drain keys: point
-    ``start_fn`` (a start_stream_* factory) at the documents table,
+    ``start_fn`` (a start_stream_* factory) at the ``table`` parquet,
     drain it as ONE deterministic micro-batch into a scratch
     TableStore, pin the decision log into block-manager storage, and
     delete the scratch dir. Single-file layouts stream the sf_dir with
     a pathGlobFilter — without it every sibling table (lineitem,
-    orders, ...) is read with the (doc_id, text) schema and floods the
+    orders, ...) is read with the stream's schema and floods the
     pipeline with junk null rows (millions at sf1)."""
     import shutil
     import tempfile
@@ -1110,11 +1111,11 @@ def _drain_documents_stream(spark, sf_dir, start_fn, log_table, prefix):
 
     work = tempfile.mkdtemp(prefix=prefix)
     store = TableStore(os.path.join(work, "store"))
-    table_path = os.path.join(sf_dir, "documents.parquet")
+    table_path = os.path.join(sf_dir, f"{table}.parquet")
     if os.path.isdir(table_path):
         src, glob = table_path, None
     else:
-        src, glob = sf_dir, "documents.parquet"
+        src, glob = sf_dir, f"{table}.parquet"
     q = start_fn(
         spark,
         src,
@@ -1192,6 +1193,30 @@ def q_stream_running_totals(spark, sf_dir):
             F.max("n_events").alias("n_events"),
             F.max("last_event_id").alias("last_event_id"),
         )
+    )
+
+
+def q_stream_semantic_dedup(spark, sf_dir):
+    """Continuous SEMANTIC near-dup ingestion drained over the
+    embeddings table as ONE micro-batch
+    (streaming/semantic_dedup_stream): with no pre-existing corpus the
+    decision log is exactly the in-batch within-cell cosine
+    resolution — connected-component members point at their cluster
+    minimum ('batch'), representatives admit — which the
+    semantic_dedup_cells recursive-CTE closure expresses in SQL. The
+    multi-batch cell-probe path is covered by
+    tests/test_streaming_semantic_dedup.py postconditions."""
+    from streamforge_data_pipeline_spark.streaming.semantic_dedup_stream import (
+        start_stream_semantic_dedup,
+    )
+
+    return _drain_documents_stream(
+        spark,
+        sf_dir,
+        start_stream_semantic_dedup,
+        "semantic_dup_log",
+        "sfdp_stream_sd_",
+        table="embeddings",
     )
 
 
@@ -2689,6 +2714,31 @@ r AS (SELECT query_id, doc_id, score,
       FROM sc)
 SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 5""",
         "BM25 ranked retrieval: top-5 docs per probe query",
+    ),
+    "stream_semantic_dedup": QuerySpec(
+        q_stream_semantic_dedup,
+        """WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id, v,
+        list_position(list_transform(v[1:8], x -> abs(x)),
+                      list_max(list_transform(v[1:8], x -> abs(x)))) - 1 AS cell
+      FROM e),
+pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+          FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+edges AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
+r AS (SELECT u AS node, u AS reach FROM edges
+      UNION
+      SELECT r.node, e2.v FROM r JOIN edges e2 ON r.reach = e2.u),
+g AS (SELECT node, min(reach) AS grp FROM r GROUP BY node)
+SELECT e.vec_id,
+  CASE WHEN coalesce(g.grp, e.vec_id) = e.vec_id THEN NULL ELSE g.grp END AS dup_of,
+  CAST(NULL AS DOUBLE) AS cosine,
+  CASE WHEN coalesce(g.grp, e.vec_id) = e.vec_id
+       THEN 'admitted' ELSE 'batch' END AS origin
+FROM e LEFT JOIN g ON e.vec_id = g.node""",
+        "continuous semantic dedup drained: one-batch log equals the"
+        " within-cell cosine closure",
     ),
     "stream_interval_join": QuerySpec(
         q_stream_interval_join,

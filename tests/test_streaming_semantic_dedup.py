@@ -1,0 +1,170 @@
+"""Continuous semantic near-dup ingestion (semantic_dedup_stream):
+postcondition tests — the admitted vector corpus is cosine-dup-free at
+tau within every quantizer cell, every rejection resolves transitively
+to an admitted vector, and nothing is lost or double-admitted across
+micro-batches, re-runs, or the log/corpus crash window."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from streamforge_data_pipeline_spark.operators.similarity import (
+    semantic_dedup_fixed_cells,
+)
+from streamforge_data_pipeline_spark.sources.store import TableStore
+from streamforge_data_pipeline_spark.streaming.semantic_dedup_stream import (
+    start_stream_semantic_dedup,
+)
+
+DIM = 10
+TAU = 0.4
+
+
+def _vec(cell: int, variant: float, tail: float = 0.0) -> list[float]:
+    """Unit-ish vector dominated by axis `cell` (so argmax_cell lands
+    there) with a small `variant` on the next axis; `tail` adds norm on
+    a dim PAST the first 8, changing cosine without moving the cell."""
+    v = [0.0] * DIM
+    v[cell] = 1.0
+    v[(cell + 1) % 8] = variant
+    v[8] = tail
+    return v
+
+
+# family A (cell 0): mutual cosine ~0.999; family B (cell 1): same.
+# D: cell 0 (|0.3| is the max of the first 8 dims) but its large dim-8
+# tail drops cosine vs family A to ~0.19 < tau — an in-cell NON-dup.
+def _d_vec() -> list[float]:
+    v = [0.0] * DIM
+    v[0] = 0.3
+    v[8] = 1.5
+    return v
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _drain(spark, inbox, store, ckpt):
+    q = start_stream_semantic_dedup(spark, inbox, store, checkpoint_dir=ckpt)
+    q.awaitTermination()
+
+
+def _corpus_dup_free(corpus) -> bool:
+    res = semantic_dedup_fixed_cells(corpus, n_cells=8, tau=TAU)
+    return res.filter(~F.col("keep")).count() == 0
+
+
+def test_stream_semantic_dedup_end_to_end(spark, tmp_path):
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    store = TableStore(str(tmp_path / "store"))
+
+    # batch 1: two cell-0 near-dups (in-batch pair) + one cell-1
+    _write(
+        spark,
+        inbox,
+        [(1, _vec(0, 0.05)), (2, _vec(0, 0.10)), (3, _vec(1, 0.05))],
+    )
+    time.sleep(1.1)
+    # batch 2: another cell-0 dup (of the admitted rep), a cell-1 dup,
+    # and the in-cell-but-below-tau novel vector D
+    _write(
+        spark,
+        inbox,
+        [(4, _vec(0, 0.15)), (5, _vec(1, 0.10)), (6, _d_vec())],
+    )
+
+    _drain(spark, inbox, store, ckpt)
+
+    corpus = store.read(spark, "vec_corpus")
+    log = store.read(spark, "semantic_dup_log")
+    corpus_ids = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+    log_rows = {r["vec_id"]: r for r in log.collect()}
+
+    # every input id decided exactly once
+    assert set(log_rows) == {1, 2, 3, 4, 5, 6}
+    assert log.count() == 6
+
+    # admitted: one cell-0 rep (1 or 2), the cell-1 rep (3), and D (6 —
+    # same cell as family A, yet below tau: the probe must COMPARE, not
+    # just collide)
+    admitted = {i for i, r in log_rows.items() if r["origin"] == "admitted"}
+    assert admitted == corpus_ids
+    assert 3 in corpus_ids and 6 in corpus_ids
+    assert len(corpus_ids & {1, 2}) == 1 and 4 not in corpus_ids
+    assert 5 not in corpus_ids
+
+    # postcondition: the admitted corpus is cosine-dup-free at tau
+    assert _corpus_dup_free(corpus)
+
+    # every rejection resolves transitively to an admitted vector
+    def resolve(i: int, hops=0) -> int:
+        assert hops < 5
+        r = log_rows[i]
+        return i if r["dup_of"] is None else resolve(r["dup_of"], hops + 1)
+
+    for i in {1, 2, 3, 4, 5, 6} - admitted:
+        assert resolve(i) in corpus_ids
+
+    # index-origin rejections carry the cosine that justified them
+    for i, r in log_rows.items():
+        if r["origin"] == "index":
+            assert r["cosine"] is not None and r["cosine"] >= TAU
+
+
+def test_stream_semantic_dedup_rerun_is_idempotent(spark, tmp_path):
+    """Draining the same inbox with a FRESH checkpoint (forced
+    re-processing) must not double-admit or re-log anything."""
+    inbox = str(tmp_path / "inbox")
+    store = TableStore(str(tmp_path / "store"))
+    _write(spark, inbox, [(1, _vec(0, 0.05)), (2, _vec(1, 0.05))])
+
+    _drain(spark, inbox, store, str(tmp_path / "ckpt1"))
+    first_corpus = sorted(
+        r["vec_id"] for r in store.read(spark, "vec_corpus").collect()
+    )
+    _drain(spark, inbox, store, str(tmp_path / "ckpt2"))
+
+    assert (
+        sorted(r["vec_id"] for r in store.read(spark, "vec_corpus").collect())
+        == first_corpus
+    )
+    assert store.read(spark, "semantic_dup_log").count() == 2
+
+
+def test_crash_between_log_and_corpus_appends_backfills(spark, tmp_path):
+    """Log-first commit window: delete the corpus after a resolve (the
+    simulated crash), re-deliver the batch — the replay guard must
+    backfill admitted vectors from the replayed rows without
+    duplicating log rows."""
+    import shutil
+
+    from streamforge_data_pipeline_spark.streaming.semantic_dedup_stream import (
+        _resolve_batch,
+    )
+
+    store = TableStore(str(tmp_path / "store_bf"))
+    batch = spark.createDataFrame(
+        [(1, _vec(0, 0.05)), (2, _vec(0, 0.10)), (3, _vec(1, 0.05))],
+        "vec_id long, embedding array<float>",
+    )
+    _resolve_batch(spark, batch, store, "vec_corpus", "semantic_dup_log", TAU)
+    admitted = sorted(
+        r["vec_id"] for r in store.read(spark, "vec_corpus").collect()
+    )
+    log_rows = store.read(spark, "semantic_dup_log").count()
+    assert admitted
+
+    shutil.rmtree(store.path("vec_corpus"))  # the crash window
+    _resolve_batch(spark, batch, store, "vec_corpus", "semantic_dup_log", TAU)
+
+    assert (
+        sorted(r["vec_id"] for r in store.read(spark, "vec_corpus").collect())
+        == admitted
+    )
+    assert store.read(spark, "semantic_dup_log").count() == log_rows
