@@ -69,10 +69,22 @@ def main() -> None:
             timer = threading.Timer(budget, _cancel)
             timer.start()
         t0 = time.time()
+        oracle_died = False
         try:
             ok, msg = compare(REGISTRY[k].fn(spark, sf_dir), con, REGISTRY[k].oracle)
         except Exception as e:  # noqa: BLE001 — sweep must report, not die
             ok, msg = False, f"EXC {type(e).__name__}: {e}"
+            # a DuckDB-raised resource failure (its memory allocator or
+            # temp-spill disk giving out under a super-linear ORACLE
+            # plan) is a property of the oracle SQL, not an engine
+            # mismatch — same epistemic class as over-budget. Only
+            # duckdb's own exception types qualify; Spark-side failures
+            # stay hard failures.
+            import duckdb
+
+            oracle_died = isinstance(
+                e, (duckdb.OutOfMemoryException, duckdb.IOException)
+            )
         finally:
             if timer is not None:
                 timer.cancel()
@@ -83,6 +95,21 @@ def main() -> None:
         if not ok and fired.is_set():
             over.append(k)
             print(f"SKIP {k:28s} {times[k]:7.1f}s over budget ({budget:.0f}s)", flush=True)
+            continue
+        if not ok and oracle_died:
+            over.append(k)
+            print(
+                f"SKIP {k:28s} {times[k]:7.1f}s oracle resource death: {msg[:120]}",
+                flush=True,
+            )
+            # a post-OOM/IO DuckDB connection can hold leaked temp
+            # state that starves LATER keys — start the next key on a
+            # fresh connection
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001
+                pass
+            con = duckdb_connection(sf_dir)
             continue
         print(f"{'ok ' if ok else 'FAIL'} {k:28s} {times[k]:7.1f}s {'' if ok else msg[:160]}", flush=True)
         if not ok:

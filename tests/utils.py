@@ -13,6 +13,16 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
 
     con = duckdb.connect()
+    # Explicit resource bounds: the default memory_limit (80% of RAM)
+    # assumes DuckDB owns the host, but here it shares it with a
+    # local[32] Spark JVM — under that pressure heavy recursive-CTE
+    # oracles at sf1 hit raw allocation failures ("bad allocation")
+    # instead of spilling. A fixed limit makes them spill to the temp
+    # dir, and the temp cap makes a super-linear oracle (tfidf's
+    # quadratic term join) die cleanly at 40 GB instead of filling the
+    # disk (observed: 60+ GB of duckdb_temp_storage before ENOSPC).
+    con.sql("SET memory_limit='24GB'")
+    con.sql("SET max_temp_directory_size='40GB'")
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
