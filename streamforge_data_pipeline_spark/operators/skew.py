@@ -67,3 +67,109 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return big.join(rep, [on, "__salt"], how).drop("__salt")
+
+
+def heavy_hitters_sketch(
+    df: DataFrame,
+    key: str = "user_id",
+    k: int = 20,
+    capacity: int = 4096,
+    validate: bool = True,
+    max_capacity: int = 1 << 20,
+) -> DataFrame:
+    """Two-scan heavy hitters with BOUNDED state — the scale path the
+    exact profiler (registry q_heavy_hitters) names for when even the
+    distinct-key count table is too hot to materialize.
+
+    Scan 1 builds a Misra-Gries summary PER PARTITION (<= `capacity`
+    keys each) with vectorized pandas ops only — per Arrow batch,
+    value_counts + mergeable-summaries compaction (sum counters, then
+    subtract the (capacity+1)-th largest and drop non-positive;
+    Agarwal et al. 2012). The union of summaries is a candidate set of
+    at most capacity x n_partitions keys — driver- and
+    broadcast-bounded regardless of the key cardinality. Scan 2 counts
+    the CANDIDATES exactly (broadcast semi-join + hash agg), so the
+    emitted counts and shares are exact, identical to the full-groupBy
+    profiler and to its SQL oracle.
+
+    Correctness bound: a key with global count > N/capacity survives
+    at least one partition summary, so the top-k is complete whenever
+    the k-th heaviest key's count exceeds N/capacity. With
+    ``validate`` (default) the operator CHECKS that bound on the
+    result (k rows + one scalar — a bounded collect); if the bound is
+    unprovable — a NEAR-UNIFORM key distribution, where heavy-hitter
+    summaries fundamentally cannot certify a top-k — it retries with
+    DOUBLED capacity (the remedy the bound names) up to
+    ``max_capacity``, and only then raises rather than return a
+    silently-incomplete profile. Each retry is two more scans with
+    still-bounded state; pass ``validate=False`` only when the caller
+    checks the bound itself.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+
+    def mg_partition_at(batches, cap):
+        summary = None
+        for pdf in batches:
+            counts = pdf[key].value_counts()
+            summary = counts if summary is None else summary.add(counts, fill_value=0)
+            if len(summary) > cap:
+                thresh = summary.nlargest(cap + 1).iloc[-1]
+                summary = summary - thresh
+                summary = summary[summary > 0]
+        if summary is None or summary.empty:
+            yield pd.DataFrame({key: pd.Series([], dtype="int64"),
+                                "mg": pd.Series([], dtype="int64")})
+        else:
+            yield pd.DataFrame(
+                {key: summary.index.astype("int64"),
+                 "mg": summary.values.astype("int64")}
+            )
+
+    def build(cap: int) -> DataFrame:
+        def mg_partition_cap(batches):
+            yield from mg_partition_at(batches, cap)
+
+        candidates = (
+            df.select(key)
+            .mapInPandas(mg_partition_cap, schema=f"{key} long, mg long")
+            .select(key)
+            .distinct()
+        )
+        total = df.agg(F.count(F.lit(1)).alias("total"))
+        return (
+            df.join(F.broadcast(candidates), key)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(F.broadcast(total))
+            .select(
+                key,
+                "n",
+                F.round(F.col("n") / F.col("total"), 4).alias("share"),
+            )
+            .orderBy(F.desc("n"), F.asc(key))
+            .limit(k)
+        )
+
+    if not validate:
+        return build(capacity)
+    n_total = df.count()
+    cap = capacity
+    while True:
+        topk = build(cap)
+        rows = topk.collect()  # bounded: k rows
+        # An EMPTY/short result is the same failure, not a pass: on a
+        # near-uniform distribution the compactions decrement every
+        # counter away and no candidate survives — completeness is
+        # exactly as unprovable as a too-small k-th count.
+        kth = rows[-1]["n"] if rows else 0
+        if n_total == 0 or kth * cap > n_total:
+            return topk
+        if cap * 2 > max_capacity:
+            raise RuntimeError(
+                f"heavy_hitters_sketch guarantee violated at max capacity "
+                f"{cap}: k-th count {kth} <= N/capacity = {n_total}/{cap} "
+                f"— the distribution has no provable top-{k} heavy hitters"
+            )
+        cap *= 2

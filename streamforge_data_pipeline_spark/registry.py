@@ -489,6 +489,20 @@ def q_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_heavy_hitters_sketch(spark, sf_dir):
+    """The bounded-state scale path of q_heavy_hitters: per-partition
+    Misra-Gries summaries -> candidate set -> exact second-pass counts
+    (operators/skew.heavy_hitters_sketch). Same answer, same oracle —
+    the full-cardinality groupBy is replaced by state bounded at
+    capacity x n_partitions, with the completeness bound
+    (k-th count > N/capacity) checked at runtime."""
+    from streamforge_data_pipeline_spark.operators.skew import (
+        heavy_hitters_sketch,
+    )
+
+    return heavy_hitters_sketch(load(spark, sf_dir, "events"))
+
+
 def q_corr_measures(spark, sf_dir):
     """Exact Pearson correlation + OLS fit of price on quantity from
     decimal-exact co-moment sums — one scan, one single-row agg, and
@@ -2452,6 +2466,13 @@ FROM events GROUP BY 1""",
   round(count(*) * 1.0 / (SELECT count(*) FROM events), 4) AS share
 FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20""",
         "join-key skew profiler: top-20 heaviest keys with traffic share",
+    ),
+    "heavy_hitters_sketch": QuerySpec(
+        q_heavy_hitters_sketch,
+        """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+  round(count(*) * 1.0 / (SELECT count(*) FROM events), 4) AS share
+FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20""",
+        "Misra-Gries two-scan heavy hitters: bounded state, exact answer",
     ),
     "corr_measures": QuerySpec(
         q_corr_measures,

@@ -120,3 +120,63 @@ def test_corpus_mixture_layout_independent(spark):
         spark.createDataFrame(budgets.items(), "source string, b long"), "source"
     ).filter(F.col("m") > F.col("b"))
     assert over.count() == 0
+
+
+def test_heavy_hitters_sketch_matches_exact(spark):
+    """Two-scan Misra-Gries profile == the full-groupBy profile on the
+    events table (same rows, same counts, same shares)."""
+    from streamforge_data_pipeline_spark.operators.skew import heavy_hitters_sketch
+    from streamforge_data_pipeline_spark.registry import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    exact = REGISTRY["heavy_hitters"].fn(spark, SF_SMALL).collect()
+    from streamforge_data_pipeline_spark.session import load
+
+    sketch = heavy_hitters_sketch(load(spark, SF_SMALL, "events")).collect()
+    assert [tuple(r) for r in sketch] == [tuple(r) for r in exact]
+
+
+def test_heavy_hitters_sketch_survives_tiny_capacity_on_skew(spark):
+    """One planted hot key among a long uniform tail: even capacity=8
+    summaries must carry the hot key through and the exact second pass
+    must report its true count."""
+    from pyspark.sql import functions as F
+
+    from streamforge_data_pipeline_spark.operators.skew import heavy_hitters_sketch
+
+    n_tail, hot_repeats = 5000, 4000
+    df = (
+        spark.range(n_tail).select(F.col("id").alias("user_id"))
+        .union(spark.range(hot_repeats).select(F.lit(999_999).alias("user_id")))
+        .repartition(8)
+    )
+    top = heavy_hitters_sketch(df, k=1, capacity=8).collect()
+    assert top[0]["user_id"] == 999_999 and top[0]["n"] == hot_repeats
+
+
+def test_heavy_hitters_sketch_auto_retries_to_provable_capacity(spark):
+    """Near-uniform keys defeat the initial capacity; the operator must
+    double capacity until the bound proves (8 * 1024 > 4096 here) and
+    then return the exact top-k (counts all 8, lowest keys win the
+    tie-break) — the sf1 events shape that motivated the retry."""
+    from pyspark.sql import functions as F
+
+    from streamforge_data_pipeline_spark.operators.skew import heavy_hitters_sketch
+
+    df = spark.range(4096).select((F.col("id") % 512).alias("user_id"))
+    rows = heavy_hitters_sketch(df, k=5, capacity=4).collect()
+    assert [(r["user_id"], r["n"]) for r in rows] == [(i, 8) for i in range(5)]
+
+
+def test_heavy_hitters_sketch_raises_when_bound_unprovable(spark):
+    """Same corpus with the retry ceiling pinned below the provable
+    capacity: the operator must refuse loudly rather than return a
+    possibly-incomplete profile."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from streamforge_data_pipeline_spark.operators.skew import heavy_hitters_sketch
+
+    df = spark.range(4096).select((F.col("id") % 512).alias("user_id"))
+    with pytest.raises(RuntimeError, match="guarantee violated"):
+        heavy_hitters_sketch(df, k=5, capacity=4, max_capacity=16)
