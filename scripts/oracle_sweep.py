@@ -53,6 +53,16 @@ def main() -> None:
     times: dict[str, float] = {}
     for k in keys:
         spark.catalog.clearCache()
+        # fresh oracle connection PER KEY: DuckDB retains buffer-pool /
+        # temp allocations on a connection across queries, so a run of
+        # successful heavy recursive-CTE oracles starves a later key
+        # that passes cleanly in isolation (observed at sf1 twice, at
+        # two different memory limits). View setup costs milliseconds.
+        try:
+            con.close()
+        except Exception:  # noqa: BLE001 — a resource-dead connection
+            pass
+        con = duckdb_connection(sf_dir)
         timer = None
         fired = threading.Event()
         if budget:
@@ -102,15 +112,7 @@ def main() -> None:
                 f"SKIP {k:28s} {times[k]:7.1f}s oracle resource death: {msg[:120]}",
                 flush=True,
             )
-            # a post-OOM/IO DuckDB connection can hold leaked temp
-            # state that starves LATER keys — start the next key on a
-            # fresh connection
-            try:
-                con.close()
-            except Exception:  # noqa: BLE001
-                pass
-            con = duckdb_connection(sf_dir)
-            continue
+            continue  # next key gets a fresh connection at loop top
         print(f"{'ok ' if ok else 'FAIL'} {k:28s} {times[k]:7.1f}s {'' if ok else msg[:160]}", flush=True)
         if not ok:
             bad.append((k, msg[:300]))

@@ -13,16 +13,17 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
 
     con = duckdb.connect()
-    # Explicit resource bounds: the default memory_limit (80% of RAM)
-    # assumes DuckDB owns the host, but here it shares it with a
-    # local[32] Spark JVM — under that pressure heavy recursive-CTE
-    # oracles at sf1 hit raw allocation failures ("bad allocation")
-    # instead of spilling. A fixed limit makes them spill to the temp
-    # dir, and the temp cap makes a super-linear oracle (tfidf's
-    # quadratic term join) die cleanly at 40 GB instead of filling the
-    # disk (observed: 60+ GB of duckdb_temp_storage before ENOSPC).
-    con.sql("SET memory_limit='24GB'")
-    con.sql("SET max_temp_directory_size='40GB'")
+    # Resource bounds, measured at sf1 (see PERF_NOTES r5.9/r5.12):
+    # keep DuckDB's DEFAULT memory_limit (80% of RAM) — the heavy
+    # recursive-CTE closure oracles genuinely need it (a 24 GB and
+    # then a 48 GB cap each pushed keys that pass under the default
+    # into temp-spill exhaustion). The historical hard-OOMs under the
+    # default limit came from per-CONNECTION state accumulating across
+    # a long sweep, fixed by the sweep's fresh-connection-per-key
+    # policy, not by shrinking the limit. The temp cap stays: it makes
+    # a super-linear oracle (tfidf's quadratic term join) die cleanly
+    # at 60 GB instead of taking the disk down (observed: ENOSPC).
+    con.sql("SET max_temp_directory_size='60GB'")
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
