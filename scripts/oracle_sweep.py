@@ -89,11 +89,19 @@ def main() -> None:
             # plan) is a property of the oracle SQL, not an engine
             # mismatch — same epistemic class as over-budget. Only
             # duckdb's own exception types qualify; Spark-side failures
-            # stay hard failures.
+            # stay hard failures. IOException is narrowed to the
+            # temp-spill/disk-space shapes (r5 advice): a missing or
+            # corrupt parquet behind a lazy oracle view ALSO raises
+            # IOException at query time, and that is a harness/data bug
+            # that must FAIL, not skip.
             import duckdb
 
-            oracle_died = isinstance(
-                e, (duckdb.OutOfMemoryException, duckdb.IOException)
+            _spill = any(
+                s in str(e).lower()
+                for s in ("temp", "disk", "no space", "out of space")
+            )
+            oracle_died = isinstance(e, duckdb.OutOfMemoryException) or (
+                isinstance(e, duckdb.IOException) and _spill
             )
         finally:
             if timer is not None:

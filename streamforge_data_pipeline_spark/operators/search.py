@@ -48,8 +48,10 @@ def bm25_topk(df: DataFrame, id_col: str = "doc_id", text: str = "text",
         idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
     with idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1).
 
-    Emits (query_id, rank, doc_id, score); rank is dense from 1 by
-    (score desc, doc_id asc) on the rounded score.
+    Emits (query_id, rank, doc_id, score); rank is row_number() over
+    (score desc, doc_id asc) on the rounded score — score ties get
+    DISTINCT consecutive ranks via the doc_id tie-break, not
+    dense_rank tie semantics.
 
     Scale notes: the query-term relation is a literal handful of rows
     — broadcast it, so the only corpus-wide work is the (doc, term)

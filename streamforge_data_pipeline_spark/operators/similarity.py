@@ -109,7 +109,11 @@ def near_dup_pairs(
         F.col(id_col),
         F.col(vec_col),
         F.sqrt(dot_double(F.col(vec_col), F.col(vec_col))).alias("norm"),
-    )
+        # zero-norm guard: 0/0 cosine is NaN, and Spark's NaN >= tau is
+        # TRUE (NaN sorts greater than any double) — a zero embedding
+        # would otherwise pair with every vector. Zero vectors have no
+        # defined direction, so they emit no pairs.
+    ).filter(F.col("norm") > 0)
     a = normed.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("norm").alias("na")
     )
@@ -479,6 +483,12 @@ def _dedup_within_cells(
             F.col(vec_col),
             F.sqrt(dot_double(F.col(vec_col), F.col(vec_col))).alias("__n"),
         )
+        # zero-norm guard (r5 advice): cosine of a zero vector is 0/0 =
+        # NaN and Spark orders NaN GREATER than any double, so NaN >=
+        # tau passes — a zero embedding would cluster with everything.
+        # Zero vectors drop out of the pair stage here and re-enter as
+        # singleton keep=True groups via the left join below.
+        .filter(F.col("__n") > 0)
         .persist()
     )
     a = vc.select(

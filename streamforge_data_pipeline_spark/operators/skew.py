@@ -107,7 +107,14 @@ def heavy_hitters_sketch(
     """
     import pandas as pd
 
+    from pyspark.sql import types as T
+
     spark = df.sparkSession
+    # the summary schema carries the key's OWN Spark type (r5 advice:
+    # the previous `{key} long` hardcode crashed string keys and
+    # silently truncated floats); counts stay long.
+    key_field = df.schema[key]
+    mg_schema = T.StructType([key_field, T.StructField("mg", T.LongType())])
 
     def mg_partition_at(batches, cap):
         summary = None
@@ -118,12 +125,11 @@ def heavy_hitters_sketch(
                 thresh = summary.nlargest(cap + 1).iloc[-1]
                 summary = summary - thresh
                 summary = summary[summary > 0]
-        if summary is None or summary.empty:
-            yield pd.DataFrame({key: pd.Series([], dtype="int64"),
-                                "mg": pd.Series([], dtype="int64")})
-        else:
+        if summary is not None and not summary.empty:
+            # index keeps the key's native pandas dtype; .add() promotes
+            # counts to float64, so only the counts are coerced back
             yield pd.DataFrame(
-                {key: summary.index.astype("int64"),
+                {key: summary.index.to_numpy(),
                  "mg": summary.values.astype("int64")}
             )
 
@@ -133,7 +139,7 @@ def heavy_hitters_sketch(
 
         candidates = (
             df.select(key)
-            .mapInPandas(mg_partition_cap, schema=f"{key} long, mg long")
+            .mapInPandas(mg_partition_cap, schema=mg_schema)
             .select(key)
             .distinct()
         )
@@ -155,18 +161,32 @@ def heavy_hitters_sketch(
     if not validate:
         return build(capacity)
     n_total = df.count()
+    if n_total == 0:
+        return build(capacity)
     cap = capacity
+    n_distinct = None  # computed lazily, once, only if a short result appears
     while True:
         topk = build(cap)
         rows = topk.collect()  # bounded: k rows
         # An EMPTY/short result is the same failure, not a pass: on a
         # near-uniform distribution the compactions decrement every
         # counter away and no candidate survives — completeness is
-        # exactly as unprovable as a too-small k-th count.
-        kth = rows[-1]["n"] if rows else 0
-        if n_total == 0 or kth * cap > n_total:
-            return topk
+        # exactly as unprovable as a too-small k-th count. A SHORT
+        # result (r5 advice) is accepted only when it provably contains
+        # EVERY distinct key (then counts are exact and top-k trivial);
+        # otherwise ranks beyond the candidate count could be missing
+        # even when the k-th-count bound holds.
+        if len(rows) < k:
+            if n_distinct is None:
+                n_distinct = df.select(key).distinct().count()
+            if len(rows) == n_distinct:
+                return topk
+        else:
+            kth = rows[-1]["n"]
+            if kth * cap > n_total:
+                return topk
         if cap * 2 > max_capacity:
+            kth = rows[-1]["n"] if rows else 0
             raise RuntimeError(
                 f"heavy_hitters_sketch guarantee violated at max capacity "
                 f"{cap}: k-th count {kth} <= N/capacity = {n_total}/{cap} "

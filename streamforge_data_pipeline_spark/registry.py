@@ -1680,7 +1680,8 @@ SELECT q_id, vec_id, neg_label, sim, rank FROM r WHERE rank <= 5""",
     ),
     "embedding_near_dup": QuerySpec(
         q_embedding_near_dup,
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE list_dot_product(embedding, embedding) > 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 4) AS sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -1705,7 +1706,8 @@ c AS (SELECT vec_id, v,
       FROM e),
 pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
           FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
-          WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+          WHERE list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
+            AND list_cosine_similarity(a.v, b.v) >= 0.4),
 edges AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
 r AS (SELECT u AS node, u AS reach FROM edges
       UNION
@@ -2746,7 +2748,8 @@ c AS (SELECT vec_id, v,
       FROM e),
 pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
           FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
-          WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+          WHERE list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
+            AND list_cosine_similarity(a.v, b.v) >= 0.4),
 edges AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
 r AS (SELECT u AS node, u AS reach FROM edges
       UNION

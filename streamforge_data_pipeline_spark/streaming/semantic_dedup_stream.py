@@ -139,18 +139,21 @@ def _resolve_batch(
     # probe's lazy plan would otherwise self-match after the append).
     if os.path.exists(store.path(corpus_table)):
         index = store.read(spark, corpus_table)
+        # zero-norm guard on BOTH probe sides (r5 advice): 0/0 cosine is
+        # NaN and Spark's NaN >= tau is TRUE, so an unguarded zero
+        # vector would log as a duplicate of every same-cell corpus row.
         probe_side = reps.select(
             "vec_id",
             F.col("embedding").alias("__v"),
             argmax_cell("embedding", N_CELLS).alias("cell"),
             F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("__n"),
-        )
+        ).filter(F.col("__n") > 0)
         index_side = index.select(
             F.col("vec_id").alias("__c_id"),
             F.col("embedding").alias("__cv"),
             argmax_cell("embedding", N_CELLS).alias("cell"),
             F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("__cn"),
-        )
+        ).filter(F.col("__cn") > 0)
         hits = (
             probe_side.join(index_side, "cell")
             .withColumn(

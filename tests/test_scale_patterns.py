@@ -180,3 +180,31 @@ def test_heavy_hitters_sketch_raises_when_bound_unprovable(spark):
     df = spark.range(4096).select((F.col("id") % 512).alias("user_id"))
     with pytest.raises(RuntimeError, match="guarantee violated"):
         heavy_hitters_sketch(df, k=5, capacity=4, max_capacity=16)
+
+
+def test_heavy_hitters_sketch_string_key(spark):
+    """The summary schema must carry the key's OWN type (r5 advice:
+    a `long` hardcode crashed string keys): a string-keyed profile
+    returns the exact top-k."""
+    from pyspark.sql import functions as F
+
+    from streamforge_data_pipeline_spark.operators.skew import heavy_hitters_sketch
+
+    df = spark.range(900).select(
+        F.concat(F.lit("k"), (F.col("id") % 3).cast("string")).alias("kind")
+    )
+    rows = heavy_hitters_sketch(df, key="kind", k=3, capacity=16).collect()
+    assert [(r["kind"], r["n"]) for r in rows] == [("k0", 300), ("k1", 300), ("k2", 300)]
+
+
+def test_heavy_hitters_sketch_short_result_only_when_complete(spark):
+    """r5 advice: a result with fewer than k rows is acceptable ONLY
+    when it provably contains every distinct key. With 3 distinct keys
+    and k=10 the profile returns exactly 3 exact rows."""
+    from pyspark.sql import functions as F
+
+    from streamforge_data_pipeline_spark.operators.skew import heavy_hitters_sketch
+
+    df = spark.range(600).select((F.col("id") % 3).alias("user_id"))
+    rows = heavy_hitters_sketch(df, k=10, capacity=64).collect()
+    assert [(r["user_id"], r["n"]) for r in rows] == [(0, 200), (1, 200), (2, 200)]

@@ -99,3 +99,25 @@ def test_pq_codes_shape_and_determinism(spark):
     # encode is a pure function of (vector, codebooks)
     codes2 = {r["vec_id"]: r["codes"] for r in pq_encode(vecs, books).collect()}
     assert codes == codes2
+
+
+def test_zero_vector_never_pairs_in_near_dup(spark):
+    """r5 advice: cosine of a zero vector is 0/0 = NaN, and Spark's
+    NaN >= tau is TRUE — an unguarded zero embedding pairs with every
+    vector. The guard must keep zero vectors out of the pair stage."""
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.near_dup_pairs(vecs, tau=0.4).collect()
+    ids = {i for r in pairs for i in (r["id_a"], r["id_b"])}
+    assert 3 not in ids and (1, 2) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
+def test_zero_vector_is_singleton_in_semantic_dedup_cells(spark):
+    """Same NaN guard inside _dedup_within_cells: a zero vector must
+    come back as its own keep=True group, never clustered."""
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.99, 0.05, 0.0]), (3, [0.0, 0.0, 0.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup_fixed_cells(
+        vecs, n_cells=3, tau=0.4).collect()}
+    assert out[3]["keep"] and out[3]["group_id"] == 3
+    assert out[1]["keep"] and not out[2]["keep"] and out[2]["group_id"] == 1
