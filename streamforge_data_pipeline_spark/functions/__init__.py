@@ -99,3 +99,25 @@ def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
             .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i))
         )
     return z
+
+
+def finalize_released(out, *intermediates):
+    """Materialize ``out`` eagerly (localCheckpoint) and UNPERSIST the
+    cached intermediates that fed it — the house cache-lifecycle rule
+    (r5 brief #4): an operator that persists a reused subtree must not
+    return while the persist is still registered, because the caller
+    has no handle to release it and a long-lived service session
+    accumulates executor storage until eviction pressure (the creep
+    class ADVICE r4 first flagged in lsh_probe_dedup).
+
+    The eager checkpoint runs the plan ONCE (the same work the caller's
+    first action would have run), pins the — result-sized — blocks
+    under ContextCleaner's GC-managed lifetime instead of the cache
+    manager's unpersist-or-never one, and lets every intermediate go
+    immediately. tests/test_registry_cache_hygiene.py asserts the cache
+    manager is empty after every registry query as the regression gate.
+    """
+    out = out.localCheckpoint(eager=True)
+    for df in intermediates:
+        df.unpersist()
+    return out

@@ -237,12 +237,16 @@ def connected_components(
             f"connected_components did not converge in {max_iters} rounds"
         )
     # edges is localCheckpoint-ed: unpersist() would be a no-op (the
-    # blocks never enter the cache manager), and an explicit free would
-    # be UNSAFE — the returned labels generation, when merely persisted
-    # (not on a checkpoint boundary), still reaches edges through its
-    # lineage if a partition gets evicted. The blocks release when the
-    # frame's RDD handle is GC'd after callers drop the result.
-    return labels
+    # blocks never enter the cache manager) — those blocks release when
+    # the RDD handle is GC'd. The LABELS generation, however, may exit
+    # the loop as a plain persist (off a checkpoint boundary): finalize
+    # it so the cache-manager entry never outlives the call (house
+    # finalize rule, r5 brief #4) — the eager checkpoint also cuts the
+    # lineage back into edges/prev generations, making the unpersist
+    # safe under eviction.
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()  # no-op when the last generation was checkpointed
+    return out
 
 
 def keep_canonical(docs: DataFrame, components: DataFrame,

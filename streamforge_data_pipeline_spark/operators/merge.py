@@ -79,6 +79,9 @@ def scd2_apply(
         F.lit(None).cast("timestamp").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
-    return (
+    out = (
         history.unionByName(passthrough).unionByName(closed).unionByName(opened)
     )
+    from streamforge_data_pipeline_spark.functions import finalize_released
+
+    return finalize_released(out, j)

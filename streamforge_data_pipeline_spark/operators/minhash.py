@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from streamforge_data_pipeline_spark.functions import hash60, minhash_perm, tokens
+from streamforge_data_pipeline_spark.functions import finalize_released, hash60, minhash_perm, tokens
 
 NUM_PERMS = 16
 ROWS_PER_BAND = 4
@@ -153,8 +153,10 @@ def exact_jaccard(sh: DataFrame, pairs: DataFrame, tau: float | None = None) -> 
     # sizes of the FULL distinct shingle sets (pre-prune) — the final
     # jaccard denominator must not see a pruned relation
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh_cached = None
     if tau is not None:
-        sh_c = sh_c.persist()
+        sh_cached = sh_c.persist()
+        sh_c = sh_cached
         pairs = (
             pairs.join(
                 F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
@@ -185,11 +187,18 @@ def exact_jaccard(sh: DataFrame, pairs: DataFrame, tau: float | None = None) -> 
         .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
     )
+    if sh_cached is not None:
+        # the prune path persisted the candidate shingle relation (read
+        # by both self-join sides, then narrowed by the size prune) —
+        # release THAT handle (sh_c was reassigned past it) with the
+        # house finalize rule
+        return finalize_released(out, sh_cached)
+    return out
 
 
 def lsh_probe_dedup(
@@ -433,9 +442,12 @@ def _allpairs_from_sh(sh: DataFrame, tau: float) -> DataFrame:
     cands.count()
     prefix.unpersist()
     verified = exact_jaccard(sh, cands)
-    return verified.filter(F.col("jaccard") >= tau).select(
+    out = verified.filter(F.col("jaccard") >= tau).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     )
+    # the body helpers OWN the (persisted) shingle relation by
+    # contract — release it and the candidate cache on the way out
+    return finalize_released(out, sh, cands)
 
 
 def shared_shingle_jaccard(
@@ -490,9 +502,10 @@ def _shared_shingle_from_sh(sh: DataFrame, tau: float) -> DataFrame:
     j = _pair_intersections(sh).withColumn(
         "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     )
-    return j.filter(F.col("jaccard") >= tau).select(
+    out = j.filter(F.col("jaccard") >= tau).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     )
+    return finalize_released(out, sh)
 
 
 def sketch_df_distribution(
@@ -713,9 +726,10 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     sig_input = drop_boilerplate_shingles(sh, max_df) if max_df else sh
     cands = candidate_pairs(band_keys(signatures(sig_input)))  # one shuffle to sigs
     verified = exact_jaccard(sh, cands, tau=tau if size_prune else None)
-    return verified.filter(F.col("jaccard") >= tau).select(
+    out = verified.filter(F.col("jaccard") >= tau).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     )
+    return finalize_released(out, sh)
 
 
 def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
@@ -825,7 +839,7 @@ def winnow_overlap(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("n_shared") >= min_shared)
     )
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    return (
+    out = (
         shared.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("n_fp", "fp_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
@@ -841,6 +855,7 @@ def winnow_overlap(df: DataFrame, id_col: str = "doc_id",
             ).alias("containment"),
         )
     )
+    return finalize_released(out, fps)
 
 
 def containment_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -866,7 +881,8 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     the LSH path does; containment against capped sets is then a
     lower bound, which only drops already-boilerplate evidence.
     """
-    both = _pair_intersections(shingles(df, id_col, text).persist())
+    sh = shingles(df, id_col, text).persist()
+    both = _pair_intersections(sh)
     fwd = both.select(
         F.col("doc_a").alias("doc_sub"),
         F.col("doc_b").alias("doc_sup"),
@@ -877,7 +893,7 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
         F.col("doc_a").alias("doc_sup"),
         (F.col("inter") / F.col("nb")).alias("__c"),
     )
-    return (
+    out = (
         fwd.unionByName(rev)
         # 1e-9 slack mirrors exact_jaccard's at-tau guard
         .filter(F.col("__c") >= F.lit(tau) - F.lit(1e-9))
@@ -887,3 +903,4 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
             (F.floor(F.col("__c") * 1e4 + 0.5) / 1e4).alias("containment"),
         )
     )
+    return finalize_released(out, sh)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from streamforge_data_pipeline_spark.functions import tokens
+from streamforge_data_pipeline_spark.functions import finalize_released, tokens
 
 # Tiny function-word marker sets for deterministic language ID.
 # (A production pipeline would use fastText/CLD3 via a Pandas UDF; the
@@ -245,11 +245,12 @@ def tfidf_top_terms(
         )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
-    return (
+    out = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "score", F.col("rk").cast("long").alias("rk"))
     )
+    return finalize_released(out, tf)
 
 
 def chunk_docs(
@@ -549,12 +550,13 @@ def decontaminate(df: DataFrame, id_col: str = "doc_id", text: str = "text",
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    return sizes.join(hits, "doc_id").select(
+    out = sizes.join(hits, "doc_id").select(
         "doc_id",
         "n_hits",
         "n_shingles",
         F.round(F.col("n_hits") / F.col("n_shingles"), 4).alias("overlap_frac"),
     )
+    return finalize_released(out, sh)
 
 
 def ngram_counts(df: DataFrame, id_col: str = "doc_id", text: str = "text",
@@ -736,7 +738,7 @@ def dup_ngram_fraction(df: DataFrame, id_col: str = "doc_id",
     # evicts, and registry/bench isolation clears caches per query).
     occ = shingles_raw(df, id_col, text).persist()
     counts = occ.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt"))
-    return (
+    out = (
         occ.join(counts, "sh")
         .groupBy("doc_id")
         .agg(
@@ -750,6 +752,7 @@ def dup_ngram_fraction(df: DataFrame, id_col: str = "doc_id",
             F.round(F.col("n_dup") / F.col("n_ngrams"), 4).alias("dup_frac"),
         )
     )
+    return finalize_released(out, occ)
 
 
 def line_dedup(df: DataFrame, id_col: str = "doc_id",
@@ -1041,7 +1044,7 @@ def dup_span_removal(df: DataFrame, id_col: str = "doc_id",
     frac = F.when(
         n_tok > 0, F.floor(dup / n_tok * 1e4 + 0.5) / 1e4
     ).otherwise(F.lit(0.0))
-    return joined.select(
+    out = joined.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
@@ -1049,6 +1052,7 @@ def dup_span_removal(df: DataFrame, id_col: str = "doc_id",
         frac.alias("dup_frac"),
         F.array_join(kept, " ").alias("text_clean"),
     )
+    return finalize_released(out, grams)
 
 
 def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
@@ -1074,7 +1078,7 @@ def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
 
     occ = shingles_raw(df, id_col, text).persist()
     firsts = occ.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    return (
+    out = (
         occ.join(firsts, "sh")
         .groupBy("doc_id")
         .agg(
@@ -1091,6 +1095,7 @@ def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
             .alias("novelty"),
         )
     )
+    return finalize_released(out, occ)
 
 
 def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -1189,7 +1194,7 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
         )
     else:
         raise ValueError(f"unknown scheme {scheme!r}")
-    return (
+    out = (
         dots.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")), "doc_a")
         .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")), "doc_b")
         .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
@@ -1200,6 +1205,7 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
             (F.floor(F.col("cos") * 1e4 + 0.5) / 1e4).alias("cosine"),
         )
     )
+    return finalize_released(out, tf, w)
 
 
 def _tfidf_dense_candidates(df: DataFrame, w: DataFrame, tau: float,
@@ -1286,7 +1292,7 @@ def _tfidf_dense_candidates(df: DataFrame, w: DataFrame, tau: float,
     # DECIMAL(28,10) casts — identical digits to the sparse aggregation
     av = dense.select(F.col("doc_id").alias("doc_a"), F.col("vec").alias("__va"))
     bv = dense.select(F.col("doc_id").alias("doc_b"), F.col("vec").alias("__vb"))
-    return (
+    out = (
         cands.join(av, "doc_a")
         .join(bv, "doc_b")
         .select(
@@ -1308,3 +1314,4 @@ def _tfidf_dense_candidates(df: DataFrame, w: DataFrame, tau: float,
             .alias("dot"),
         )
     )
+    return finalize_released(out, dense)

@@ -51,10 +51,13 @@ def gap_fill_daily(
         .orderBy(day_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return joined.select(
+    out = joined.select(
         key,
         day_col,
         F.coalesce(F.col(value_col), F.lit(0.0)).alias(value_col),
         F.last(value_col, ignorenulls=True).over(w).alias(f"{value_col}_locf"),
         F.col(value_col).isNull().alias("is_filled"),
     )
+    from streamforge_data_pipeline_spark.functions import finalize_released
+
+    return finalize_released(out, observed)

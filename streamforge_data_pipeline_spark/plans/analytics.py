@@ -535,7 +535,7 @@ def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale-free threshold (1.2x the average per-part share) so the
     # query keeps the same selectivity at any SF — a fixed fraction
     # goes vacuous as the part count grows.
-    return (
+    out = (
         per_part.join(F.broadcast(total))
         .filter(
             F.col("part_value")
@@ -543,6 +543,9 @@ def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_partkey", "part_value")
     )
+    from streamforge_data_pipeline_spark.functions import finalize_released
+
+    return finalize_released(out, per_part)
 
 
 def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:

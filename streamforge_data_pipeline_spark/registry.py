@@ -1234,6 +1234,31 @@ def q_stream_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_stream_semantic_dedup_trained(spark, sf_dir):
+    """The TRAINED-quantizer semantic ingestion path (r5 brief #1):
+    persisted sqrt(N)-scheduled k-means cells + cell-partitioned corpus
+    instead of the fixed 8-cell argmax — the variant whose per-batch
+    probe cost stays flat on an unbounded stream. Drained as one
+    micro-batch; k-means makes it iterative, hence rows-only (the
+    argmax sibling carries the hash-checked oracle for the shared
+    resolve/probe/commit machinery; the trained cells' semantics and
+    scale behavior are pytest- and soak-asserted)."""
+    import functools
+
+    from streamforge_data_pipeline_spark.streaming.semantic_dedup_stream import (
+        start_stream_semantic_dedup,
+    )
+
+    return _drain_documents_stream(
+        spark,
+        sf_dir,
+        functools.partial(start_stream_semantic_dedup, quantizer="trained"),
+        "semantic_dup_log",
+        "sfdp_stream_sdt_",
+        table="embeddings",
+    )
+
+
 def q_stream_interval_join(spark, sf_dir):
     """Stream-stream event-time interval join drained as ONE
     micro-batch: error -> purchase attribution within 60 minutes per
@@ -2763,6 +2788,12 @@ SELECT e.vec_id,
 FROM e LEFT JOIN g ON e.vec_id = g.node""",
         "continuous semantic dedup drained: one-batch log equals the"
         " within-cell cosine closure",
+    ),
+    "stream_semantic_dedup_trained": QuerySpec(
+        q_stream_semantic_dedup_trained,
+        None,
+        "continuous semantic dedup under persisted sqrt(N) k-means cells"
+        " (iterative train step -> rows-only; argmax sibling is the oracle)",
     ),
     "stream_interval_join": QuerySpec(
         q_stream_interval_join,

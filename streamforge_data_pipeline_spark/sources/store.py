@@ -61,6 +61,17 @@ class TableStore:
         standard 100 TB layout for time-keyed tables."""
         df.write.mode("append").partitionBy(*partition_cols).parquet(self.path(table))
 
+    def overwrite_partitioned(
+        self, df: DataFrame, table: str, partition_cols: list[str]
+    ) -> None:
+        """Partitioned overwrite — the re-layout job (e.g. re-celling a
+        vector corpus after a quantizer retrain). Callers overwriting a
+        table they are lazily READING must materialize first
+        (localCheckpoint) — Spark cannot overwrite its own input path."""
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+            self.path(table)
+        )
+
     def write_json(self, df: DataFrame, table: str) -> None:
         """JSON sink (interchange format for downstream consumers)."""
         df.write.mode("overwrite").json(self.path(table) + "_json")

@@ -44,12 +44,18 @@ atomic):
 
 Scale notes: the index is corpus-distinct-hash-sized (32-byte hash +
 one long per distinct content — ~3 TB of index for 100 TB of raw text,
-mostly the hashes themselves) and append-only; at cluster scale it
-would be written bucketed on content_hash (sources/store.write_bucketed
-— plan-verified to eliminate both probe-join exchanges) so the
-per-batch probe co-locates without shuffling the index. Per-batch work
-is two shuffles of |batch| rows plus the index probe join; nothing
-grows with the number of batches. State-store framing: the "state" is
+mostly the hashes themselves) and append-only. With ``index_buckets``
+set (r5 brief #3) the index is LAID OUT hash-partitioned: each row
+carries hb = pmod(xxhash64(content_hash), index_buckets) and is
+written hive-partitioned by hb, and the probe filters the index scan
+to the batch's OWN hb values (a bounded IN-list, <= index_buckets
+entries collected from the batch) — partition pruning reads only the
+directories the batch can possibly hit, so probe I/O is bounded by
+|batch's buckets|/index_buckets of the index instead of a full index
+scan per batch. The decision log is byte-identical with the layout on
+or off (asserted in tests). Per-batch work is two shuffles of |batch|
+rows plus the pruned probe join; nothing grows with the number of
+batches. State-store framing: the "state" is
 a parquet table the engine re-plans joins against, not per-key entries
 a Python function is invoked over — that is what removes the ~linear
 term (measured in PERF_NOTES r5: sf0.1 -> sf1 wall ratio ~2x vs the
@@ -132,6 +138,7 @@ def _resolve_batch(
     text: str,
     batch_id: int | None = None,
     run_id: str | None = None,
+    index_buckets: int | None = None,
 ) -> None:
     # idempotent re-run guard: the log is the decision record — a
     # doc_id it already holds was fully decided, drop it from the
@@ -165,18 +172,35 @@ def _resolve_batch(
     firsts = hashed.groupBy("content_hash").agg(
         F.min("doc_id").alias("batch_first")
     )
+    hb = F.pmod(F.xxhash64("content_hash"), F.lit(index_buckets or 1))
+    if index_buckets:
+        firsts = firsts.withColumn("hb", hb)
     if os.path.exists(store.path(index_table)):
         idx = store.read(spark, index_table)
+        if index_buckets and "hb" in idx.columns:
+            # bounded collect (<= index_buckets values): prune the
+            # index scan to the hash-partition directories this batch
+            # can possibly hit
+            hbs = [
+                r["hb"]
+                for r in hashed.select(hb.alias("hb")).distinct().collect()
+            ]
+            idx = idx.filter(F.col("hb").isin(hbs)).drop("hb")
+        elif "hb" in idx.columns:
+            idx = idx.drop("hb")
         firsts = firsts.join(idx, "content_hash", "left")
     else:
         firsts = firsts.withColumn("first_id", F.lit(None).cast("long"))
     # the hash's winner: the indexed first arrival if the hash is
     # known, else this batch's lowest id (which then becomes indexed)
-    winners = firsts.select(
+    winner_cols = [
         "content_hash",
         F.coalesce("first_id", "batch_first").alias("winner"),
         F.col("first_id").isNull().alias("novel"),
-    ).localCheckpoint(eager=True)  # pin decisions to the PRE-append index
+    ] + (["hb"] if index_buckets else [])
+    winners = firsts.select(*winner_cols).localCheckpoint(
+        eager=True
+    )  # pin decisions to the PRE-append index
 
     out = (
         hashed.join(winners, "content_hash")
@@ -200,12 +224,20 @@ def _resolve_batch(
     # annotations (same winner ids), finds novel empty, and appends
     # the log exactly once; a crash after both appends replays into
     # the replay guard, which drops the batch entirely.
-    store.append(
-        winners.filter("novel").select(
-            "content_hash", F.col("winner").alias("first_id")
-        ),
-        index_table,
-    )
+    novel = winners.filter("novel")
+    if index_buckets:
+        store.append_partitioned(
+            novel.select(
+                "content_hash", F.col("winner").alias("first_id"), "hb"
+            ),
+            index_table,
+            ["hb"],
+        )
+    else:
+        store.append(
+            novel.select("content_hash", F.col("winner").alias("first_id")),
+            index_table,
+        )
     store.append(out, log_table)
 
 
@@ -221,12 +253,15 @@ def start_stream_exact_dedup(
     max_files_per_trigger: int = 1,
     available_now: bool = True,
     path_glob_filter: str | None = None,
+    index_buckets: int | None = None,
 ) -> StreamingQuery:
     """Tail ``input_dir`` for parquet document files and run the
     hash/probe/annotate pipeline per micro-batch. The decision log
     table accumulates one row per document: (doc_id, content_hash,
     dup_of) with dup_of NULL for each content's first arrival —
-    byte-identical contract to stateful.dedup_stream's output."""
+    byte-identical contract to stateful.dedup_stream's output.
+    ``index_buckets`` turns on the hash-partitioned index layout +
+    partition-pruned probes (see module docstring Scale notes)."""
     reader = spark.readStream.schema(f"{id_col} long, {text} string").option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
@@ -250,6 +285,7 @@ def start_stream_exact_dedup(
             text,
             batch_id=batch_id,
             run_id=run_id,
+            index_buckets=index_buckets,
         )
 
     writer = stream.writeStream.foreachBatch(commit).option(

@@ -7,43 +7,63 @@ every decision is logged.
 Per micro-batch (foreachBatch — blocking, sequential, per-batch
 atomic):
 
-1. in-batch resolution: semantic_dedup_fixed_cells (within-cell
-   all-pairs cosine >= tau -> connected components -> min-id
-   canonical); non-canonical members are logged (origin='batch',
-   dup_of=the cluster representative).
+1. in-batch resolution: within-cell all-pairs cosine >= tau ->
+   connected components -> min-id canonical (the shared
+   _dedup_within_cells machinery); non-canonical members are logged
+   (origin='batch', dup_of=the cluster representative).
 2. cell probe: representatives join the corpus table ON THE CELL KEY
-   only — the deterministic argmax quantizer assigns both sides, so
-   the probe cost is |batch reps| x |corpus rows in the same cells|,
-   never an all-corpus cross join; cosine >= tau hits are logged
+   only — the quantizer assigns both sides, so the probe cost is
+   |batch reps| x |corpus rows in the same cells|, never an
+   all-corpus cross join; cosine >= tau hits are logged
    (origin='index', dup_of=the lowest-id indexed match, cosine
    rounded to 4 dp).
 3. admission: surviving representatives append to the corpus table —
    which IS the next batch's probe index.
 
+Two quantizers (the ``quantizer`` knob):
+
+- ``"argmax"`` (default): the FIXED 8-cell argmax of
+  operators.similarity.argmax_cell. Deterministic and SQL-expressible,
+  so the single-batch drain stays DuckDB-oracle-checkable
+  (registry key ``stream_semantic_dedup``) and cells never drift
+  between batches. Scale ceiling: with a CONSTANT cell count each cell
+  holds ~1/n_cells of the admitted corpus, so per-batch probe
+  candidates grow linearly with the corpus — fine for bounded
+  ingestion, wrong for an unbounded stream (the r5 weak mark).
+- ``"trained"``: persisted k-means centroids on SemDeDup's sqrt(N)
+  cell schedule (Abbas et al. 2023 keep cell populations flat by
+  growing cells with the corpus). Centroids live in a table BESIDE the
+  corpus (``{corpus}__centroids``: cell, centroid, trained_on);
+  whenever the admitted corpus has DOUBLED since the last train, the
+  batch hook retrains via the deterministic distributed k-means
+  already powering ann_ivf/semantic_dedup and re-cells the corpus —
+  an O(corpus) offline re-layout that runs O(log N) times over a
+  stream's lifetime. The corpus table is written HIVE-PARTITIONED BY
+  CELL, rows carry their assigned cell, and the probe filters the
+  corpus scan to exactly the batch's cells (a bounded IN-list), so
+  partition pruning reads ~|batch cells|/n_cells of the corpus —
+  with n_cells ~ sqrt(N) and flat cell populations, per-batch probe
+  cost stays FLAT as the corpus grows (candidate volume
+  |batch∩cell| x |corpus∩cell| ~ |batch| x sqrt(N)/sqrt(N)).
+  The trained path is iterative (k-means), hence rows-only at the
+  driver (registry key ``stream_semantic_dedup_trained``); its
+  semantics are pytest-asserted against the same postconditions and
+  its scale behavior A/B-measured in scripts/soak_semantic_dedup_sf1.
+
 Contrast with near_dedup_stream (the token/MinHash twin): same
 log-first commit order, same marker-gated replay guard, same
 admitted-backfill crash repair — the only moving part swapped is the
 candidate structure (LSH bands -> quantizer cells) and the verifier
-(exact Jaccard -> double-fold cosine). The quantizer is the FIXED
-argmax cell, not trained k-means, for the same reason
-semantic_dedup_cells exists: deterministic assignments make the
-single-batch drain DuckDB-oracle-checkable, and cells never drift
-between batches.
-
-Scale notes: the probe join is keyed on (cell) with the corpus side
-readable from a cell-bucketed layout at 100 TB; within a cell the
-candidate volume is |batch∩cell| x |corpus∩cell| — the quantizer's
-fan-out bound, same regime the batch SemDeDup operator documents. A
-trained k-means quantizer (semantic_dedup) drops in by persisting its
-centroids next to the corpus table; the argmax cells keep this module
-self-contained. Every stage boundary localCheckpoints: the composition
-references upstream subtrees multiplicatively (CC iterations, the
-probe reading its input twice, the post-append log reads), the exact
-lineage trap PERF_NOTES' iterative-lineage lesson records.
+(exact Jaccard -> double-fold cosine). Every stage boundary
+localCheckpoints: the composition references upstream subtrees
+multiplicatively (CC iterations, the probe reading its input twice,
+the post-append log reads), the exact lineage trap PERF_NOTES'
+iterative-lineage lesson records.
 """
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -51,12 +71,99 @@ from pyspark.sql.streaming import StreamingQuery
 
 from streamforge_data_pipeline_spark.functions import dot_double
 from streamforge_data_pipeline_spark.operators.similarity import (
+    _dedup_within_cells,
     argmax_cell,
-    semantic_dedup_fixed_cells,
+    ivf_assign,
+    kmeans_centroids,
 )
 from streamforge_data_pipeline_spark.sources.store import TableStore
 
 N_CELLS = 8
+
+
+def _centroids_table(corpus_table: str) -> str:
+    return f"{corpus_table}__centroids"
+
+
+def _load_centroids(spark: SparkSession, store: TableStore, corpus_table: str):
+    """(ndarray centroids ordered by cell, trained_on) or (None, 0)."""
+    import numpy as np
+
+    t = _centroids_table(corpus_table)
+    if not os.path.exists(store.path(t)):
+        return None, 0
+    rows = store.read(spark, t).orderBy("cell").collect()
+    if not rows:
+        return None, 0
+    return (
+        np.array([r["centroid"] for r in rows], dtype=np.float64),
+        rows[0]["trained_on"],
+    )
+
+
+def _ensure_centroids(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    store: TableStore,
+    corpus_table: str,
+    train_iters: int = 4,
+):
+    """Load — or (re)train on the sqrt(N) doubling schedule — the
+    quantizer centroids. Returns the centroid ndarray (None only for an
+    empty first batch). Retraining re-cells the corpus table in place:
+    the offline re-layout job the doubling schedule amortizes to
+    O(log N) occurrences, each one linear pass + one partitioned write.
+    """
+    cents, trained_on = _load_centroids(spark, store, corpus_table)
+    corpus_exists = os.path.exists(store.path(corpus_table))
+    n = store.read(spark, corpus_table).count() if corpus_exists else 0
+    if cents is not None and n < 2 * max(trained_on, 1):
+        return cents
+    if n > 0:
+        train_df = store.read(spark, corpus_table).select("vec_id", "embedding")
+        n_train = n
+    else:
+        train_df = batch_df.select("vec_id", "embedding")
+        n_train = train_df.count()
+    if n_train == 0:
+        return cents  # empty first batch: nothing to train on (or keep old)
+    # SemDeDup: cells ~ sqrt(N) — a pure sqrt schedule at EVERY size
+    # (a fixed floor would give tiny first batches one cell per vector
+    # and silently disable in-batch dedup; sqrt keeps expected cell
+    # population ~sqrt(N) whether N is 4 or 10^9)
+    n_cells = max(1, math.isqrt(n_train))
+    cents = kmeans_centroids(
+        train_df, n_clusters=n_cells, iters=train_iters,
+        id_col="vec_id", vec_col="embedding",
+    )
+    store.overwrite(
+        spark.createDataFrame(
+            [(i, [float(x) for x in cents[i]], n_train) for i in range(len(cents))],
+            "cell int, centroid array<double>, trained_on long",
+        ),
+        _centroids_table(corpus_table),
+    )
+    if n > 0:
+        corpus = store.read(spark, corpus_table).select("vec_id", "embedding")
+        recelled = (
+            corpus.join(
+                ivf_assign(corpus, cents, id_col="vec_id", vec_col="embedding"),
+                "vec_id",
+            )
+            # materialize BEFORE overwriting our own input path
+            .localCheckpoint(eager=True)
+        )
+        store.overwrite_partitioned(recelled, corpus_table, ["cell"])
+    return cents
+
+
+def _assign_cells(batch_df: DataFrame, quantizer: str, cents) -> DataFrame:
+    """(vec_id, cell) under the active quantizer."""
+    if quantizer == "argmax":
+        return batch_df.select(
+            "vec_id", argmax_cell("embedding", N_CELLS).alias("cell")
+        )
+    return ivf_assign(batch_df, cents, id_col="vec_id", vec_col="embedding")
 
 
 def _resolve_batch(
@@ -68,9 +175,19 @@ def _resolve_batch(
     tau: float,
     batch_id: int | None = None,
     run_id: str | None = None,
+    quantizer: str = "argmax",
 ) -> None:
     from streamforge_data_pipeline_spark.streaming.exact_dedup_stream import (
         _replay_guard_decision,
+    )
+
+    if quantizer not in ("argmax", "trained"):
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    trained = quantizer == "trained"
+    cents = (
+        _ensure_centroids(spark, batch_df, store, corpus_table)
+        if trained
+        else None
     )
 
     marker = f"{log_table}__last_batch"
@@ -98,7 +215,17 @@ def _resolve_batch(
                 )
             replay_admitted = replay_admitted.localCheckpoint(eager=True)
             if replay_admitted.count():
-                store.append(replay_admitted, corpus_table)
+                if trained:
+                    store.append_partitioned(
+                        replay_admitted.join(
+                            _assign_cells(replay_admitted, quantizer, cents),
+                            "vec_id",
+                        ),
+                        corpus_table,
+                        ["cell"],
+                    )
+                else:
+                    store.append(replay_admitted, corpus_table)
             batch_df = batch_df.join(
                 seen_log.select("vec_id"), "vec_id", "left_anti"
             )
@@ -117,11 +244,13 @@ def _resolve_batch(
             marker,
         )
     batch_df = batch_df.localCheckpoint(eager=True)
+    if trained and cents is None:
+        return  # empty first batch: no quantizer, nothing to resolve
 
-    # ---- 1. in-batch semantic resolution
-    res = semantic_dedup_fixed_cells(
-        batch_df, n_cells=N_CELLS, tau=tau, id_col="vec_id",
-        vec_col="embedding",
+    # ---- 1. in-batch semantic resolution under the active quantizer
+    assigned = _assign_cells(batch_df, quantizer, cents)
+    res = _dedup_within_cells(
+        batch_df, assigned, tau, "vec_id", "embedding"
     ).localCheckpoint(eager=True)
     members = res.filter(~F.col("keep"))
     batch_log = members.select(
@@ -142,18 +271,43 @@ def _resolve_batch(
         # zero-norm guard on BOTH probe sides (r5 advice): 0/0 cosine is
         # NaN and Spark's NaN >= tau is TRUE, so an unguarded zero
         # vector would log as a duplicate of every same-cell corpus row.
-        probe_side = reps.select(
-            "vec_id",
-            F.col("embedding").alias("__v"),
-            argmax_cell("embedding", N_CELLS).alias("cell"),
-            F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("__n"),
-        ).filter(F.col("__n") > 0)
-        index_side = index.select(
-            F.col("vec_id").alias("__c_id"),
-            F.col("embedding").alias("__cv"),
-            argmax_cell("embedding", N_CELLS).alias("cell"),
-            F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("__cn"),
-        ).filter(F.col("__cn") > 0)
+        if trained:
+            reps_cells = reps.join(
+                assigned.withColumnRenamed("cell", "__cell"), "vec_id"
+            )
+            # bounded collect (<= n_cells values): the IN-list the
+            # partition-pruned corpus scan needs — the probe reads ONLY
+            # the batch's cell directories, ~|batch cells|/n_cells of
+            # the corpus, the mechanism that keeps per-batch cost flat.
+            batch_cells = [
+                r["__cell"]
+                for r in reps_cells.select("__cell").distinct().collect()
+            ]
+            probe_side = reps_cells.select(
+                "vec_id",
+                F.col("embedding").alias("__v"),
+                F.col("__cell").alias("cell"),
+                F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("__n"),
+            ).filter(F.col("__n") > 0)
+            index_side = index.filter(F.col("cell").isin(batch_cells)).select(
+                F.col("vec_id").alias("__c_id"),
+                F.col("embedding").alias("__cv"),
+                "cell",
+                F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("__cn"),
+            ).filter(F.col("__cn") > 0)
+        else:
+            probe_side = reps.select(
+                "vec_id",
+                F.col("embedding").alias("__v"),
+                argmax_cell("embedding", N_CELLS).alias("cell"),
+                F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("__n"),
+            ).filter(F.col("__n") > 0)
+            index_side = index.select(
+                F.col("vec_id").alias("__c_id"),
+                F.col("embedding").alias("__cv"),
+                argmax_cell("embedding", N_CELLS).alias("cell"),
+                F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("__cn"),
+            ).filter(F.col("__cn") > 0)
         hits = (
             probe_side.join(index_side, "cell")
             .withColumn(
@@ -197,7 +351,14 @@ def _resolve_batch(
         F.lit("admitted").alias("origin"),
     )
     store.append(log.unionByName(admitted_log), log_table)
-    store.append(admitted, corpus_table)
+    if trained:
+        store.append_partitioned(
+            admitted.join(_assign_cells(admitted, quantizer, cents), "vec_id"),
+            corpus_table,
+            ["cell"],
+        )
+    else:
+        store.append(admitted, corpus_table)
 
 
 def start_stream_semantic_dedup(
@@ -211,12 +372,16 @@ def start_stream_semantic_dedup(
     max_files_per_trigger: int = 1,
     available_now: bool = True,
     path_glob_filter: str | None = None,
+    quantizer: str = "argmax",
 ) -> StreamingQuery:
     """Tail ``input_dir`` for parquet embedding files and run the
     resolve/probe/admit pipeline per micro-batch. Returns the running
     query; with ``available_now`` it drains the present files and
     stops. ``path_glob_filter`` scopes a mixed-table directory to the
-    embedding files."""
+    embedding files. ``quantizer``: 'argmax' (fixed 8 cells,
+    oracle-checkable) or 'trained' (persisted sqrt(N)-scheduled k-means
+    cells + cell-partitioned corpus — the unbounded-stream scale path;
+    see the module docstring)."""
     reader = spark.readStream.schema(
         "vec_id long, embedding array<float>"
     ).option("maxFilesPerTrigger", max_files_per_trigger)
@@ -236,6 +401,7 @@ def start_stream_semantic_dedup(
             tau,
             batch_id=batch_id,
             run_id=run_id,
+            quantizer=quantizer,
         )
 
     writer = stream.writeStream.foreachBatch(commit).option(
