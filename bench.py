@@ -57,6 +57,15 @@ HEADLINE = [
     "rollup_sales",
     "rank_orders",
     "ann_lsh",
+    # r5 keys promoted into the driver-tracked headline set (r5 brief
+    # #8) so BENCH follows them round-over-round, not only PERF_NOTES
+    "containment_dedup",
+    "ngram_novelty",
+    "tfidf_cosine_pairs",
+    "heavy_hitters",
+    "stream_exact_dedup_jvm",
+    # r6: the oracle-backed PQ pipeline
+    "pq_adc_seeded",
 ]
 
 

@@ -390,3 +390,191 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", id_col, "sim", "rank")
     )
+
+
+def pq_topk_seeded(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    shortlist: int = 200,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`pq_topk`'s encode -> ADC table-gather -> shortlist ->
+    exact-rerank stages made fully DETERMINISTIC and SQL-expressible
+    (r5 brief #2, the semantic_dedup_cells move): the codebook is the
+    ``ks`` md5-seeded vectors THEMSELVES (pq_train's init, zero k-means
+    iterations), and all PQ arithmetic runs over the int8-QUANTIZED
+    embeddings (quantize_embeddings' exact floor(x*127/max|x| + 0.5)
+    recipe) — so every subspace distance, ADC dot product, and
+    reconstructed norm is a small exact integer, bit-identical between
+    Spark and the DuckDB oracle with no float-summation-order slack
+    anywhere before the final division. The shortlist's exact rerank
+    then uses the house float-cosine recipe (double fold, round 4,
+    id tie-break) already oracle-proven by topk_cosine.
+
+    This key exists to hash-verify the quadratic-risk PQ machinery;
+    the production path stays :func:`pq_topk` (trained codebooks,
+    Arrow-batched kernels), whose training step alone remains
+    rows-only with a recall curve. Implementation is pure JVM
+    expressions (zip_with/aggregate integer folds) — n x m x ks
+    distance rows, fine for verification corpora; the Arrow kernel is
+    the 100 TB encode.
+
+    Output: (q_id, vec_id, sim, rank) — the ann_* contract.
+    """
+    from pyspark.sql import Window, functions as F
+
+    from streamforge_data_pipeline_spark.functions import cosine
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    spark = vectors.sparkSession
+
+    def quantized(df: DataFrame, out_id: str) -> DataFrame:
+        mx = F.array_max(
+            F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+        )
+        with_mx = df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col), mx.alias("__mx")
+        )
+        scale = F.when(F.col("__mx") == 0.0, F.lit(0.0)).otherwise(
+            F.lit(127.0) / F.col("__mx")
+        )
+        q = F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+        )
+        return with_mx.select(out_id, q.alias("q"))
+
+    def sub_explode(q8: DataFrame, out_id: str) -> DataFrame:
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("q", s * dsub + 1, dsub).alias("qs"),
+                )
+                for s in range(m)
+            ]
+        )
+        return q8.select(out_id, F.explode(entries).alias("e")).select(
+            out_id, F.col("e.sub").alias("sub"), F.col("e.qs").alias("qs")
+        )
+
+    izero = F.lit(0).cast("long")
+    idot = lambda a, b: F.aggregate(  # noqa: E731 — exact integer fold
+        F.zip_with(a, b, lambda x, y: x * y), izero, lambda acc, v: acc + v
+    )
+    idist2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        izero,
+        lambda acc, v: acc + v,
+    )
+
+    q8 = quantized(vectors, id_col)
+    # codebook: the ks (md5-hash, id)-smallest QUANTIZED vectors,
+    # code index = that order — a bounded collect (ks rows)
+    seed_rows = (
+        q8.withColumn(
+            "__h",
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+        )
+        .orderBy("__h", id_col)
+        .limit(ks)
+        .collect()
+    )
+    if len(seed_rows) < ks:
+        raise ValueError(f"need >= ks={ks} vectors, got {len(seed_rows)}")
+    cb_rows = []
+    for code, r in enumerate(seed_rows):
+        for s in range(m):
+            cs = r["q"][s * dsub : (s + 1) * dsub]
+            cn2 = sum(int(x) * int(x) for x in cs)
+            cb_rows.append((code, s, cs, cn2))
+    cb = spark.createDataFrame(
+        cb_rows, "code int, sub int, cs array<long>, cn2 long"
+    )
+
+    # encode every corpus vector: per-subspace argmin over exact
+    # integer distances, ties -> lowest code
+    enc = (
+        sub_explode(q8, id_col)
+        .join(F.broadcast(cb), "sub")
+        .withColumn("__d", idist2(F.col("qs"), F.col("cs")))
+        .groupBy(id_col, "sub")
+        .agg(F.min(F.struct(F.col("__d"), F.col("code"), F.col("cn2"))).alias("__m"))
+        .select(
+            id_col,
+            "sub",
+            F.col("__m.code").alias("code"),
+            F.col("__m.cn2").alias("cn2"),
+        )
+    )
+
+    # query-side ADC lookup table: exact integer dots vs every codeword
+    q8q = quantized(query, "q_id")
+    qlut = (
+        sub_explode(q8q, "q_id")
+        .join(F.broadcast(cb), "sub")
+        .select("q_id", "sub", "code", idot(F.col("qs"), F.col("cs")).alias("dot"))
+    )
+    qn2 = q8q.select("q_id", idot(F.col("q"), F.col("q")).alias("qn2"))
+
+    scored = (
+        enc.join(F.broadcast(qlut), ["sub", "code"])
+        .groupBy("q_id", id_col)
+        .agg(F.sum("dot").alias("__dot"), F.sum("cn2").alias("__xn2"))
+        .join(F.broadcast(qn2), "q_id")
+        # zero-norm guard (house rule): 0/0 is NaN and NaN >= / sorts
+        # above everything in Spark
+        .filter((F.col("__xn2") > 0) & (F.col("qn2") > 0))
+        .filter(F.col("q_id") != F.col(id_col))
+        .select(
+            "q_id",
+            id_col,
+            # dot and norms are exact integers -> these doubles are
+            # bit-identical across engines; floor-half-up keeps the
+            # ROUNDED ranking key engine-portable too
+            (
+                F.floor(
+                    F.col("__dot")
+                    / (F.sqrt("qn2") * F.sqrt("__xn2"))
+                    * 1e4
+                    + 0.5
+                )
+                / 1e4
+            ).alias("approx"),
+        )
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.desc("approx"), F.col(id_col))
+    short = (
+        scored.withColumn("__r", F.row_number().over(ws))
+        .filter(F.col("__r") <= shortlist)
+        .select("q_id", id_col)
+    )
+    rer = (
+        short.join(vectors.select(id_col, F.col(vec_col).alias("__v")), id_col)
+        .join(
+            F.broadcast(
+                query.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("__q"))
+            ),
+            "q_id",
+        )
+        .select(
+            "q_id",
+            id_col,
+            F.round(cosine(F.col("__v"), F.col("__q")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "sim", "rank")
+    )

@@ -826,6 +826,18 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(vecs, vecs.filter(F.col("vec_id") < 5), k=10, shortlist=200)
 
 
+def q_pq_adc_seeded(spark, sf_dir):
+    """PQ-ADC top-k with the md5-seeded (untrained) codebook over
+    int8-quantized embeddings (r5 brief #2): encode, ADC table-gather,
+    shortlist, and exact rerank all run on exact integer arithmetic,
+    so the whole pipeline short of k-means training is hash-checked
+    against DuckDB; pq_topk keeps the trained path + recall curve."""
+    from streamforge_data_pipeline_spark.operators.embeddings import pq_topk_seeded
+
+    vecs = load(spark, sf_dir, "embeddings")
+    return pq_topk_seeded(vecs, vecs.filter(F.col("vec_id") < 5), k=10, shortlist=200)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup group assignment over the embeddings table; iterative
     (k-means + component fixpoint) -> rows-only driver check, semantics
@@ -1751,6 +1763,74 @@ FROM e LEFT JOIN g ON e.vec_id = g.node""",
         q_pq_topk,
         None,
         "product-quantization ADC top-k: 4-byte codes + shortlist rerank (recall-tested)",
+    ),
+    "pq_adc_seeded": QuerySpec(
+        q_pq_adc_seeded,
+        """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q8 AS (
+  SELECT vec_id,
+    list_transform(v, x -> CAST(floor(
+      x * (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END) + 0.5) AS BIGINT)) AS q
+  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e)),
+seeds AS (
+  SELECT q, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+  FROM (SELECT vec_id, q,
+          CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM q8)
+  QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 16),
+cbn AS (
+  SELECT code, s.s AS sub, list_slice(q, s.s*8 + 1, s.s*8 + 8) AS cs,
+    CAST(list_dot_product(CAST(list_slice(q, s.s*8 + 1, s.s*8 + 8) AS DOUBLE[]),
+                          CAST(list_slice(q, s.s*8 + 1, s.s*8 + 8) AS DOUBLE[])) AS BIGINT) AS cn2
+  FROM seeds, (SELECT unnest(range(0, 8)) AS s) s),
+subs AS (
+  SELECT vec_id, s.s AS sub, list_slice(q, s.s*8 + 1, s.s*8 + 8) AS qs
+  FROM q8, (SELECT unnest(range(0, 8)) AS s) s),
+enc AS (
+  SELECT vec_id, sub, code, cn2 FROM (
+    SELECT subs.vec_id, subs.sub, cbn.code, cbn.cn2,
+      row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+        ORDER BY list_dot_product(CAST(qs AS DOUBLE[]), CAST(qs AS DOUBLE[]))
+               + cbn.cn2
+               - 2 * list_dot_product(CAST(qs AS DOUBLE[]), CAST(cbn.cs AS DOUBLE[])),
+          cbn.code) AS rn
+    FROM subs JOIN cbn ON subs.sub = cbn.sub)
+  WHERE rn = 1),
+qlut AS (
+  SELECT q8q.vec_id AS q_id, cbn.sub, cbn.code,
+    CAST(list_dot_product(
+      CAST(list_slice(q8q.q, cbn.sub*8 + 1, cbn.sub*8 + 8) AS DOUBLE[]),
+      CAST(cbn.cs AS DOUBLE[])) AS BIGINT) AS dot
+  FROM (SELECT * FROM q8 WHERE vec_id < 5) q8q, cbn),
+qn AS (
+  SELECT vec_id AS q_id,
+    CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[])) AS BIGINT) AS qn2
+  FROM q8 WHERE vec_id < 5),
+scored AS (
+  SELECT l.q_id, enc.vec_id,
+    floor(SUM(l.dot) / (sqrt(qn.qn2) * sqrt(SUM(enc.cn2))) * 1e4 + 0.5) / 1e4 AS approx
+  FROM enc JOIN qlut l ON enc.sub = l.sub AND enc.code = l.code
+           JOIN qn ON l.q_id = qn.q_id
+  WHERE enc.vec_id <> l.q_id AND qn.qn2 > 0
+  GROUP BY l.q_id, enc.vec_id, qn.qn2
+  HAVING SUM(enc.cn2) > 0),
+short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, vec_id) AS rn
+    FROM scored)
+  WHERE rn <= 200),
+rer AS (
+  SELECT s.q_id, s.vec_id, round(list_cosine_similarity(ev.v, eq.v), 4) AS sim
+  FROM short s JOIN e ev ON s.vec_id = ev.vec_id JOIN e eq ON s.q_id = eq.vec_id)
+SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q_id, vec_id, sim,
+    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+  FROM rer)
+WHERE rank <= 10""",
+        "PQ ADC top-k under the seeded codebook on int8-quantized vectors:"
+        " encode/gather/shortlist/rerank hash-checked (train stays rows-only)",
     ),
     "label_centroids": QuerySpec(
         q_label_centroids,

@@ -60,3 +60,41 @@ def test_quantize_zero_vector(spark):
     df = spark.createDataFrame([(7, [0.0] * 8)], VEC_SCHEMA)
     row = quantize_embeddings(df).collect()[0]
     assert row["scale"] == 0.0 and row["q"] == [0] * 8
+
+
+def test_pq_seeded_recall_vs_exact(spark):
+    """The seeded (untrained) codebook trades recall for oracle
+    determinism — it must still land most true neighbors after the
+    exact shortlist rerank (shortlist=200 over a 500-vector corpus
+    re-ranks ~40% of it)."""
+    from pyspark.sql import functions as F
+
+    from streamforge_data_pipeline_spark.operators.embeddings import pq_topk_seeded
+    from streamforge_data_pipeline_spark.operators.similarity import topk_cosine
+    from streamforge_data_pipeline_spark.session import load
+    from tests.conftest import SF_MED
+
+    vecs = load(spark, SF_MED, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    exact = {(r["q_id"], r["vec_id"])
+             for r in topk_cosine(vecs, queries, k=10).collect()}
+    approx = {(r["q_id"], r["vec_id"])
+              for r in pq_topk_seeded(vecs, queries, k=10).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"seeded-PQ recall too low: {recall:.2f}"
+
+
+def test_pq_seeded_matches_trained_contract(spark):
+    """Same output schema and determinism across two invocations."""
+    from pyspark.sql import functions as F
+
+    from streamforge_data_pipeline_spark.operators.embeddings import pq_topk_seeded
+    from streamforge_data_pipeline_spark.session import load
+    from tests.conftest import SF_SMALL
+
+    vecs = load(spark, SF_SMALL, "embeddings")
+    q = vecs.filter(F.col("vec_id") < 3)
+    a = pq_topk_seeded(vecs, q, k=5, shortlist=50).collect()
+    b = pq_topk_seeded(vecs, q, k=5, shortlist=50).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a and set(a[0].asDict()) == {"q_id", "vec_id", "sim", "rank"}
