@@ -2,10 +2,21 @@
 
 Image/audio/video payloads are opaque BinaryType columns with a typed
 metadata struct. The Spark-side plumbing — schema, partition-friendly
-layout, Arrow-batched UDF signatures — is real and tested; the actual
-codec work is stubbed (no image/audio libs in this container) behind
-clearly-marked hooks, exactly where a production pipeline would call
-PIL/ffmpeg inside mapInPandas.
+layout, Arrow-batched UDF signatures — is real and tested. Codec work
+(the ``real_codecs=True`` branches, r5 brief #7):
+
+- REAL decode/resize/frame-split is implemented for binary PPM (P6)
+  images — a real uncompressed image format — in pure NumPy, plus
+  anything PIL can open when Pillow is installed (optional import).
+  A "video" is a concatenation of PPM frames, split and sampled by a
+  real parser. So the real branches run END-TO-END in this container
+  (tests/test_multimodal_codecs.py), no external media libs required.
+- payloads that neither PPM nor an installed PIL can decode raise
+  NotImplementedError, naming the production hook (PIL/ffmpeg) —
+  compressed formats stay env-gated, never silently faked.
+- ``real_codecs=False`` (default) keeps the deterministic byte-stub
+  path used by the registry keys' oracle rows; stub parity is
+  pytest-asserted.
 """
 
 from __future__ import annotations
@@ -34,6 +45,97 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 _MODALITIES = ["image", "audio", "video", "text"]
+
+
+# --- real codecs: binary PPM (P6), pure NumPy ------------------------------
+
+
+def _ppm_parse(b: bytes):
+    """((h, w, 3) uint8 array, bytes consumed) from binary-PPM bytes,
+    or None if the payload does not start with a P6 image. Handles the
+    format's whitespace/comment header grammar; maxval must be 255
+    (the 1-byte-per-sample case). The consumed length is what lets a
+    concatenated frame stream be split by REAL parsing, not guessing."""
+    import numpy as np
+
+    if not b or not bytes(b).startswith(b"P6"):
+        return None
+    b = bytes(b)
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(b):
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            return None
+        try:
+            fields.append(int(b[start:pos]))
+        except ValueError:
+            return None
+    if len(fields) < 3 or fields[2] != 255:
+        return None
+    pos += 1  # the single whitespace byte after maxval
+    w, h = fields[0], fields[1]
+    need = w * h * 3
+    data = np.frombuffer(b, dtype=np.uint8, count=need, offset=pos)
+    if data.size < need:
+        return None
+    return data.reshape(h, w, 3), pos + need
+
+
+def _ppm_decode(b: bytes):
+    parsed = _ppm_parse(b)
+    return None if parsed is None else parsed[0]
+
+
+def _ppm_encode(arr) -> bytes:
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
+def _nn_resize(arr, target_w: int, target_h: int):
+    """Nearest-neighbor resize via index gather (the real arithmetic a
+    resize does; PIL's NEAREST matches it up to rounding convention)."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    ys = np.minimum((np.arange(target_h) * h) // target_h, h - 1)
+    xs = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
+    return arr[ys[:, None], xs[None, :]]
+
+
+def _pil_image():
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _decode_any(b):
+    """uint8 (h, w, 3) from PPM (always) or any PIL-openable format
+    (when Pillow is installed); None when undecodable."""
+    arr = _ppm_decode(b)
+    if arr is not None:
+        return arr
+    Image = _pil_image()
+    if Image is not None:
+        import io
+
+        import numpy as np
+
+        try:
+            return np.asarray(Image.open(io.BytesIO(bytes(b))).convert("RGB"))
+        except Exception:
+            return None
+    return None
 
 
 def attach_media(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
@@ -78,8 +180,29 @@ def decode_features(media: DataFrame, real_codecs: bool = False) -> DataFrame:
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if real_codecs:
-                # Production hook: PIL/ffmpeg/torchaudio decode here.
-                raise NotImplementedError("media codecs not available in this container")
+                # REAL decode: PPM via NumPy (always available) or any
+                # PIL-openable format when Pillow is installed; other
+                # formats raise — the production hook is PIL/ffmpeg/
+                # torchaudio here, never a silent fake.
+                def _feat(b):
+                    arr = _decode_any(b)
+                    if arr is None:
+                        raise NotImplementedError(
+                            "payload is not PPM and no capable codec "
+                            "(Pillow/ffmpeg) is installed"
+                        )
+                    return float(arr.mean()), int(arr.size)
+
+                decoded = pdf["payload"].map(_feat)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "modality": pdf["meta"].map(lambda m: m["modality"]),
+                        "feat_mean": decoded.map(lambda t: t[0]),
+                        "feat_dim": decoded.map(lambda t: t[1]),
+                    }
+                )
+                continue
             feat_mean = pdf["payload"].map(
                 lambda b: float(sum(b) / len(b)) if b is not None and len(b) else None
             )
@@ -119,7 +242,29 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
         n = target_w * target_h
         for pdf in it:
             if real_codecs:
-                raise NotImplementedError("image codecs not available in container")
+                # REAL resize: decode -> nearest-neighbor gather ->
+                # re-encode PPM. Undecodable payloads raise (see
+                # module docstring).
+                def _resize(b):
+                    if b is None:
+                        return None
+                    arr = _decode_any(b)
+                    if arr is None:
+                        raise NotImplementedError(
+                            "payload is not PPM and no capable codec "
+                            "(Pillow/ffmpeg) is installed"
+                        )
+                    return _ppm_encode(_nn_resize(arr, target_w, target_h))
+
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "payload": pdf["payload"].map(_resize),
+                        "width": target_w,
+                        "height": target_h,
+                    }
+                )
+                continue
             payload = pdf["payload"].map(
                 lambda b: None if b is None else (bytes(b)[:n]).ljust(n, b"\0")
             )
@@ -154,10 +299,41 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64,
     for decoded frames; a real deployment seeks keyframes via ffmpeg.
     """
 
+    def _split_ppm_stream(b: bytes) -> list[bytes]:
+        """Split a concatenation of binary-PPM frames — a real parse:
+        each frame\'s length comes from its own header."""
+        frames, pos, b = [], 0, bytes(b)
+        while pos < len(b):
+            parsed = _ppm_parse(b[pos:])
+            if parsed is None:
+                break
+            arr, consumed = parsed
+            pos += consumed
+            frames.append(_ppm_encode(arr))
+        return frames
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if real_codecs:
-                raise NotImplementedError("video codecs not available in container")
+                out_ids, out_idx, out_frames = [], [], []
+                for _, row in pdf.iterrows():
+                    if row["payload"] is None:
+                        continue
+                    frames = _split_ppm_stream(row["payload"])
+                    if not frames:
+                        raise NotImplementedError(
+                            "payload is not a PPM frame stream and no "
+                            "capable codec (ffmpeg) is installed"
+                        )
+                    step = max(1, len(frames) // max_frames)
+                    for i, f in enumerate(frames[::step][:max_frames]):
+                        out_ids.append(row["doc_id"])
+                        out_idx.append(i)
+                        out_frames.append(f)
+                yield pd.DataFrame(
+                    {"doc_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+                )
+                continue
             out_ids, out_idx, out_frames = [], [], []
             for _, row in pdf.iterrows():
                 b = row["payload"]

@@ -96,3 +96,72 @@ def interval_join(
         )
     )
     return l.join(r, cond, how)
+
+
+def interval_join_spread(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "15 minutes",
+    delay: str = "30 minutes",
+    spread_seconds: int | None = None,
+) -> DataFrame:
+    """:func:`interval_join` with the time-bucket skew spread (r5
+    brief #5): stream-stream joins shuffle BOTH sides (and keep state)
+    on the equi-key, so one hot key pins a single state partition for
+    the stream's lifetime — worse than batch, where AQE can at least
+    split the materialized partition. The spread adds a derived
+    equi-column tb = floor(event_time / W), W >= the interval span, to
+    both sides — the left exploded to its <= 2 candidate buckets
+    (every true match agrees on the right row's bucket, so results
+    are exactly :func:`interval_join`'s, pytest-asserted) — and the
+    join state now shards on (key, tb): a key hot over HOURS spreads
+    across its hour's buckets, and old buckets' state evicts on the
+    same watermark. Residual hot-key-AND-hot-instant skew is
+    irreducible by any keying. ``spread_seconds`` defaults to the
+    interval span. Inner mode only: the spread duplicates UNMATCHED
+    left rows across buckets, so outer-mode null-padding would need a
+    post-join dedup that append-mode cannot express — use
+    :func:`interval_join` for outer modes (its state skew is the
+    price of the null proof). Output columns: left's then right's, in
+    their original order (the plain join's layout)."""
+    spark = left.sparkSession
+    # evaluate the interval literals in seconds once, on the driver —
+    # as a DELTA against the same base timestamp, so the session
+    # timezone cancels out
+    base = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    row = spark.range(1).select(
+        (F.unix_timestamp(base + F.expr(f"INTERVAL {lower}")) - F.unix_timestamp(base)).alias("a"),
+        (F.unix_timestamp(base + F.expr(f"INTERVAL {upper}")) - F.unix_timestamp(base)).alias("b"),
+    ).collect()[0]
+    lo_s, up_s = int(row["a"]), int(row["b"])
+    w = spread_seconds if spread_seconds is not None else max(up_s - lo_s, 1)
+
+    l0 = _as_event_time(left, left_ts)
+    r0 = _as_event_time(right, right_ts)
+    lo_b = F.floor((F.unix_timestamp(F.col(left_ts)) + F.lit(lo_s)) / w)
+    hi_b = F.floor((F.unix_timestamp(F.col(left_ts)) + F.lit(up_s)) / w)
+    l = (
+        l0.withColumn("__tb", F.explode(F.array_distinct(F.array(lo_b, hi_b))))
+        .withWatermark(left_ts, delay)
+        .alias("l")
+    )
+    r = (
+        r0.withColumn("__tb", F.floor(F.unix_timestamp(F.col(right_ts)) / w))
+        .withWatermark(right_ts, delay)
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("l.__tb") == F.col("r.__tb"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
+    )
+    out = l.join(r, cond, "inner")
+    return out.select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}") for c in right.columns],
+    )

@@ -50,3 +50,93 @@ def test_no_nested_loop_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+# --- skew-aware interval joins (r5 brief #5) -----------------------------
+
+
+def _planted_events(spark, n_tail=400, hot=400):
+    """One hot user carrying ~half the events, spread over hours."""
+    from pyspark.sql import functions as F
+
+    tail = spark.range(n_tail).select(
+        (F.col("id") % 50 + 1).alias("user_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=(F.col("id") * 97) % 86400)).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    hot_df = spark.range(hot).select(
+        F.lit(999).alias("user_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=(F.col("id") * 131) % 86400)).alias("ts"),
+        (F.col("id") + 1_000_000).alias("event_id"),
+    )
+    return tail.unionByName(hot_df)
+
+
+def test_time_bucketed_interval_join_is_exact(spark):
+    """The (key, time-bucket) spread must return EXACTLY the plain
+    interval join's rows — every true pair agrees on the right row's
+    bucket, and the left's <=2-bucket explode covers it."""
+    from streamforge_data_pipeline_spark.operators.joins import batch_interval_join
+
+    ev = _planted_events(spark)
+    left = ev.select("user_id", "ts", "event_id")
+    right = ev.select("user_id", "ts", "event_id")
+    plain = batch_interval_join(
+        left, right, "user_id", lower_s=1, upper_s=1800, time_bucketed=False
+    )
+    spread = batch_interval_join(
+        left, right, "user_id", lower_s=1, upper_s=1800, time_bucketed=True
+    )
+    assert plain.count() > 0
+    assert plain.exceptAll(spread).count() == 0
+    assert spread.exceptAll(plain).count() == 0
+
+
+def test_skew_aware_interval_join_routes_by_profile(spark):
+    """Profiler loop closed: the hot corpus must route to the
+    time-bucketed plan (visible as the __tb equi-key in the physical
+    plan); a near-uniform corpus must stay on the plain plan."""
+    from streamforge_data_pipeline_spark.operators.joins import (
+        skew_aware_interval_join,
+    )
+
+    ev = _planted_events(spark)
+    left = ev.select("user_id", "ts", "event_id")
+    hotplan = skew_aware_interval_join(
+        left, left, "user_id", lower_s=1, upper_s=1800, hot_share=0.2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "__tb" in hotplan
+    uniform = ev.filter("user_id < 900").select("user_id", "ts", "event_id")
+    coldplan = skew_aware_interval_join(
+        uniform, uniform, "user_id", lower_s=1, upper_s=1800, hot_share=0.2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "__tb" not in coldplan
+
+
+def test_salted_range_join_is_exact(spark):
+    """Shuffle-join salt spread: identical rows to the broadcast plan
+    even when half the probe lands in one value bucket."""
+    from pyspark.sql import functions as F
+
+    from streamforge_data_pipeline_spark.operators.joins import range_join
+
+    probe = spark.range(2000).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 2 == 0, 42.0)
+        .otherwise((F.col("id") % 100).cast("double"))
+        .alias("value"),
+    )
+    bands = spark.createDataFrame(
+        [("low", 0.0, 40.0), ("mid", 40.0, 60.0), ("high", 60.0, 100.0)],
+        "label string, lo double, hi double",
+    )
+    base = range_join(probe, bands, "value", "lo", "hi", 25.0)
+    salted = range_join(
+        probe, bands, "value", "lo", "hi", 25.0,
+        broadcast_bands=False, salt_buckets=8,
+    )
+    cols = ["event_id", "label"]
+    assert base.select(cols).exceptAll(salted.select(cols)).count() == 0
+    assert salted.select(cols).exceptAll(base.select(cols)).count() == 0

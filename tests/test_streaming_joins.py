@@ -158,3 +158,50 @@ def test_interval_join_inner_never_emits_unmatched(spark, tmp_path):
     _drain(out, "in_join_out")
     got = {(r["l_id"], r["r_id"]) for r in spark.table("in_join_out").collect()}
     assert got == {(1, 100)}, got
+
+
+def test_interval_join_spread_matches_plain(spark, tmp_path):
+    """The (key, time-bucket) state spread returns EXACTLY the plain
+    stream-stream interval join's pairs after a drain (r5 brief #5)."""
+    from streamforge_data_pipeline_spark.streaming.joins_stream import (
+        interval_join_spread,
+    )
+
+    ev = load(spark, SF_SMALL, "events").select("event_id", "ts", "user_id")
+    # plant a hot key: clone a quarter of the events onto one user
+    hot = ev.filter(F.col("event_id") % 4 == 0).withColumn(
+        "user_id", F.lit(999_999)
+    ).withColumn("event_id", F.col("event_id") + 10_000_000)
+    both = ev.unionByName(hot)
+    left_b = both.filter(F.col("event_id") % 2 == 0).limit(3000)
+    right_b = both.filter(F.col("event_id") % 2 == 1).limit(3000)
+    lsrc, rsrc = str(tmp_path / "ls"), str(tmp_path / "rs")
+    left_b.write.mode("overwrite").parquet(lsrc)
+    right_b.write.mode("overwrite").parquet(rsrc)
+    lb, rb = spark.read.parquet(lsrc), spark.read.parquet(rsrc)
+
+    expected = {
+        (r["l_id"], r["r_id"])
+        for r in lb.alias("l")
+        .join(
+            rb.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 15 minutes")),
+        )
+        .select(F.col("l.event_id").alias("l_id"), F.col("r.event_id").alias("r_id"))
+        .collect()
+    }
+
+    ls = spark.readStream.schema(lb.schema).parquet(lsrc)
+    rs = spark.readStream.schema(rb.schema).parquet(rsrc)
+    joined = interval_join_spread(
+        ls, rs, "user_id", lower="0 seconds", upper="15 minutes",
+        delay="10 days",
+    )
+    out = joined.select(
+        ls["event_id"].alias("l_id"), rs["event_id"].alias("r_id")
+    )
+    _drain(out, "spread_out")
+    got = {(r["l_id"], r["r_id"]) for r in spark.table("spread_out").collect()}
+    assert got == expected and expected
