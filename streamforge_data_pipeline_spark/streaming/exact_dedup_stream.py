@@ -49,13 +49,18 @@ set (r5 brief #3) the index is LAID OUT hash-partitioned: each row
 carries hb = pmod(xxhash64(content_hash), index_buckets) and is
 written hive-partitioned by hb, and the probe filters the index scan
 to the batch's OWN hb values (a bounded IN-list, <= index_buckets
-entries collected from the batch) — partition pruning reads only the
-directories the batch can possibly hit, so probe I/O is bounded by
-|batch's buckets|/index_buckets of the index instead of a full index
-scan per batch. The decision log is byte-identical with the layout on
-or off (asserted in tests). Per-batch work is two shuffles of |batch|
-rows plus the pruned probe join; nothing grows with the number of
-batches. State-store framing: the "state" is
+entries collected from the batch). The decision log is byte-identical
+with the layout on or off (asserted in tests). REGIME (measured,
+PERF_NOTES r6.6): a batch with k distinct hashes touches
+~B(1-(1-1/B)^k) buckets, so pruning pays only when k << B — the
+trickle-upload shape — while bulk batches (k >> B) hit every bucket
+and pay small-file overhead for nothing (2x slower at sf1, B=64,
+k~4,500); hence the None default. At 100 TB the partitioned layout is
+still how the index stays operationally compactable (bounded
+directories), independent of pruning. Per-batch work is two shuffles
+of |batch| rows plus the probe join (batch side broadcasts at
+ordinary sizes — the index never shuffles either way); nothing grows
+with the number of batches. State-store framing: the "state" is
 a parquet table the engine re-plans joins against, not per-key entries
 a Python function is invoked over — that is what removes the ~linear
 term (measured in PERF_NOTES r5: sf0.1 -> sf1 wall ratio ~2x vs the
