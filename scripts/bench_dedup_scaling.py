@@ -36,6 +36,20 @@ KEYS = [
     "minhash_lsh_dedup",
     "near_dedup",
     "canonical_selection",
+    # r6: the rest of the corpus family (r5 brief #6 — every corpus
+    # key gets a per-octave exponent row, not just the r5.4 eight)
+    "containment_dedup",
+    "ngram_novelty",
+    "tfidf_cosine_pairs",
+    "bm25_topk",
+    "quality_threshold_prune",
+    "source_overlap",
+    "ngram_lm_score",
+    "vocab_coverage",
+    "decontaminate",
+    "semantic_dedup_cells",
+    "pq_adc_seeded",
+    "embedding_near_dup",
 ]
 
 SF_DIRS = [
