@@ -1271,6 +1271,35 @@ def q_stream_semantic_dedup_trained(spark, sf_dir):
     )
 
 
+def q_interval_join_spread(spark, sf_dir):
+    """The skew-spreading (key, time-bucket) interval-join plan under
+    the full oracle (r6): error -> purchase attribution within 60
+    minutes per user, FORCED onto the time-bucketed plan — every true
+    pair agrees on the right row's bucket, so the result must equal
+    the plain interval join the SQL expresses. The profiler routing
+    (plain vs spread by heavy-hitter share) is plan-shape-tested in
+    tests/test_range_join.py; this key pins the spread plan's
+    exactness into the driver's hash gate."""
+    from streamforge_data_pipeline_spark.operators.joins import batch_interval_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = batch_interval_join(
+        errors, purchases, "user_id", lower_s=0, upper_s=3600,
+        time_bucketed=True,
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("r_event_id").alias("purchase_id"),
+    )
+
+
 def q_stream_interval_join(spark, sf_dir):
     """Stream-stream event-time interval join drained as ONE
     micro-batch: error -> purchase attribution within 60 minutes per
@@ -2868,6 +2897,16 @@ SELECT e.vec_id,
 FROM e LEFT JOIN g ON e.vec_id = g.node""",
         "continuous semantic dedup drained: one-batch log equals the"
         " within-cell cosine closure",
+    ),
+    "interval_join_spread": QuerySpec(
+        q_interval_join_spread,
+        """SELECT l.user_id AS user_id, l.event_id AS err_id,
+  r.event_id AS purchase_id
+FROM events l JOIN events r ON l.user_id = r.user_id
+WHERE l.event_type = 'error' AND r.event_type = 'purchase'
+  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 60 MINUTE""",
+        "interval join on the skew-spreading (key, time-bucket) plan:"
+        " exact vs the plain-join SQL",
     ),
     "stream_semantic_dedup_trained": QuerySpec(
         q_stream_semantic_dedup_trained,
