@@ -265,22 +265,40 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def simhash_near_pairs(sigs: DataFrame, doc_id: str = "doc_id",
                        max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs within a Hamming radius, blocked by bit-bands.
+    """Near-duplicate pairs within a Hamming radius over SimHash
+    fingerprints, blocked by bit-bands (Manku, Jain & Das Sarma 2007's
+    web-crawl dedup scheme, recast as a band equi-join).
 
-    Split the fingerprint into 4 bands; any pair within distance 3
-    agrees exactly on >=1 band (pigeonhole) -> equi-join per band and
-    union, instead of an O(n^2) cross join.
+    Split the 32-bit fingerprint into 4 disjoint 8-bit bands; any pair
+    within distance ``max_hamming`` <= 3 agrees EXACTLY on >= 1 band
+    (pigeonhole: 3 differing bits can touch at most 3 of the 4 bands)
+    -> per-band equi-join on (band, band_key) instead of an O(n^2)
+    cross join. The join emits each qualifying pair once per agreeing
+    band (<= 4 copies); the Hamming verifier runs BEFORE the distinct,
+    so candidates that fail the radius — the overwhelming majority at
+    scale, since an 8-bit band agreement is coincidental for unrelated
+    docs — are dropped map-side and never reach the dedup shuffle,
+    whose volume is then <= 4x the true answer, not the candidate set.
+
+    Exactness requires ``max_hamming`` <= number_of_bands - 1; guarded.
     """
+    if max_hamming > 3:
+        raise ValueError(
+            "4-band blocking is only exact for max_hamming <= 3; "
+            f"got {max_hamming}"
+        )
     bands = sigs.select(
         F.col(doc_id),
         F.col("simhash"),
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
     ).withColumn(
+        # SQL form: the PySpark shiftright wrapper only takes a literal
+        # shift amount, not a per-row Column
         "band_key",
-        F.shiftright(F.col("simhash"), F.col("band") * 8).bitwiseAND(F.lit(255)),
+        F.expr("shiftright(simhash, band * 8) & 255"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -290,14 +308,11 @@ def simhash_near_pairs(sigs: DataFrame, doc_id: str = "doc_id",
         .select(
             F.col(f"a.{doc_id}").alias("doc_a"),
             F.col(f"b.{doc_id}").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cand.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b"))).filter(
-        F.col("hamming") <= max_hamming
-    ).select("doc_a", "doc_b", "hamming")
 
 
 def canonical_selection(

@@ -24,7 +24,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from streamforge_data_pipeline_spark.functions import SQL_TOKENS
+from streamforge_data_pipeline_spark.functions import SQL_TOKENS, sql_minhash_perm
 from streamforge_data_pipeline_spark.operators import (
     aggregates,
     dedup,
@@ -86,11 +86,15 @@ WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.5"""
 _LSH_BANDS_CTES = """hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) AS h FROM sh),
 expd AS (SELECT doc_id, h, unnest(range(0,16)) AS perm_id FROM hashed),
 sigs AS (SELECT doc_id, perm_id,
-           MIN(((perm_id*2+1)*(h % 2147483647) + (perm_id*7919+12345)) % 2147483647) AS minhash
+           MIN({perm}) AS minhash
          FROM expd GROUP BY doc_id, perm_id),
 bands AS (SELECT doc_id, CAST(perm_id // 4 AS INTEGER) AS band,
             string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm_id) AS band_sig
-          FROM sigs GROUP BY doc_id, CAST(perm_id // 4 AS INTEGER))"""
+          FROM sigs GROUP BY doc_id, CAST(perm_id // 4 AS INTEGER))""".format(
+    # single-source the affine permutation with the Spark-side
+    # minhash_perm (functions.sql_minhash_perm is its SQL rendering)
+    perm=sql_minhash_perm("h", "perm_id")
+)
 
 # ... -> candidate pairs, shared by the pair query and the
 # connected-components oracle.
@@ -362,6 +366,16 @@ def q_near_dup_clusters(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     return dedup.simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """Manku-style Hamming-radius near-dup pairs over SimHash
+    fingerprints: 4x8-bit band blocking (exact for radius <= 3 by
+    pigeonhole), verifier before the distinct."""
+    sigs = dedup.simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
+    return dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
 
 
 def q_topk_cosine(spark, sf_dir):
@@ -1718,6 +1732,28 @@ signs AS (SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 EN
 SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
 FROM signs GROUP BY doc_id""",
         "E2b: 32-bit SimHash signatures (tf-weighted bit majority)",
+    ),
+    "simhash_near_dup": QuerySpec(
+        q_simhash_near_dup,
+        f"""WITH {TOKS_CTE},
+tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) AS h FROM tok),
+bits AS (SELECT doc_id, h, unnest(range(0,32)) AS bit FROM h),
+signs AS (SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM bits GROUP BY doc_id, bit),
+sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+        FROM signs GROUP BY doc_id),
+bands AS (SELECT doc_id, simhash, band, (simhash >> (band*8)) & 255 AS band_key
+          FROM sig, (SELECT unnest(range(0,4)) AS band)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       FROM bands a JOIN bands b
+         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+SELECT doc_a, doc_b, hamming FROM cand""",
+        "E2c: Manku Hamming-radius (<=3) near-dup pairs via 4x8-bit"
+        " band blocking — oracle mirrors the banding, so the pigeonhole"
+        " exactness argument is itself cross-checked",
     ),
     "topk_cosine": QuerySpec(
         q_topk_cosine,

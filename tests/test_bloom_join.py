@@ -94,3 +94,21 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert out == {1: 1.5, 2: 2.5, 3: None, 4: None}
+
+
+def test_semi_join_matches_complements_anti_join(spark):
+    """J1 and its complement partition the incoming batch: every row is
+    either definitely-new (anti) or already-present (semi)."""
+    from streamforge_data_pipeline_spark.operators.dedup import (
+        anti_join_dedup,
+        semi_join_matches,
+    )
+
+    incoming = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string"
+    )
+    existing = spark.createDataFrame([(i,) for i in range(0, 20, 3)], "k long")
+    new = anti_join_dedup(incoming, existing, "k")
+    dup = semi_join_matches(incoming, existing, "k")
+    assert new.count() + dup.count() == 20
+    assert {r["k"] for r in dup.collect()} == set(range(0, 20, 3))

@@ -127,3 +127,18 @@ def test_avro_roundtrip_or_clear_gate(spark, tmp_path):
             store.write_avro(ev, "events")
         with pytest.raises(RuntimeError, match="spark-avro"):
             store.read_avro(spark, "events")
+
+
+def test_count_data_rows_excludes_header(spark, tmp_path):
+    """S2's progress denominator: data rows, not file lines
+    (reference behavior: total = lines - header)."""
+    from streamforge_data_pipeline_spark.sources.csv_intake import count_data_rows
+
+    p = tmp_path / "intake.csv"
+    p.write_text(
+        "externalId,name,quantity,expiryDate\n"
+        "A1,One,1,2026-09-01\n"
+        "A2,Two,2,2026-09-02\n"
+        "A3,Three,3,2026-09-03\n"
+    )
+    assert count_data_rows(spark, str(p)) == 3
