@@ -64,8 +64,10 @@ HEADLINE = [
     "tfidf_cosine_pairs",
     "heavy_hitters",
     "stream_exact_dedup_jvm",
-    # r6: the oracle-backed PQ pipeline
+    # r6: the oracle-backed PQ pipeline + Manku Hamming near-dup
     "pq_adc_seeded",
+    "simhash_near_dup",
+    "fuzzy_dedup",
 ]
 
 

@@ -50,6 +50,10 @@ KEYS = [
     "semantic_dedup_cells",
     "pq_adc_seeded",
     "embedding_near_dup",
+    # r6 late additions
+    "simhash_near_dup",
+    "fuzzy_dedup",
+    "snapshot_diff",
 ]
 
 SF_DIRS = [

@@ -85,3 +85,46 @@ def scd2_apply(
     from streamforge_data_pipeline_spark.functions import finalize_released
 
     return finalize_released(out, j)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff: (id, change) for every document that was
+    ``added``, ``removed``, or ``modified`` between two snapshots —
+    the incremental-crawl ops query (which docs does the next pipeline
+    run actually need to touch?). Unchanged docs are omitted: at
+    snapshot scale they are ~all the data, and the diff's value is
+    precisely that downstream work is proportional to |changes|.
+
+    100 TB shape: each side reduces to (id, sha256(content)) BEFORE
+    the join, so the full-outer join shuffles 8-byte ids + 32-byte
+    hashes, never document bodies — the same never-ship-bodies rule as
+    exact_dedup. The join is a plain equi-key shuffle join on the id;
+    with both snapshots stored bucketed by id it becomes exchange-free
+    (sources.store.write_bucketed). Modification detection by hash
+    equality has sha256-collision false-negative odds only.
+    """
+    oh = old.select(
+        F.col(id_col),
+        F.sha2(F.col(content_col).cast("binary"), 256).alias("__h_old"),
+    )
+    nh = new.select(
+        F.col(id_col),
+        F.sha2(F.col(content_col).cast("binary"), 256).alias("__h_new"),
+    )
+    j = oh.join(nh, id_col, "full_outer")
+    return (
+        j.withColumn(
+            "change",
+            F.when(F.col("__h_old").isNull(), F.lit("added"))
+            .when(F.col("__h_new").isNull(), F.lit("removed"))
+            .when(F.col("__h_old") != F.col("__h_new"), F.lit("modified"))
+            .otherwise(F.lit(None)),
+        )
+        .filter(F.col("change").isNotNull())
+        .select(id_col, "change")
+    )

@@ -357,6 +357,12 @@ def q_lsh_probe_dedup(spark, sf_dir):
     return minhash.lsh_probe_dedup(incoming, index, tau=0.5)
 
 
+def q_fuzzy_dedup(spark, sf_dir):
+    """Character-level near-dup: shared-shingle blocking + length-gap
+    lower bound + Levenshtein verifier (rel_ed <= 0.2)."""
+    return minhash.fuzzy_dedup(load(spark, sf_dir, "documents"))
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """LSH pairs -> connected components -> cluster assignment.
     Iterative (non-SQL-expressible); verified vs union-find in pytest."""
@@ -756,6 +762,24 @@ def q_cube_sales(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         analytics.dsum(F.col("o_totalprice")).alias("total_price"),
     )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Incremental-crawl snapshot diff: old = docs sans every 7th id,
+    new = docs sans every 5th id with every 11th id's text revised —
+    added/removed/modified by content-hash compare."""
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return merge.snapshot_diff(old, new)
 
 
 def q_scd2_merge(spark, sf_dir):
@@ -1664,6 +1688,23 @@ FROM s WHERE event_type <> 'view' GROUP BY event_type""",
         f"WITH {SHINGLE_CTES}," + _JACCARD_TAIL.format(cand_join=""),
         "E2a': exact Jaccard via AllPairs/PPJoin prefix filter (same oracle as near_dedup)",
     ),
+    "fuzzy_dedup": QuerySpec(
+        q_fuzzy_dedup,
+        f"""WITH {SHINGLE_CTES},
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+t AS (SELECT doc_id, text, length(text) AS len FROM documents)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS edit_dist,
+       round(levenshtein(ta.text, tb.text) / greatest(ta.len, tb.len), 4) AS rel_ed
+FROM cand JOIN t ta ON doc_a = ta.doc_id JOIN t tb ON doc_b = tb.doc_id
+WHERE abs(ta.len - tb.len) <= 0.2 * greatest(ta.len, tb.len)
+  AND levenshtein(ta.text, tb.text) <= 0.2 * greatest(ta.len, tb.len)""",
+        "E30: character-level fuzzy dedup — shared-shingle blocking +"
+        " length-gap lower bound + Levenshtein verifier (rel_ed <= 0.2) —"
+        " the verifier family that catches in-token corruption",
+    ),
     "minhash_lsh_dedup": QuerySpec(
         q_minhash_lsh_dedup,
         f"WITH {SHINGLE_CTES},\n{_LSH_CAND_CTES},"
@@ -2569,6 +2610,21 @@ FROM long GROUP BY measure""",
   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_price
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
         "CUBE over (status, priority): all grouping levels in one pass",
+    ),
+    "snapshot_diff": QuerySpec(
+        q_snapshot_diff,
+        """WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+new AS (SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        FROM documents WHERE doc_id % 5 <> 0),
+d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.text <> n.text THEN 'modified' END AS change
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT doc_id, change FROM d WHERE change IS NOT NULL""",
+        "E31: corpus snapshot diff — added/removed/modified via"
+        " content-hash full-outer join (bodies never shuffle)",
     ),
     "scd2_merge": QuerySpec(
         q_scd2_merge,

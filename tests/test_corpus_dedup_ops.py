@@ -498,3 +498,81 @@ def test_simhash_near_pairs_rejects_radius_beyond_bands(spark):
     sigs = spark.createDataFrame([(1, 0)], "doc_id long, simhash long")
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_near_pairs(sigs, "doc_id", max_hamming=4)
+
+
+def test_fuzzy_dedup_catches_typo_corruption_jaccard_misses(spark):
+    """The complementary-verifier claim: in-token character corruption
+    breaks most 3-gram shingles (token Jaccard drops below any useful
+    tau) while the character stream stays ~intact (rel_ed small)."""
+    from pyspark.sql import functions as F
+
+    from streamforge_data_pipeline_spark.operators.minhash import (
+        fuzzy_dedup,
+        shared_shingle_jaccard,
+    )
+
+    base_tokens = [f"word{i:03d}" for i in range(60)]
+    base = " ".join(base_tokens)
+    # corrupt ONE character inside every sixth token: 10 of 60 tokens
+    # change. Each corruption kills the 3 shingles that touch it
+    # (Jaccard falls to 29/87 ~ 0.33, under the 0.5 tau) while the
+    # char stream stays ~98% intact — and enough shingles survive for
+    # the blocking join. (Corrupting every THIRD token would kill ALL
+    # shingles: the docstring's stated blocking-recall caveat.)
+    corrupted_tokens = [
+        t[:2] + "x" + t[3:] if i % 6 == 0 else t
+        for i, t in enumerate(base_tokens)
+    ]
+    corrupted = " ".join(corrupted_tokens)
+    docs = spark.createDataFrame(
+        [(1, base), (2, corrupted), (3, "entirely different content here")],
+        "doc_id long, text string",
+    )
+    fuzzy = {
+        (r["doc_a"], r["doc_b"]) for r in fuzzy_dedup(docs).collect()
+    }
+    assert (1, 2) in fuzzy and len(fuzzy) == 1
+    jacc = {
+        (r["doc_a"], r["doc_b"])
+        for r in shared_shingle_jaccard(docs, tau=0.5).collect()
+    }
+    assert (1, 2) not in jacc  # the token-set verifier is blind here
+
+
+def test_fuzzy_dedup_blocking_loses_nothing_on_corpus(spark):
+    """On the sf0.001 documents corpus the min_shared=2 shingle
+    blocking retains every true rel_ed<=0.2 pair (all-pairs brute
+    force as truth) — the recall caveat in the docstring is about
+    adversarial full-corruption, not this data."""
+    from pyspark.sql import functions as F
+
+    from streamforge_data_pipeline_spark.operators.minhash import fuzzy_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"], r["edit_dist"])
+        for r in fuzzy_dedup(docs).collect()
+    }
+    t = docs.select("doc_id", "text", F.length("text").alias("len"))
+    a = t.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("ta"),
+        F.col("len").alias("la"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("tb"),
+        F.col("len").alias("lb"),
+    )
+    brute = {
+        (r["doc_a"], r["doc_b"], r["edit_dist"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("edit_dist", F.levenshtein("ta", "tb").cast("int"))
+        .filter(
+            F.col("edit_dist") <= 0.2 * F.greatest("la", "lb")
+        )
+        .collect()
+    }
+    assert got == brute
+    assert brute, "corpus should contain char-level near-dups"

@@ -83,3 +83,26 @@ def test_check_rows_null_counts_as_violation(spark):
            check_rows(df, {"v_positive": ~(F.col("v") > 0)}).collect()}
     # -2 violates outright; NULL can't satisfy the expectation either
     assert out == {"v_positive": 2}
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    from streamforge_data_pipeline_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma v2"), (4, "delta")], "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["change"]) for r in snapshot_diff(old, new).collect()}
+    # doc 2 unchanged -> omitted
+    assert got == {(1, "removed"), (3, "modified"), (4, "added")}
+
+
+def test_snapshot_diff_identical_snapshots_empty(spark):
+    from streamforge_data_pipeline_spark.operators.merge import snapshot_diff
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    assert snapshot_diff(docs, docs).count() == 0

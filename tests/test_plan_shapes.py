@@ -228,3 +228,14 @@ def test_heavy_hitters_uses_topk_heap_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+
+def test_simhash_near_dup_band_join_is_equi_not_nlj(spark):
+    """The Manku band blocking exists to REPLACE the O(n^2) cross join;
+    the (band, band_key) equalities must reach the join as equi-keys,
+    with doc_a < doc_b only as a residual condition — a plan that
+    degrades to a nested-loop product defeats the operator."""
+    plan = _plan(spark, "simhash_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
