@@ -912,6 +912,7 @@ def fuzzy_dedup(
     text: str = "text",
     max_rel_ed: float = 0.2,
     min_shared: int = 2,
+    banded: bool = True,
 ) -> DataFrame:
     """CHARACTER-level near-dup pairs: Levenshtein edit distance over
     shared-shingle candidates; keep (doc_a, doc_b) with
@@ -995,15 +996,26 @@ def fuzzy_dedup(
         )
         # integer edit_dist <= rel*max_len  <=>  <= floor(rel*max_len),
         # so the banded DP with that per-pair budget emits the exact
-        # distance for every qualifying pair and -1 otherwise
+        # distance for every qualifying pair and -1 otherwise.
+        # banded=False keeps the unthresholded DP purely so the
+        # scheme-equivalence test can assert byte-identical outputs
+        # (the sf1 DuckDB oracle is over-budget on the unthresholded
+        # form; within-engine identity is the exactness evidence).
         .withColumn(
             "__k", F.floor(F.lit(max_rel_ed) * F.col("__max_len")).cast("int")
         )
         .withColumn(
             "edit_dist",
-            F.expr("levenshtein(__ta, __tb, __k)").cast("int"),
+            (
+                F.expr("levenshtein(__ta, __tb, __k)")
+                if banded
+                else F.levenshtein("__ta", "__tb")
+            ).cast("int"),
         )
-        .filter(F.col("edit_dist") >= 0)
+        .filter(
+            (F.col("edit_dist") >= 0)
+            & (F.col("edit_dist") <= F.col("__k"))
+        )
         .select(
             "doc_a",
             "doc_b",

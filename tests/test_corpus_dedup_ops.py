@@ -576,3 +576,21 @@ def test_fuzzy_dedup_blocking_loses_nothing_on_corpus(spark):
     }
     assert got == brute
     assert brute, "corpus should contain char-level near-dups"
+
+
+def test_fuzzy_dedup_banded_equals_unthresholded(spark):
+    """The per-pair-threshold (banded) Levenshtein must be output-
+    IDENTICAL to the unthresholded DP — this is the exactness evidence
+    standing in for the sf1 DuckDB oracle, whose unthresholded replay
+    is over-budget (same classification as tfidf_cosine_pairs)."""
+    from streamforge_data_pipeline_spark.operators.minhash import fuzzy_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    banded = {
+        tuple(r) for r in fuzzy_dedup(docs, banded=True).collect()
+    }
+    full = {
+        tuple(r) for r in fuzzy_dedup(docs, banded=False).collect()
+    }
+    assert banded == full
+    assert banded, "sf0.01 corpus should contain fuzzy pairs"
