@@ -108,21 +108,31 @@ def snapshot_diff(
     (sources.store.write_bucketed). Modification detection by hash
     equality has sha256-collision false-negative odds only.
     """
+    # presence is a per-side MARKER, never hash NULL-ness: a NULL
+    # content hashes to NULL, and keying added/removed on the hash
+    # would misclassify every NULL-content doc (present on both sides
+    # but reported added). Modification compares hashes NULL-SAFELY so
+    # NULL -> NULL is unchanged and NULL <-> text is modified.
     oh = old.select(
         F.col(id_col),
         F.sha2(F.col(content_col).cast("binary"), 256).alias("__h_old"),
+        F.lit(True).alias("__in_old"),
     )
     nh = new.select(
         F.col(id_col),
         F.sha2(F.col(content_col).cast("binary"), 256).alias("__h_new"),
+        F.lit(True).alias("__in_new"),
     )
     j = oh.join(nh, id_col, "full_outer")
     return (
         j.withColumn(
             "change",
-            F.when(F.col("__h_old").isNull(), F.lit("added"))
-            .when(F.col("__h_new").isNull(), F.lit("removed"))
-            .when(F.col("__h_old") != F.col("__h_new"), F.lit("modified"))
+            F.when(F.col("__in_old").isNull(), F.lit("added"))
+            .when(F.col("__in_new").isNull(), F.lit("removed"))
+            .when(
+                ~F.col("__h_old").eqNullSafe(F.col("__h_new")),
+                F.lit("modified"),
+            )
             .otherwise(F.lit(None)),
         )
         .filter(F.col("change").isNotNull())

@@ -470,13 +470,13 @@ def shared_shingle_jaccard(
     return _shared_shingle_from_sh(shingles(df, id_col, text).persist(), tau)
 
 
-def _pair_intersections(sh: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, inter, na, nb) for every co-shingled doc pair
-    (doc_a < doc_b) over a (persisted) distinct-shingle relation — the
-    candidate/intersection machinery shared by the naive Jaccard
-    scheme and :func:`containment_pairs`; only the final similarity
-    formula differs between them."""
-    inter = (
+def _shared_counts(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, inter): shared-shingle count for every
+    co-shingled doc pair (doc_a < doc_b) — THE inverted-index
+    candidate join, single-sourced for every consumer
+    (:func:`_pair_intersections`, :func:`fuzzy_dedup`) so a future
+    df cap or skew fix lands everywhere at once."""
+    return (
         sh.alias("a")
         .join(
             sh.alias("b"),
@@ -485,6 +485,15 @@ def _pair_intersections(sh: DataFrame) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+
+
+def _pair_intersections(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, inter, na, nb) for every co-shingled doc pair
+    (doc_a < doc_b) over a (persisted) distinct-shingle relation — the
+    candidate/intersection machinery shared by the naive Jaccard
+    scheme and :func:`containment_pairs`; only the final similarity
+    formula differs between them."""
+    inter = _shared_counts(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return inter.join(
         sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
@@ -956,17 +965,7 @@ def fuzzy_dedup(
     upstream).
     """
     sh = shingles(df, id_col, text).persist()
-    cand = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("__n_shared"))
-        .filter(F.col("__n_shared") >= min_shared)
-    )
+    cand = _shared_counts(sh).filter(F.col("inter") >= min_shared)
     texts = df.select(
         F.col(id_col).alias("__id"),
         F.col(text).alias("__t"),

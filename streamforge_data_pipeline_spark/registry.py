@@ -1694,13 +1694,13 @@ FROM s WHERE event_type <> 'view' GROUP BY event_type""",
 cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
          GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
-t AS (SELECT doc_id, text, length(text) AS len FROM documents)
-SELECT doc_a, doc_b,
-       CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS edit_dist,
-       round(levenshtein(ta.text, tb.text) / greatest(ta.len, tb.len), 4) AS rel_ed
-FROM cand JOIN t ta ON doc_a = ta.doc_id JOIN t tb ON doc_b = tb.doc_id
-WHERE abs(ta.len - tb.len) <= 0.2 * greatest(ta.len, tb.len)
-  AND levenshtein(ta.text, tb.text) <= 0.2 * greatest(ta.len, tb.len)""",
+t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+lev AS (SELECT doc_a, doc_b, levenshtein(ta.text, tb.text) AS d,
+               greatest(ta.len, tb.len) AS ml
+        FROM cand JOIN t ta ON doc_a = ta.doc_id JOIN t tb ON doc_b = tb.doc_id
+        WHERE abs(ta.len - tb.len) <= 0.2 * greatest(ta.len, tb.len))
+SELECT doc_a, doc_b, CAST(d AS INTEGER) AS edit_dist, round(d / ml, 4) AS rel_ed
+FROM lev WHERE d <= 0.2 * ml""",
         "E30: character-level fuzzy dedup — shared-shingle blocking +"
         " length-gap lower bound + Levenshtein verifier (rel_ed <= 0.2) —"
         " the verifier family that catches in-token corruption",
@@ -2620,7 +2620,7 @@ new AS (SELECT doc_id,
 d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
              CASE WHEN o.doc_id IS NULL THEN 'added'
                   WHEN n.doc_id IS NULL THEN 'removed'
-                  WHEN o.text <> n.text THEN 'modified' END AS change
+                  WHEN o.text IS DISTINCT FROM n.text THEN 'modified' END AS change
       FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
 SELECT doc_id, change FROM d WHERE change IS NOT NULL""",
         "E31: corpus snapshot diff — added/removed/modified via"

@@ -106,3 +106,21 @@ def test_snapshot_diff_identical_snapshots_empty(spark):
         "doc_id", "text"
     )
     assert snapshot_diff(docs, docs).count() == 0
+
+
+def test_snapshot_diff_null_content_semantics(spark):
+    """NULL content must not masquerade as absence: presence comes
+    from per-side markers, modification from a NULL-SAFE hash compare
+    (NULL -> NULL unchanged, NULL <-> text modified)."""
+    from streamforge_data_pipeline_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, None), (4, "same")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None), (4, "same"), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["change"]) for r in snapshot_diff(old, new).collect()}
+    assert got == {(1, "modified"), (2, "modified"), (5, "added")}
