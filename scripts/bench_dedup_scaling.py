@@ -9,10 +9,14 @@ shape that is scan-bound should move ~linearly in input bytes; a
 pair-emitting operator moves with its OUTPUT volume (near_dedup on the
 30-word-vocabulary corpus is the documented quadratic-output case).
 
-Usage: python scripts/bench_dedup_scaling.py [runs_per_cell]
-Prints one JSON line. Generate the inputs first:
+Usage: python scripts/bench_dedup_scaling.py [runs_per_cell] [sf_list]
+Prints one JSON line (plus a per-cell progress line each). Generate
+the inputs first — MULTI-FILE, because stage-1 whole-stage codegen
+fuses scan -> tokenize -> explode -> partial agg, so a single-file
+table pins all tokenization to the scan's 1-2 tasks and the probe
+measures layout, not the operator:
   python -m streamforge_data_pipeline_spark.sources.datagen_star \
-      --sf 1 --out /root/repo/.localdata/sf1 --multi-file   (and sf2)
+      --sf 1 --out /root/repo/.localdata/sf1mf --multi-file  (and sf2)
 """
 
 from __future__ import annotations
@@ -56,15 +60,23 @@ KEYS = [
     "snapshot_diff",
 ]
 
+# sf1 MUST be the multi-file layout (sf1mf): the single-file sf1 dir
+# written for the DuckDB oracle sweeps caps every scan at ONE task, so
+# probing it measures a parallelism artifact, not scaling (observed:
+# sf1 cells slower than sf2 across the scan-bound keys).
 SF_DIRS = [
     ("0.1", "/root/testdata/sf0.1"),
-    ("1", "/root/repo/.localdata/sf1"),
+    ("1", "/root/repo/.localdata/sf1mf"),
     ("2", "/root/repo/.localdata/sf2"),
 ]
 
 
 def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    # optional arg 2: comma-separated SF names to probe (e.g. "1" to
+    # re-run one column after a layout fix)
+    sf_filter = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    sf_dirs = [x for x in SF_DIRS if sf_filter is None or x[0] in sf_filter]
     spark = get_session("dedup-scaling")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -77,20 +89,30 @@ def main() -> None:
     spark.catalog.clearCache()
 
     table: dict[str, dict[str, float]] = {k: {} for k in KEYS}
-    for sf, sf_dir in SF_DIRS:
+    for sf, sf_dir in sf_dirs:
         if not os.path.isdir(sf_dir):
             print(f"skip sf{sf}: {sf_dir} missing", file=sys.stderr)
             continue
         for key in KEYS:
             best = float("inf")
-            for _ in range(runs):
-                spark.catalog.clearCache()
-                t0 = time.time()
-                REGISTRY[key].fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.time() - t0)
+            try:
+                for _ in range(runs):
+                    spark.catalog.clearCache()
+                    t0 = time.time()
+                    REGISTRY[key].fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.time() - t0)
+            except Exception as e:  # noqa: BLE001 — record, keep probing
+                # one key's failure (e.g. an executor OOM at the probe's
+                # largest SF) must not sink the whole run's record
+                print(f"cell {key} sf{sf} FAILED: {type(e).__name__}", flush=True)
+                table[key][sf] = float("nan")
+                continue
             table[key][sf] = round(best, 2)
+            # per-cell progress line: a crash mid-probe leaves the
+            # completed cells on record instead of losing everything
+            print(f"cell {key} sf{sf} {table[key][sf]}s", flush=True)
     ratios = {
         k: {
             "r_0.1_to_1": (
