@@ -84,3 +84,46 @@ def test_corpus_mixture_matches_greedy_prefix(spark, texts, budget):
         assert {i for i in got if got[i]["source"] == src} == set(expect)
         for i, (n, c) in expect.items():
             assert (got[i]["n_tokens"], got[i]["cum_tokens"]) == (n, c)
+
+
+# --------------------------------------------------- simhash band blocking
+
+sig32 = st.integers(min_value=0, max_value=(1 << 32) - 1)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sigs=st.lists(sig32, min_size=2, max_size=10, unique=True),
+    flip_sets=st.data(),
+)
+def test_simhash_band_blocking_matches_bruteforce(spark, sigs, flip_sets):
+    """Pigeonhole completeness as a PROPERTY: on random 32-bit
+    fingerprints (plus adversarial <=3-bit flips of the first one) the
+    band-blocked pairs equal the all-pairs Hamming truth."""
+    from streamforge_data_pipeline_spark.operators.dedup import simhash_near_pairs
+
+    # adversarially append a <=3-bit flip of sigs[0] so true pairs exist
+    bits = flip_sets.draw(
+        st.lists(st.integers(min_value=0, max_value=31), min_size=1,
+                 max_size=3, unique=True)
+    )
+    flipped = sigs[0]
+    for b in bits:
+        flipped ^= 1 << b
+    rows = list(enumerate(sigs + ([flipped] if flipped not in sigs else [])))
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_pairs(df, "doc_id", max_hamming=3).collect()
+    }
+    truth = set()
+    for i, a in rows:
+        for j, b in rows:
+            if i < j and bin(a ^ b).count("1") <= 3:
+                truth.add((i, j, bin(a ^ b).count("1")))
+    assert got == truth
+    assert truth  # the planted flip guarantees at least one true pair
