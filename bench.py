@@ -68,6 +68,7 @@ HEADLINE = [
     "pq_adc_seeded",
     "simhash_near_dup",
     "fuzzy_dedup",
+    "ann_lsh_seeded",
 ]
 
 

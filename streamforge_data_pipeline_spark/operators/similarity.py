@@ -628,3 +628,120 @@ def ann_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("q_id", id_col, "sim", "rank")
     )
+
+
+def ann_topk_lsh_seeded(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_tables: int = 16,
+    n_planes: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ann_topk_lsh` made hash-checkable end-to-end — the same
+    determinize-the-risky-stages move as pq_adc_seeded / 
+    semantic_dedup_cells: run the identical multi-table sign-LSH +
+    rerank pipeline over int8-QUANTIZED vectors, so every plane dot is
+    an exact integer sum (|dot| <= 127^2 x dim ~ 10^6, exactly
+    representable — any summation order in any engine yields the same
+    value, and the sign test can never flip on a cross-engine ulp).
+    The hyperplanes were ALREADY deterministic (md5-derived +-1
+    entries, ann_topk_lsh's _py_hash60 derivation) — float sign tests
+    near zero were the one cross-engine hazard. Rerank cosine =
+    dot / (sqrt(na2) * sqrt(nb2)) with all three operands exact
+    integers: one IEEE sqrt + multiply + divide, bit-identical across
+    engines; rounded to 4 dp BEFORE ranking so rank ties break on id
+    identically. Zero vectors quantize to all-zero and are excluded by
+    the norm guard (NaN >= tau trap, r5 advice).
+
+    The production key stays ann_lsh (NumPy matmul buckets, float
+    vectors, recall-tested); this twin exists so the driver's
+    differential hash-checks the bucket -> candidate -> rerank
+    machinery. Plane dots run as 48 JVM fold expressions per vector —
+    interpreted higher-order fns, fine at checking SFs; the matmul
+    path is the 100 TB index build.
+    """
+    def q8(df: DataFrame, out_id: str) -> DataFrame:
+        # name the max/scale as projected columns FIRST — inlining them
+        # into the per-element lambda recomputes the array max for
+        # every element (the explode-sibling recompute class)
+        mx = F.array_max(
+            F.transform(F.col(vec_col), lambda y: F.abs(y.cast("double")))
+        )
+        with_mx = df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col), mx.alias("__mx")
+        )
+        scale = F.when(F.col("__mx") == 0.0, F.lit(0.0)).otherwise(
+            F.lit(127.0) / F.col("__mx")
+        )
+        q = F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+        )
+        return with_mx.select(out_id, q.alias("q"))
+
+    izero = F.lit(0).cast("long")
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), izero, lambda acc, v: acc + v
+        )
+
+    def buckets(qdf: DataFrame, out_id: str) -> DataFrame:
+        cells = []
+        for t in range(n_tables):
+            bucket = None
+            for p in range(n_planes):
+                sarr = F.array(
+                    *[
+                        F.lit(
+                            1 if _py_hash60(f"hp:{t}:{p}:{d}") % 2 == 0 else -1
+                        ).cast("long")
+                        for d in range(dim)
+                    ]
+                )
+                bit = F.when(
+                    idot(F.col("q"), sarr) >= 0, F.lit(1 << p)
+                ).otherwise(F.lit(0))
+                bucket = bit if bucket is None else bucket + bit
+            cells.append(
+                F.struct(
+                    F.lit(t).alias("table"), bucket.cast("long").alias("bucket")
+                )
+            )
+        return qdf.select(
+            out_id, F.explode(F.array(*cells)).alias("tb")
+        ).select(out_id, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+    vq = q8(vectors, "vec_id_c").localCheckpoint(eager=True)
+    qq = q8(query, "q_id").localCheckpoint(eager=True)
+    cand = (
+        buckets(vq, "vec_id_c")
+        .join(F.broadcast(buckets(qq, "q_id")), ["table", "bucket"])
+        .filter(F.col("vec_id_c") != F.col("q_id"))
+        .select("q_id", "vec_id_c")
+        .distinct()
+    )
+    rer = (
+        cand.join(vq.withColumnRenamed("q", "__qa"), "vec_id_c")
+        .join(F.broadcast(qq.withColumnRenamed("q", "__qb")), "q_id")
+        .withColumn("__dot", idot(F.col("__qa"), F.col("__qb")))
+        .withColumn("__na2", idot(F.col("__qa"), F.col("__qa")))
+        .withColumn("__nb2", idot(F.col("__qb"), F.col("__qb")))
+        .filter((F.col("__na2") > 0) & (F.col("__nb2") > 0))
+        .select(
+            "q_id",
+            F.col("vec_id_c").alias(id_col),
+            F.round(
+                F.col("__dot") / (F.sqrt("__na2") * F.sqrt("__nb2")), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "sim", "rank")
+    )

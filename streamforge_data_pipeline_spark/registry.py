@@ -854,6 +854,16 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.ann_topk_lsh(vecs, vecs.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_ann_lsh_seeded(spark, sf_dir):
+    """Hash-checkable sign-LSH: the ann_lsh pipeline over int8-quantized
+    vectors — exact integer plane dots, deterministic buckets, exact
+    rerank (see operators.similarity.ann_topk_lsh_seeded)."""
+    vecs = load(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_lsh_seeded(
+        vecs, vecs.filter(F.col("vec_id") < 5), k=10
+    )
+
+
 def q_pq_topk(spark, sf_dir):
     """PQ-ADC approximate top-k (4-byte codes + shortlist rerank);
     k-means train step -> rows-only driver check, recall vs the exact
@@ -1833,6 +1843,47 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.4""",
     ),
     "ann_lsh": QuerySpec(
         q_ann_lsh, None, "sign-LSH bucketed ANN + rerank (recall-tested)"
+    ),
+    "ann_lsh_seeded": QuerySpec(
+        q_ann_lsh_seeded,
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+        CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 0.0
+             ELSE 127.0 / list_max(list_transform(v, x -> abs(x))) END AS scale
+      FROM e),
+q8 AS (SELECT vec_id,
+         list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+       FROM s),
+signs AS (SELECT t, p, d,
+            CASE WHEN CAST(concat('0x', substr(md5('hp:' || t || ':' || p || ':' || d),1,15)) AS BIGINT) % 2 = 0
+                 THEN 1 ELSE -1 END AS sgn
+          FROM (SELECT unnest(range(0,16)) AS t),
+               (SELECT unnest(range(0,3)) AS p),
+               (SELECT unnest(range(0,64)) AS d)),
+u AS (SELECT vec_id, unnest(q) AS qd, unnest(range(0, len(q))) AS d FROM q8),
+dots AS (SELECT u.vec_id, s.t, s.p, SUM(u.qd * s.sgn) AS dt
+         FROM u JOIN signs s ON u.d = s.d GROUP BY u.vec_id, s.t, s.p),
+bk AS (SELECT vec_id, t, SUM(CASE WHEN dt >= 0 THEN (1 << p) ELSE 0 END) AS bucket
+       FROM dots GROUP BY vec_id, t),
+cand AS (SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS vec_id
+         FROM bk qb JOIN bk cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+         WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id),
+n2 AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nn FROM q8),
+rer AS (SELECT c.q_id, c.vec_id,
+          round(list_sum(list_transform(range(1, len(a.q) + 1),
+                                        i -> a.q[i] * b.q[i]))
+                / (sqrt(a.nn) * sqrt(b.nn)), 4) AS sim
+        FROM cand c
+        JOIN n2 a ON c.vec_id = a.vec_id
+        JOIN n2 b ON c.q_id = b.vec_id
+        WHERE a.nn > 0 AND b.nn > 0),
+r AS (SELECT q_id, vec_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      FROM rer)
+SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 10""",
+        "E32: sign-LSH ANN made hash-checkable — md5-seeded planes over"
+        " int8-quantized vectors, all-integer plane dots, exact rerank;"
+        " the oracle replays bucket -> candidate -> rerank end-to-end",
     ),
     "semantic_dedup": QuerySpec(
         q_semantic_dedup,

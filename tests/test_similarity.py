@@ -121,3 +121,25 @@ def test_zero_vector_is_singleton_in_semantic_dedup_cells(spark):
         vecs, n_cells=3, tau=0.4).collect()}
     assert out[3]["keep"] and out[3]["group_id"] == 3
     assert out[1]["keep"] and not out[2]["keep"] and out[2]["group_id"] == 1
+
+
+def test_ann_lsh_seeded_recall_and_bucket_parity(spark):
+    """The hash-checkable int8 twin must (a) keep useful recall vs the
+    exact float baseline — quantization moves plane dots, so buckets
+    may differ from ann_lsh's, but the recall story must survive — and
+    (b) agree with ann_lsh on >= half its hits (same planes, so int8
+    can only flip near-zero dots)."""
+    vecs = load(spark, SF_MED, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 20)
+    exact = similarity.topk_cosine(vecs, queries, k=10)
+    seeded = similarity.ann_topk_lsh_seeded(vecs, queries, k=10)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    s = {(r["q_id"], r["vec_id"]) for r in seeded.collect()}
+    recall = len(e & s) / len(e)
+    assert recall >= 0.7, f"seeded ANN recall too low: {recall:.2f}"
+    a = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity.ann_topk_lsh(vecs, queries, k=10).collect()
+    }
+    overlap = len(a & s) / max(len(a), 1)
+    assert overlap >= 0.5, f"int8 twin diverged from float path: {overlap:.2f}"
