@@ -1,0 +1,91 @@
+"""Cross-operator consistency invariants over the dedup family: the
+operators implement DIFFERENT candidate schemes and verifiers, but on
+shared inputs their answers are mathematically related — relations the
+per-key DuckDB oracles cannot see because each key is checked alone.
+
+1. An EXACT duplicate pair is found by every near-dup family member
+   (Jaccard 1.0, containment 1.0 both ways, Hamming 0, edit 0).
+2. minhash_lsh_dedup's verified pairs are a SUBSET of exact
+   near_dedup's at the same tau (LSH only prunes candidates; its
+   verifier is the same exact Jaccard).
+3. allpairs_jaccard (prefix-filtered) equals near_dedup (naive) —
+   same math, different candidate scheme.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamforge_data_pipeline_spark.operators import dedup, minhash
+
+
+def _corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant one EXACT duplicate of the first doc under a fresh id
+    first = docs.orderBy("doc_id").limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(10_000_000, first["text"])], "doc_id long, text string"
+    )
+    return docs.select("doc_id", "text").unionByName(dup), first["doc_id"]
+
+
+def test_exact_duplicate_found_by_every_family_member(spark):
+    docs, orig = _corpus(spark)
+    pair = (orig, 10_000_000)
+
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash.shared_shingle_jaccard(docs, tau=0.5).collect()
+    }
+    assert jac.get(pair) == 1.0
+
+    cont = {
+        (r["doc_sub"], r["doc_sup"]): r["containment"]
+        for r in minhash.containment_pairs(docs, tau=0.8).collect()
+    }
+    assert cont.get(pair) == 1.0 and cont.get(pair[::-1]) == 1.0
+
+    sigs = dedup.simhash(docs, "text", "doc_id")
+    ham = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(sigs).collect()
+    }
+    assert ham.get(pair) == 0
+
+    fz = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in minhash.fuzzy_dedup(docs).collect()
+    }
+    assert fz.get(pair) == 0
+
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash.minhash_lsh_dedup(docs, tau=0.5).collect()
+    }
+    # identical signatures agree on every band — LSH can't miss it
+    assert lsh.get(pair) == 1.0
+
+
+def test_lsh_verified_pairs_subset_of_exact(spark):
+    docs, _ = _corpus(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash.shared_shingle_jaccard(docs, tau=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash.minhash_lsh_dedup(docs, tau=0.5).collect()
+    }
+    assert lsh <= exact
+    assert lsh, "LSH should find at least the planted duplicate"
+
+
+def test_prefix_filtered_equals_naive_exact_jaccard(spark):
+    docs, _ = _corpus(spark)
+    naive = {
+        tuple(r) for r in minhash.shared_shingle_jaccard(docs, tau=0.5).collect()
+    }
+    allpairs = {
+        tuple(r) for r in minhash.allpairs_jaccard(docs, tau=0.5).collect()
+    }
+    assert naive == allpairs
