@@ -39,6 +39,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the LATEST right row with
     ``right_ts <= left_ts`` on the same key (time-series enrichment —
@@ -54,6 +55,13 @@ def asof_join(
     unique on the right, as the registry query does). The same
     formulation is plain ANSI SQL, so the DuckDB oracle checks it
     end-to-end.
+
+    ``tolerance``: bounded staleness (pandas merge_asof's knob) — a
+    match older than ``left_ts - tolerance`` yields NULLs instead, so
+    a sensor that went quiet stops enriching rows forever. Units:
+    seconds for timestamp columns, the column's own units for numeric
+    ts. Implemented by also carrying the matched right TIMESTAMP in
+    the same window pass — still one shuffle, no extra join.
     """
     lcols = [c for c in left.columns]
     l_tagged = left.select(
@@ -83,14 +91,33 @@ def asof_join(
     carried = u.select(
         "__is_l",
         "__l",
+        "__ts",
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}")
             for c in value_cols
         ],
+        F.last(
+            F.when(F.col("__is_l") == 0, F.col("__ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("__rts"),
     )
+    if tolerance is None:
+        fresh = F.lit(True)
+    elif carried.schema["__ts"].dataType.typeName().startswith("timestamp"):
+        # ANSI forbids timestamp->double casts; interval arithmetic
+        # keeps µs precision exactly (tolerance in seconds)
+        fresh = F.col("__rts") >= F.col("__ts") - F.expr(
+            f"INTERVAL '{float(tolerance)}' SECOND"
+        )
+    else:
+        fresh = (F.col("__ts") - F.col("__rts")) <= F.lit(tolerance)
     return carried.filter(F.col("__is_l") == 1).select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
-        *[F.col(f"__rv_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[
+            F.when(fresh, F.col(f"__rv_{c}")).alias(f"asof_{c}")
+            for c in value_cols
+        ],
     )
 
 

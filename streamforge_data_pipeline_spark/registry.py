@@ -425,6 +425,25 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_join_tolerance(spark, sf_dir):
+    """Bounded-staleness as-of enrichment: same click -> latest prior
+    purchase join, but a match older than 1 hour yields NULL (pandas
+    merge_asof's tolerance knob) — a quiet sensor stops enriching."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return joins.asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value"], tolerance=3600.0,
+    )
+
+
 VALUE_BANDS = [
     ("micro", 0.0, 10.0),
     ("small", 10.0, 25.0),
@@ -2413,6 +2432,27 @@ c AS (SELECT *, last_value(pv IGNORE NULLS) OVER (
 SELECT event_id, k AS user_id, ts, apv AS asof_purchase_value
 FROM c WHERE is_l = 1""",
         "as-of join: union + last-value window, one shuffle, ANSI-expressible",
+    ),
+    "asof_join_tolerance": QuerySpec(
+        q_asof_join_tolerance,
+        """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, max(value) AS pv
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+u AS (
+  SELECT user_id AS k, ts, 1 AS is_l, event_id, CAST(NULL AS DOUBLE) AS pv FROM l
+  UNION ALL
+  SELECT user_id, ts, 0, NULL, pv FROM r),
+c AS (SELECT *,
+        last_value(pv IGNORE NULLS) OVER w AS apv,
+        last_value(CASE WHEN is_l = 0 THEN ts END IGNORE NULLS) OVER w AS rts
+      FROM u
+      WINDOW w AS (PARTITION BY k ORDER BY ts, is_l
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id, k AS user_id, ts,
+       CASE WHEN epoch(ts) - epoch(rts) <= 3600.0 THEN apv END AS asof_purchase_value
+FROM c WHERE is_l = 1""",
+        "as-of join with bounded staleness: matched right ts carried in"
+        " the same window pass, matches older than 1h nulled",
     ),
     "bloom_anti_join": QuerySpec(
         q_bloom_anti_join,

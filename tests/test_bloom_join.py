@@ -112,3 +112,39 @@ def test_semi_join_matches_complements_anti_join(spark):
     dup = semi_join_matches(incoming, existing, "k")
     assert new.count() + dup.count() == 20
     assert {r["k"] for r in dup.collect()} == set(range(0, 20, 3))
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    """Bounded staleness: matches older than the tolerance yield NULL
+    while fresh matches are identical to the unbounded join."""
+    from datetime import datetime
+
+    from streamforge_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 7, datetime(2026, 1, 1, 12, 0, 0)),   # 30s after right
+            (2, 7, datetime(2026, 1, 1, 13, 0, 0)),   # 1h+30s after right
+            (3, 8, datetime(2026, 1, 1, 12, 0, 0)),   # no right at all
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, datetime(2026, 1, 1, 11, 59, 30), 42.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: r["asof_v"]
+        for r in asof_join(
+            left, right, "user_id", "ts", "ts", ["v"], tolerance=60.0
+        ).collect()
+    }
+    assert out == {1: 42.0, 2: None, 3: None}
+    # boundary: exactly tolerance old is still fresh (<= semantics)
+    out2 = {
+        r["event_id"]: r["asof_v"]
+        for r in asof_join(
+            left, right, "user_id", "ts", "ts", ["v"], tolerance=30.0
+        ).collect()
+    }
+    assert out2[1] == 42.0
