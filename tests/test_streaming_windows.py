@@ -124,3 +124,98 @@ def test_stateful_running_totals_match_batch(spark, tmp_path):
         (r["user_id"], r["n_events"], r["last_event_id"]) for r in final.collect()
     }
     assert got == expected
+
+
+def test_stream_session_window_matches_batch(spark, tmp_path):
+    """Session windows are the genuinely STATEFUL window (gap-merge
+    needs cross-batch state); the streamed drain must agree with the
+    batch gap-merge exactly."""
+    from streamforge_data_pipeline_spark.operators.windows import session_counts
+
+    src = _stage_events(spark, tmp_path)
+    batch_df = spark.read.parquet(src)
+    expected = {
+        (r["user_id"], str(r["session_start"]), str(r["last_event"]), r["n_events"])
+        for r in session_counts(as_event_time(batch_df, "ts")).collect()
+    }
+    assert expected
+
+    stream = watermarked(
+        spark.readStream.schema(batch_df.schema).parquet(src), "ts", "10 minutes"
+    )
+    q = (
+        session_counts(stream)
+        .writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["last_event"]), r["n_events"])
+        for r in spark.table("session_out").collect()
+    }
+    assert got == expected
+
+
+def test_stream_session_window_merges_across_batches(spark, tmp_path):
+    """Split the source into TIME-CONTIGUOUS slices at one file per
+    trigger so sessions ARRIVE in pieces — the state store must merge
+    fragments across micro-batches into the same sessions the batch
+    plan sees. Slices must be time-ordered (random file order makes
+    events arbitrarily late and the watermark rightly drops them —
+    that's the semantics under test in test_streaming_late_data, not
+    here); mtimes are forced increasing because the file source
+    processes in modification-time order."""
+    import os
+    import time
+
+    from pyspark.sql import Window as W
+
+    from streamforge_data_pipeline_spark.operators.windows import session_counts
+
+    src = str(tmp_path / "events_many")
+    ev = load(spark, SF_SMALL, "events")
+    sliced = ev.withColumn(
+        "__slice", F.ntile(8).over(W.orderBy("ts"))
+    )
+    base = time.time() - 1000
+    for i in range(1, 9):
+        part = str(tmp_path / f"slice_{i}")
+        sliced.filter(F.col("__slice") == i).drop("__slice").coalesce(
+            1
+        ).write.mode("overwrite").parquet(part)
+        os.makedirs(src, exist_ok=True)
+        for fn in os.listdir(part):
+            if fn.endswith(".parquet"):
+                dst = os.path.join(src, f"{i:02d}.parquet")
+                os.rename(os.path.join(part, fn), dst)
+                os.utime(dst, (base + i, base + i))
+    batch_df = spark.read.parquet(src)
+    expected = {
+        (r["user_id"], str(r["session_start"]), str(r["last_event"]), r["n_events"])
+        for r in session_counts(as_event_time(batch_df, "ts")).collect()
+    }
+
+    stream = watermarked(
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        "ts",
+        "10 minutes",
+    )
+    q = (
+        session_counts(stream)
+        .writeStream.format("memory")
+        .queryName("session_merge_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["last_event"]), r["n_events"])
+        for r in spark.table("session_merge_out").collect()
+    }
+    assert got == expected
