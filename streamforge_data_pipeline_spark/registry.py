@@ -1367,6 +1367,50 @@ def q_interval_join_spread(spark, sf_dir):
     )
 
 
+def q_stream_session_window(spark, sf_dir):
+    """Session windows DRAINED THROUGH THE STREAMING ENGINE: the
+    stateful gap-merge (session_window + watermark, complete mode,
+    availableNow) over the events table must equal the batch
+    gap-merge — the same relational sessionization SQL oracles the
+    batch key. Cross-batch fragment merging is pytest-covered
+    (tests/test_streaming_windows.py time-sliced drain); the one-batch
+    drain here keeps the answer oracle-exact. Inputs staged through a
+    normalized parquet write (TIMESTAMP(NANOS) source, as for
+    stream_interval_join)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from streamforge_data_pipeline_spark.operators.windows import session_counts
+    from streamforge_data_pipeline_spark.streaming.event_time import watermarked
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    work = tempfile.mkdtemp(prefix="sfdp_ssw_")
+    try:
+        src = os.path.join(work, "events")
+        ev.write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = watermarked(
+            spark.readStream.schema(schema).parquet(src), "ts", "10 minutes"
+        )
+        name = "stream_session_window_" + uuid.uuid4().hex[:8]
+        q = (
+            session_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # memory-sink rows live in the session; safe to localCheckpoint
+        # and drop the staging dir
+        out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_stream_interval_join(spark, sf_dir):
     """Stream-stream event-time interval join drained as ONE
     micro-batch: error -> purchase attribution within 60 minutes per
@@ -2248,6 +2292,23 @@ SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
        COUNT(*) AS n_events
 FROM y GROUP BY user_id, sess""",
         "session windows, 5min gap (stateful-streaming analog)",
+    ),
+    "stream_session_window": QuerySpec(
+        q_stream_session_window,
+        """WITH x AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events),
+y AS (SELECT user_id, ts,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+      FROM x)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+       COUNT(*) AS n_events
+FROM y GROUP BY user_id, sess""",
+        "session windows drained through the streaming state store —"
+        " same relational sessionization oracle as the batch key",
     ),
     # --- analytics headliners ---
     "pricing_summary": QuerySpec(
