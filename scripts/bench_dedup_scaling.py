@@ -81,11 +81,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm codegen/JIT once per key at sf0.01 (house rule: sf0.001 is
-    # too small to reach C2 thresholds)
+    # too small to reach C2 thresholds); per-key isolation here too —
+    # one key failing warmup must not sink the whole probe
     for key in KEYS:
-        REGISTRY[key].fn(spark, "/root/testdata/sf0.01").write.format(
-            "noop"
-        ).mode("overwrite").save()
+        try:
+            REGISTRY[key].fn(spark, "/root/testdata/sf0.01").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            print(f"warmup {key} FAILED: {type(e).__name__}", flush=True)
     spark.catalog.clearCache()
 
     table: dict[str, dict[str, float]] = {k: {} for k in KEYS}
@@ -105,9 +109,20 @@ def main() -> None:
                     best = min(best, time.time() - t0)
             except Exception as e:  # noqa: BLE001 — record, keep probing
                 # one key's failure (e.g. an executor OOM at the probe's
-                # largest SF) must not sink the whole run's record
-                print(f"cell {key} sf{sf} FAILED: {type(e).__name__}", flush=True)
-                table[key][sf] = float("nan")
+                # largest SF) must not sink the whole run's record; a
+                # finite earlier repetition is still a real measurement.
+                # None, not NaN: json.dumps(NaN) emits a token strict
+                # JSON consumers reject — the one-JSON-line contract.
+                if best != float("inf"):
+                    table[key][sf] = round(best, 2)
+                    print(
+                        f"cell {key} sf{sf} {table[key][sf]}s"
+                        f" (later rep FAILED: {type(e).__name__})",
+                        flush=True,
+                    )
+                else:
+                    print(f"cell {key} sf{sf} FAILED: {type(e).__name__}", flush=True)
+                    table[key][sf] = None
                 continue
             table[key][sf] = round(best, 2)
             # per-cell progress line: a crash mid-probe leaves the
@@ -116,10 +131,12 @@ def main() -> None:
     ratios = {
         k: {
             "r_0.1_to_1": (
-                round(v["1"] / v["0.1"], 2) if "1" in v and "0.1" in v else None
+                round(v["1"] / v["0.1"], 2)
+                if v.get("1") and v.get("0.1")
+                else None
             ),
             "r_1_to_2": (
-                round(v["2"] / v["1"], 2) if "2" in v and "1" in v else None
+                round(v["2"] / v["1"], 2) if v.get("2") and v.get("1") else None
             ),
         }
         for k, v in table.items()

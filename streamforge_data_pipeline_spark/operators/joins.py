@@ -88,27 +88,41 @@ def asof_join(
         .orderBy("__ts", "__is_l", "__tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry the matched right ROW as one struct (non-null exactly when
+    # the row is a right row, so ignorenulls skips only left rows):
+    # per-column ignorenulls carries would let a stale non-null value
+    # outlive a newer right row whose value column is NULL — and under
+    # `tolerance` pair that stale value with the newer row's timestamp.
+    # Row semantics match pandas merge_asof: the latest right ROW wins,
+    # its values taken verbatim, NULLs included.
+    rrow = F.when(
+        F.col("__is_l") == 0,
+        F.struct(
+            F.col("__ts").alias("__rts"),
+            *[F.col(f"__r_{c}").alias(f"__rv_{c}") for c in value_cols],
+        ),
+    )
     carried = u.select(
         "__is_l",
         "__l",
         "__ts",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}")
-            for c in value_cols
-        ],
-        F.last(
-            F.when(F.col("__is_l") == 0, F.col("__ts")), ignorenulls=True
-        )
-        .over(w)
-        .alias("__rts"),
+        F.last(rrow, ignorenulls=True).over(w).alias("__rr"),
+    ).select(
+        "__is_l",
+        "__l",
+        "__ts",
+        *[F.col(f"__rr.__rv_{c}").alias(f"__rv_{c}") for c in value_cols],
+        F.col("__rr.__rts").alias("__rts"),
     )
     if tolerance is None:
         fresh = F.lit(True)
     elif carried.schema["__ts"].dataType.typeName().startswith("timestamp"):
         # ANSI forbids timestamp->double casts; interval arithmetic
         # keeps µs precision exactly (tolerance in seconds)
+        # :f formatting — str(float) scientific notation (1e-05) is
+        # rejected by the interval parser
         fresh = F.col("__rts") >= F.col("__ts") - F.expr(
-            f"INTERVAL '{float(tolerance)}' SECOND"
+            f"INTERVAL '{float(tolerance):.6f}' SECOND"
         )
     else:
         fresh = (F.col("__ts") - F.col("__rts")) <= F.lit(tolerance)

@@ -715,8 +715,20 @@ def ann_topk_lsh_seeded(
             out_id, F.explode(F.array(*cells)).alias("tb")
         ).select(out_id, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
-    vq = q8(vectors, "vec_id_c").localCheckpoint(eager=True)
-    qq = q8(query, "q_id").localCheckpoint(eager=True)
+    # squared norms computed ONCE per vector in the checkpointed
+    # projections — in the rerank join a popular corpus vector appears
+    # in many candidate pairs, and the 64-element fold is interpreted
+    # (the oracle's n2 CTE is the same hoist)
+    vq = (
+        q8(vectors, "vec_id_c")
+        .withColumn("__nn", idot(F.col("q"), F.col("q")))
+        .localCheckpoint(eager=True)
+    )
+    qq = (
+        q8(query, "q_id")
+        .withColumn("__nn", idot(F.col("q"), F.col("q")))
+        .localCheckpoint(eager=True)
+    )
     cand = (
         buckets(vq, "vec_id_c")
         .join(F.broadcast(buckets(qq, "q_id")), ["table", "bucket"])
@@ -725,11 +737,25 @@ def ann_topk_lsh_seeded(
         .distinct()
     )
     rer = (
-        cand.join(vq.withColumnRenamed("q", "__qa"), "vec_id_c")
-        .join(F.broadcast(qq.withColumnRenamed("q", "__qb")), "q_id")
+        cand.join(
+            vq.select(
+                "vec_id_c",
+                F.col("q").alias("__qa"),
+                F.col("__nn").alias("__na2"),
+            ),
+            "vec_id_c",
+        )
+        .join(
+            F.broadcast(
+                qq.select(
+                    "q_id",
+                    F.col("q").alias("__qb"),
+                    F.col("__nn").alias("__nb2"),
+                )
+            ),
+            "q_id",
+        )
         .withColumn("__dot", idot(F.col("__qa"), F.col("__qb")))
-        .withColumn("__na2", idot(F.col("__qa"), F.col("__qa")))
-        .withColumn("__nb2", idot(F.col("__qb"), F.col("__qb")))
         .filter((F.col("__na2") > 0) & (F.col("__nb2") > 0))
         .select(
             "q_id",

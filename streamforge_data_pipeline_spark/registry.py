@@ -444,6 +444,38 @@ def q_asof_join_tolerance(spark, sf_dir):
     )
 
 
+
+# Shared as-of CTE prefix: BOTH asof oracles carry the matched right
+# ROW as one struct (NULL exactly on left rows), mirroring the
+# operator's row semantics — per-column IGNORE NULLS carries would let
+# a stale non-null value outlive a newer NULL-valued right row.
+_ASOF_CTES = """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, max(value) AS pv
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+u AS (
+  SELECT user_id AS k, ts, 1 AS is_l, event_id, CAST(NULL AS DOUBLE) AS pv FROM l
+  UNION ALL
+  SELECT user_id, ts, 0, NULL, pv FROM r),
+c AS (SELECT *, last_value(CASE WHEN is_l = 0 THEN {'rts': ts, 'pv': pv} END IGNORE NULLS) OVER (
+        PARTITION BY k ORDER BY ts, is_l
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rr
+      FROM u)"""
+
+# One sessionization SQL for both the batch key and the streamed drain
+# — the two keys ARE the same relational answer by construction.
+_SESSIONIZE_SQL = """WITH x AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events),
+y AS (SELECT user_id, ts,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+      FROM x)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+       COUNT(*) AS n_events
+FROM y GROUP BY user_id, sess"""
+
 VALUE_BANDS = [
     ("micro", 0.0, 10.0),
     ("small", 10.0, 25.0),
@@ -2279,34 +2311,12 @@ WHERE (['image','audio','video','text'])[CAST(doc_id % 4 AS INTEGER) + 1] <> 'te
     ),
     "session_window": QuerySpec(
         q_session_window,
-        """WITH x AS (
-  SELECT user_id, ts,
-    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
-         THEN 1 ELSE 0 END AS brk
-  FROM events),
-y AS (SELECT user_id, ts,
-        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
-      FROM x)
-SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
-       COUNT(*) AS n_events
-FROM y GROUP BY user_id, sess""",
+        _SESSIONIZE_SQL,
         "session windows, 5min gap (stateful-streaming analog)",
     ),
     "stream_session_window": QuerySpec(
         q_stream_session_window,
-        """WITH x AS (
-  SELECT user_id, ts,
-    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
-         THEN 1 ELSE 0 END AS brk
-  FROM events),
-y AS (SELECT user_id, ts,
-        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
-      FROM x)
-SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
-       COUNT(*) AS n_events
-FROM y GROUP BY user_id, sess""",
+        _SESSIONIZE_SQL,
         "session windows drained through the streaming state store —"
         " same relational sessionization oracle as the batch key",
     ),
@@ -2479,38 +2489,16 @@ GROUP BY c_mktsegment""",
     ),
     "asof_join": QuerySpec(
         q_asof_join,
-        """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-r AS (SELECT user_id, ts, max(value) AS pv
-      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
-u AS (
-  SELECT user_id AS k, ts, 1 AS is_l, event_id, CAST(NULL AS DOUBLE) AS pv FROM l
-  UNION ALL
-  SELECT user_id, ts, 0, NULL, pv FROM r),
-c AS (SELECT *, last_value(pv IGNORE NULLS) OVER (
-        PARTITION BY k ORDER BY ts, is_l
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS apv
-      FROM u)
-SELECT event_id, k AS user_id, ts, apv AS asof_purchase_value
+_ASOF_CTES + """
+SELECT event_id, k AS user_id, ts, rr.pv AS asof_purchase_value
 FROM c WHERE is_l = 1""",
         "as-of join: union + last-value window, one shuffle, ANSI-expressible",
     ),
     "asof_join_tolerance": QuerySpec(
         q_asof_join_tolerance,
-        """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-r AS (SELECT user_id, ts, max(value) AS pv
-      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
-u AS (
-  SELECT user_id AS k, ts, 1 AS is_l, event_id, CAST(NULL AS DOUBLE) AS pv FROM l
-  UNION ALL
-  SELECT user_id, ts, 0, NULL, pv FROM r),
-c AS (SELECT *,
-        last_value(pv IGNORE NULLS) OVER w AS apv,
-        last_value(CASE WHEN is_l = 0 THEN ts END IGNORE NULLS) OVER w AS rts
-      FROM u
-      WINDOW w AS (PARTITION BY k ORDER BY ts, is_l
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+_ASOF_CTES + """
 SELECT event_id, k AS user_id, ts,
-       CASE WHEN epoch(ts) - epoch(rts) <= 3600.0 THEN apv END AS asof_purchase_value
+       CASE WHEN epoch(ts) - epoch(rr.rts) <= 3600.0 THEN rr.pv END AS asof_purchase_value
 FROM c WHERE is_l = 1""",
         "as-of join with bounded staleness: matched right ts carried in"
         " the same window pass, matches older than 1h nulled",

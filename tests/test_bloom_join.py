@@ -148,3 +148,32 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
         ).collect()
     }
     assert out2[1] == 42.0
+
+
+def test_asof_join_latest_row_wins_even_with_null_value(spark):
+    """Row semantics (pandas merge_asof): the LATEST right row is the
+    match and its values are taken verbatim — a newer right row with a
+    NULL value must yield NULL, not resurrect an older non-null value
+    (and under tolerance must not pair the old value with the new
+    row's timestamp)."""
+    from datetime import datetime
+
+    from streamforge_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 7, datetime(2026, 1, 1, 12, 0, 10))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, datetime(2026, 1, 1, 11, 0, 0), 42.0),
+            (7, datetime(2026, 1, 1, 12, 0, 0), None),
+        ],
+        "user_id long, ts timestamp, v double",
+    )
+    (row,) = asof_join(left, right, "user_id", "ts", "ts", ["v"]).collect()
+    assert row["asof_v"] is None
+    (row,) = asof_join(
+        left, right, "user_id", "ts", "ts", ["v"], tolerance=60.0
+    ).collect()
+    assert row["asof_v"] is None
