@@ -69,6 +69,9 @@ HEADLINE = [
     "simhash_near_dup",
     "fuzzy_dedup",
     "ann_lsh_seeded",
+    # r7: the seeded trained-quantizer drain + spread-outer drain
+    "stream_semantic_dedup_trained_seeded",
+    "stream_interval_join_spread_outer",
 ]
 
 
@@ -102,12 +105,27 @@ def main() -> None:
             pass  # a warmup miss only costs warmth
     spark.catalog.clearCache()
 
+    # Run discipline (r6 brief #7 — BENCH_r06's driver run diverged
+    # ~25% from the builder's closeout on cold-plan effects): after the
+    # sf0.01 warmup, each query runs TWICE at the bench SF. The first
+    # pass still pays any residual cold cost (fresh plan codegen at
+    # this SF, page cache); the second is the steady-state number that
+    # projects to a long-lived cluster. "queries" reports the best,
+    # "queries_first_run" the first pass, so round-over-round deltas
+    # are attributable to code, not JVM state.
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for key in HEADLINE:
-        spark.catalog.clearCache()  # isolate queries from leftover persists
-        t0 = time.time()
-        REGISTRY[key].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.time() - t0, 3)
+        per_run = []
+        for _ in range(2):
+            spark.catalog.clearCache()  # isolate queries from leftover persists
+            t0 = time.time()
+            REGISTRY[key].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            per_run.append(round(time.time() - t0, 3))
+        first_run[key] = per_run[0]
+        timings[key] = min(per_run)
     spark.catalog.clearCache()
 
     # Reference-parity E2E: the reference's flagship workload is one
@@ -144,6 +162,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_first_run": first_run,
+                "run_discipline": (
+                    "per-key warmup once at sf0.01, then 2 timed runs at "
+                    "the bench SF; 'queries' = best-of-2 (steady state), "
+                    "'queries_first_run' = first pass (residual cold "
+                    "cost); ingest_e2e_50mb is single-run end-to-end"
+                ),
                 "sf": float(sf),
             }
         )

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""A/B of `index_buckets="auto"` (r6 brief #5) in BOTH regimes at sf1:
+
+- trickle regime: the sf1 documents restaged as many small files,
+  drained 1 file/trigger (~500 distinct docs/batch) — auto must
+  choose the bucketed layout and the probe must stay partition-pruned
+  as the index grows;
+- bulk regime: the stock multi-file layout drained 3 files/trigger
+  (~4.7k distinct docs/batch > AUTO_BULK_K) — auto must choose flat,
+  the r6.6-measured winner there.
+
+Each regime runs auto against the manually-chosen BEST layout (r6.6:
+bucketed for trickle, flat for bulk) and against the manually-chosen
+WRONG one, asserting identical decision logs and reporting steady
+per-batch resolve means — the evidence that auto lands on the right
+side of the regime boundary from its first-batch measurement alone.
+
+Usage: python scripts/ab_auto_index_layout.py [SF_DIR] [TRICKLE_FILES] [TRICKLE_CAP]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streamforge_data_pipeline_spark.session import get_session  # noqa: E402
+from soak_exact_dedup_sf1 import run_mode  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.localdata/sf1mf"
+    trickle_files = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    # cap the trickle drain to its first N files so the regime evidence
+    # (per-batch means + probe file counts) doesn't cost a 100-batch run
+    trickle_cap = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    spark = get_session("ab-auto-layout")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    src_bulk = os.path.join(sf_dir, "documents.parquet")
+    stage = tempfile.mkdtemp(prefix="sfdp_ab_auto_")
+    out: dict = {"sf_dir": sf_dir, "trickle_files": trickle_files,
+                 "trickle_cap_files": trickle_cap}
+    try:
+        # --- trickle staging: same corpus, many small files, then keep
+        # only the first trickle_cap files (sorted) for the drain
+        full = os.path.join(stage, "docs_many")
+        spark.read.parquet(src_bulk).repartition(trickle_files).write.parquet(full)
+        src_trickle = os.path.join(stage, "docs_trickle")
+        os.makedirs(src_trickle)
+        kept = sorted(
+            f for f in os.listdir(full) if f.endswith(".parquet")
+        )[:trickle_cap]
+        for f in kept:
+            shutil.copy(os.path.join(full, f), os.path.join(src_trickle, f))
+
+        for regime, src, fpt, modes in [
+            ("trickle", src_trickle, 1, [None, 4096, "auto"]),
+            ("bulk", src_bulk, 3, [None, 4096, "auto"]),
+        ]:
+            logs = {}
+            for mode in modes:
+                label = "flat" if mode is None else str(mode)
+                print(f"{regime} / {label}:", flush=True)
+                batches, decided, total, rows = run_mode(
+                    spark, src, mode, files_per_trigger=fpt
+                )
+                assert decided == total, (regime, label)
+                logs[label] = rows
+                steady = [b["resolve_s"] for b in batches[1:]] or [
+                    b["resolve_s"] for b in batches
+                ]
+                out[f"{regime}_{label}_steady_mean_s"] = round(
+                    sum(steady) / len(steady), 2
+                )
+                out[f"{regime}_{label}_probe_files_last"] = (
+                    batches[-1]["idx_files_probe"],
+                    batches[-1]["idx_files_total"],
+                )
+            vals = list(logs.values())
+            assert all(v == vals[0] for v in vals), f"{regime}: logs differ"
+            out[f"{regime}_logs_identical"] = True
+        # auto must have landed bucketed in the trickle regime: its
+        # last probe read a pruned file subset
+        pf, tf = out["trickle_auto_probe_files_last"]
+        assert pf < tf, (pf, tf)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,7 @@ from streamforge_data_pipeline_spark.sources.store import TableStore  # noqa: E4
 from streamforge_data_pipeline_spark.streaming import exact_dedup_stream  # noqa: E402
 
 
-def run_mode(spark, src, buckets):
+def run_mode(spark, src, buckets, files_per_trigger=3):
     work = tempfile.mkdtemp(prefix="sfdp_soak_xd_")
     store = TableStore(os.path.join(work, "store"))
     batches = []
@@ -47,17 +47,24 @@ def run_mode(spark, src, buckets):
         # files the NEXT batch's probe would read under this batch's
         # hb pruning (measured on the current index state)
         idx_files_probe = idx_files_total = 0
+        resolved_buckets = kwargs.get("index_buckets")
+        if resolved_buckets == "auto":
+            # the guard's sidecar records what auto resolved to
+            lrows = store_.read(spark_, f"{index_table}__layout").collect()
+            resolved_buckets = (
+                (lrows[0]["index_buckets"] or None) if lrows else None
+            )
         if os.path.exists(store_.path(index_table)):
             idx = store_.read(spark_, index_table)
             idx_files_total = len(idx.inputFiles())
-            if kwargs.get("index_buckets"):
+            if resolved_buckets:
                 # one representative batch-bucket set: this batch's own
                 hbs = [
                     r["hb"]
                     for r in batch_df.select(
                         F.pmod(
                             F.xxhash64(F.sha2(F.col(text).cast("binary"), 256)),
-                            F.lit(kwargs["index_buckets"]),
+                            F.lit(resolved_buckets),
                         ).alias("hb")
                     ).distinct().collect()
                 ]
@@ -77,7 +84,7 @@ def run_mode(spark, src, buckets):
         q = exact_dedup_stream.start_stream_exact_dedup(
             spark, src, store,
             checkpoint_dir=os.path.join(work, "ckpt"),
-            max_files_per_trigger=3,
+            max_files_per_trigger=files_per_trigger,
             index_buckets=buckets,
         )
         q.awaitTermination()

@@ -32,6 +32,25 @@ def sql_hash60(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def hash60_hi(col: Column | str) -> Column:
+    """Second independent portable 60-bit hash: hex chars 17-31 of the
+    SAME md5 digest (the half :func:`hash60` never reads), as a bigint.
+
+    One md5 per value yields 120 usable bits across the pair —
+    operators that need more than 60 hash bits per key (64-bit SimHash)
+    take the extra bits here instead of a second digest computation.
+
+    DuckDB equivalent: CAST(concat('0x', substr(md5(x),17,15)) AS BIGINT).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 17, 15), 16, 10).cast("long")
+
+
+def sql_hash60_hi(expr: str) -> str:
+    """DuckDB SQL text of :func:`hash60_hi` over ``expr``."""
+    return f"CAST(concat('0x', substr(md5({expr}), 17, 15)) AS BIGINT)"
+
+
 def minhash_perm(h: Column, perm: Column) -> Column:
     """Universal-hash permutation for MinHash: ((2j+1)*(h%p) + (j*7919+12345)) % p.
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from streamforge_data_pipeline_spark.functions import hash60, tokens
+from streamforge_data_pipeline_spark.functions import hash60, hash60_hi, tokens
 
 
 def anti_join_dedup(incoming: DataFrame, existing: DataFrame, key: str) -> DataFrame:
@@ -58,34 +58,45 @@ def exact_dedup(df: DataFrame, content: str, order: str) -> DataFrame:
 
 # --- SimHash --------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 
 
 def simhash(df: DataFrame, text: str, doc_id: str) -> DataFrame:
-    """64->32-bit SimHash over tokens (term-frequency weighted).
+    """64-bit SimHash over tokens (term-frequency weighted).
 
     For each bit b: sum +-1 over all token occurrences' hash bit b;
     fingerprint bit = 1 iff the sum is positive. Near-duplicate docs
     differ in few bits (Charikar '02); Hamming-distance blocking then
     runs on a fixed-width integer instead of the raw text.
 
+    Bit source: one md5 per token yields 120 portable bits split as
+    hash60 (hex 1-15) and hash60_hi (hex 17-31); bits 0-59 read the
+    low half, 60-63 the high — no second digest. Bit 63's fingerprint
+    contribution is the MIN_LONG literal (1<<63 is unrepresentable as
+    a positive long in either engine); the total never overflows
+    because each power of two appears at most once.
+
     Pure column/agg pipeline, ONE shuffle: all SIMHASH_BITS per-bit
     sign sums run as independent conditional-sum aggregates over the
-    token-hash column (partial aggregation map-side), so the token
-    relation is never exploded x32 into a (doc, bit) long format —
-    that variant shuffles 32x the rows and needs a second aggregation.
+    token-hash columns (partial aggregation map-side), so the token
+    relation is never exploded x64 into a (doc, bit) long format —
+    that variant shuffles 64x the rows and needs a second aggregation.
     """
     import functools
     import operator
 
     tok = df.select(doc_id, F.explode(tokens(text)).alias("tok"))
-    h = tok.withColumn("h", hash60("tok"))
+    h = tok.withColumn("h", hash60("tok")).withColumn("h2", hash60_hi("tok"))
+
+    def bit_src(b: int):
+        if b < 60:
+            return F.shiftright(F.col("h"), b)
+        return F.shiftright(F.col("h2"), b - 60)
+
     sums = h.groupBy(doc_id).agg(
         *[
             F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
+                F.when(bit_src(b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"s{b}")
             for b in range(SIMHASH_BITS)
         ]
@@ -93,9 +104,10 @@ def simhash(df: DataFrame, text: str, doc_id: str) -> DataFrame:
     fingerprint = functools.reduce(
         operator.add,
         [
-            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.col(f"s{b}") > 0,
+                F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
             for b in range(SIMHASH_BITS)
         ],
     )
@@ -269,26 +281,29 @@ def simhash_near_pairs(sigs: DataFrame, doc_id: str = "doc_id",
     fingerprints, blocked by bit-bands (Manku, Jain & Das Sarma 2007's
     web-crawl dedup scheme, recast as a band equi-join).
 
-    Split the 32-bit fingerprint into 4 disjoint 8-bit bands; any pair
+    Split the 64-bit fingerprint into 4 disjoint 16-bit bands; any pair
     within distance ``max_hamming`` <= 3 agrees EXACTLY on >= 1 band
     (pigeonhole: 3 differing bits can touch at most 3 of the 4 bands)
     -> per-band equi-join on (band, band_key) instead of an O(n^2)
     cross join. The join emits each qualifying pair once per agreeing
     band (<= 4 copies); the Hamming verifier runs BEFORE the distinct,
     so candidates that fail the radius — the overwhelming majority at
-    scale, since an 8-bit band agreement is coincidental for unrelated
+    scale, since a 16-bit band agreement is coincidental for unrelated
     docs — are dropped map-side and never reach the dedup shuffle,
     whose volume is then <= 4x the true answer, not the candidate set.
 
     Exactness requires ``max_hamming`` <= number_of_bands - 1; guarded.
 
-    Scale bound: with a CONSTANT 4 x 256-bucket band layout the
-    candidate volume grows ~n^2/1024 (measured: 1.2s -> 19.2s -> 34.3s
-    at sf0.1/1/2 — the sf0.1->sf1 jump is the candidate term arriving).
-    Fine through ~10^6 docs; beyond that, widen the fingerprint
-    (SIMHASH_BITS 64) and the bands to 4 x 16 bits (2^16 buckets,
-    candidates /256), or adopt Manku's multi-table sorted-permutation
-    layout — the verify-before-distinct shape is unchanged by either.
+    Scale bound: 4 x 2^16 band buckets put the coincidental-collision
+    term at ~n^2/2^18 — 256x below the r6 4x8-bit layout, whose
+    measured n^2/1024 growth (1.2s -> 19.2s -> 34.3s at sf0.1/1/2) was
+    the dominant cost from ~10^6 docs. The 16-bit widening (this
+    layout, r7) pushes the crossover to ~10^8 docs; past that, Manku's
+    multi-table sorted-permutation layout is the next step — the
+    verify-before-distinct shape is unchanged by either. The arithmetic
+    vs logical shift question for the sign-carrying top band is moot:
+    `& 65535` keeps exactly bits 48-63 under both conventions, so the
+    Spark and DuckDB band keys agree on negative fingerprints.
     """
     if max_hamming > 3:
         raise ValueError(
@@ -303,7 +318,7 @@ def simhash_near_pairs(sigs: DataFrame, doc_id: str = "doc_id",
         # SQL form: the PySpark shiftright wrapper only takes a literal
         # shift amount, not a per-row Column
         "band_key",
-        F.expr("shiftright(simhash, band * 8) & 255"),
+        F.expr("shiftright(simhash, band * 16) & 65535"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (

@@ -137,10 +137,15 @@ def exact_jaccard(sh: DataFrame, pairs: DataFrame, tau: float | None = None) -> 
     restored AFTER the semi-join, so the distinct shuffle runs over
     candidates' shingles only, not the whole corpus.
 
-    ``tau``: optional size-ratio prune. Jaccard is bounded above by
-    min(|A|,|B|) / max(|A|,|B|), so when the caller will threshold at
-    tau, pairs below that bound are dropped BEFORE the intersection
-    self-join using only the (cheap) per-doc sizes — identical output.
+    ``tau``: optional size-ratio prune AND final threshold. Jaccard is
+    bounded above by min(|A|,|B|) / max(|A|,|B|), so pairs below that
+    bound are dropped BEFORE the intersection self-join using only the
+    (cheap) per-doc sizes; the output is then filtered to
+    ``jaccard >= tau`` BEFORE this path's eager finalize — with the
+    filter left to the caller, the checkpoint would materialize the
+    full pre-threshold candidate-pair relation into block-manager
+    storage, which at scale dwarfs the answer (r6 advice). With
+    ``tau=None`` all candidate pairs' jaccard values are returned.
     Worth it only on corpora with wide size spread (most candidates
     pruned): the prune serializes the size agg ahead of the
     intersection join, so on uniform corpora it costs more than it
@@ -193,11 +198,12 @@ def exact_jaccard(sh: DataFrame, pairs: DataFrame, tau: float | None = None) -> 
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
     )
     if sh_cached is not None:
-        # the prune path persisted the candidate shingle relation (read
-        # by both self-join sides, then narrowed by the size prune) —
-        # release THAT handle (sh_c was reassigned past it) with the
-        # house finalize rule
-        return finalize_released(out, sh_cached)
+        # threshold FIRST so the eager finalize pins answer-sized
+        # blocks, then release the persisted candidate shingle relation
+        # (read by both self-join sides, then narrowed by the size
+        # prune; sh_c was reassigned past it) with the house finalize
+        # rule
+        return finalize_released(out.filter(F.col("jaccard") >= tau), sh_cached)
     return out
 
 
@@ -915,6 +921,34 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     return finalize_released(out, sh)
 
 
+def char_shingles(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 5
+) -> DataFrame:
+    """Distinct lowercased character ``n``-grams per doc -> (doc_id,
+    sh) — the blocking relation for edit-distance dedup when the
+    corruption lives INSIDE tokens (OCR noise, typo storms): token
+    3-grams need three consecutive intact tokens, but a char n-gram
+    survives any edit-free window of ``n`` characters, and scattered
+    edits at rate r leave ~(1-r)^n of them intact (r=0.05, n=5: ~77%).
+
+    Pure column pipeline: positions via sequence, grams via
+    Column.substr with per-row positions, one array_distinct before
+    the explode — so set semantics are established BEFORE the shuffle.
+    Volume note: ~L grams/doc vs ~L/6 token shingles; pair candidate
+    generation should df-cap hot grams on templated corpora
+    (:func:`drop_boilerplate_shingles` takes this relation as-is).
+    """
+    t = F.lower(F.col(text))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams)).alias("sh"),
+    )
+
+
 def fuzzy_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -922,6 +956,8 @@ def fuzzy_dedup(
     max_rel_ed: float = 0.2,
     min_shared: int = 2,
     banded: bool = True,
+    blocking: str = "token",
+    char_n: int = 5,
 ) -> DataFrame:
     """CHARACTER-level near-dup pairs: Levenshtein edit distance over
     shared-shingle candidates; keep (doc_a, doc_b) with
@@ -937,12 +973,16 @@ def fuzzy_dedup(
 
     Three filters in strictly increasing cost order:
 
-    1. blocking: >= ``min_shared`` shared distinct token 3-grams (the
-       same inverted-index equi-join as near_dedup — only co-shingled
-       docs ever meet; a pair at rel_ed <= 0.2 on realistic text
-       retains plenty of intact shingles, but a FULLY in-token
-       corruption can evade blocking — candidate recall is a property
-       of the blocking scheme, stated, not hidden);
+    1. blocking: >= ``min_shared`` shared distinct shingles under the
+       ``blocking`` scheme — ``"token"`` (default): token 3-grams, the
+       same inverted-index equi-join as near_dedup; ``"char"``:
+       character ``char_n``-grams (:func:`char_shingles`), the scheme
+       for FULLY in-token corruption (OCR noise, typo storms) where
+       token 3-grams need three consecutive intact tokens and can
+       evade blocking entirely — the r6 blind spot, closed by the
+       planted-OCR recall property test in tests/test_allpairs.py.
+       Either way only co-shingled docs ever meet; candidate recall is
+       a property of the blocking scheme, stated, not hidden;
     2. length gap: lev(a,b) >= |len_a - len_b| (each unmatched char
        costs >= 1 edit), so pairs whose length difference alone blows
        the budget drop BEFORE any DP — a free column comparison;
@@ -964,7 +1004,13 @@ def fuzzy_dedup(
     path) and bound text length per the corpus policy (doc_chunking
     upstream).
     """
-    sh = shingles(df, id_col, text).persist()
+    if blocking not in ("token", "char"):
+        raise ValueError(f"unknown blocking scheme {blocking!r}")
+    sh = (
+        shingles(df, id_col, text)
+        if blocking == "token"
+        else char_shingles(df, id_col, text, n=char_n)
+    ).persist()
     cand = _shared_counts(sh).filter(F.col("inter") >= min_shared)
     texts = df.select(
         F.col(id_col).alias("__id"),

@@ -659,10 +659,17 @@ def ann_topk_lsh_seeded(
     The production key stays ann_lsh (NumPy matmul buckets, float
     vectors, recall-tested); this twin exists so the driver's
     differential hash-checks the bucket -> candidate -> rerank
-    machinery. Plane dots run as 48 JVM fold expressions per vector —
-    interpreted higher-order fns, fine at checking SFs; the matmul
-    path is the 100 TB index build.
+    machinery. The plane dots run as ONE int64 NumPy matmul per Arrow
+    batch (r7, replacing 48 interpreted JVM fold expressions per
+    vector that made this the suite's worst bench entry at 11.9s):
+    int64 matmul over int8-range values and +-1 planes is EXACT for
+    |dot| <= 127^2 * dim ~ 10^6 — far inside int64 — so any summation
+    order gives the bit-identical sign, and the oracle hash is
+    unchanged by construction. Determinism never required avoiding
+    NumPy; it required integer exactness.
     """
+    import numpy as np
+    from pyspark.sql import types as T
     def q8(df: DataFrame, out_id: str) -> DataFrame:
         # name the max/scale as projected columns FIRST — inlining them
         # into the per-element lambda recomputes the array max for
@@ -689,31 +696,49 @@ def ann_topk_lsh_seeded(
             F.zip_with(a, b, lambda x, y: x * y), izero, lambda acc, v: acc + v
         )
 
+    # Same md5-derived +-1 hyperplanes as ann_topk_lsh, as an int64
+    # matrix: (L*k, dim). Integer dtype end-to-end keeps every dot
+    # exact, so sign tests can never disagree with the fold form.
+    hp = np.array(
+        [
+            [1 if _py_hash60(f"hp:{t}:{p}:{d}") % 2 == 0 else -1 for d in range(dim)]
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.int64,
+    )
+    pows = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+
     def buckets(qdf: DataFrame, out_id: str) -> DataFrame:
-        cells = []
-        for t in range(n_tables):
-            bucket = None
-            for p in range(n_planes):
-                sarr = F.array(
-                    *[
-                        F.lit(
-                            1 if _py_hash60(f"hp:{t}:{p}:{d}") % 2 == 0 else -1
-                        ).cast("long")
-                        for d in range(dim)
-                    ]
+        schema = T.StructType(
+            [
+                T.StructField(out_id, T.LongType()),
+                T.StructField("table", T.IntegerType()),
+                T.StructField("bucket", T.LongType()),
+            ]
+        )
+
+        def _b(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf["q"].to_numpy()).astype(np.int64)  # (n, dim)
+                bits = (v @ hp.T) >= 0  # exact: |dot| <= 127^2 * dim
+                bk = (bits.reshape(len(v), n_tables, n_planes) * pows).sum(axis=2)
+                ids = pdf[out_id].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        out_id: np.repeat(ids, n_tables),
+                        "table": np.tile(
+                            np.arange(n_tables, dtype=np.int32), len(v)
+                        ),
+                        "bucket": bk.reshape(-1),
+                    }
                 )
-                bit = F.when(
-                    idot(F.col("q"), sarr) >= 0, F.lit(1 << p)
-                ).otherwise(F.lit(0))
-                bucket = bit if bucket is None else bucket + bit
-            cells.append(
-                F.struct(
-                    F.lit(t).alias("table"), bucket.cast("long").alias("bucket")
-                )
-            )
-        return qdf.select(
-            out_id, F.explode(F.array(*cells)).alias("tb")
-        ).select(out_id, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+        return qdf.select(out_id, "q").mapInPandas(_b, schema)
 
     # squared norms computed ONCE per vector in the checkpointed
     # projections — in the rerank join a popular corpus vector appears

@@ -1370,6 +1370,71 @@ def q_stream_semantic_dedup_trained(spark, sf_dir):
     )
 
 
+def q_stream_semantic_dedup_trained_seeded(spark, sf_dir):
+    """The trained-quantizer ingestion path made hash-checkable end to
+    end (r6 brief #3 — the fifth determinize-the-risky-stages twin):
+    same resolve/assign/commit machinery as
+    stream_semantic_dedup_trained, with the two float hazards pinned:
+
+    - vectors are int8-QUANTIZED before ingestion (exact per-vector
+      scale; values are integers in float32), so every distance and
+      cosine is integer-derived and bit-identical across engines;
+    - ``train_iters=0`` pins the quantizer to kmeans_centroids'
+      md5-seeded deterministic INIT (the sqrt(N) vectors with the
+      smallest md5-of-id), skipping the float-averaging refinement
+      iterations that are the one non-SQL-expressible stage — so cell
+      assignment is argmin over ||s||^2 - 2 v.s with an exact integer
+      value and a stable lowest-cell tie-break in both engines.
+
+    The production key stays stream_semantic_dedup_trained (full
+    k-means, rows-only); this twin hash-checks the trained path's
+    seed-selection, sqrt(N) cell schedule, argmin assignment,
+    within-cell resolution, and log commit against DuckDB."""
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from streamforge_data_pipeline_spark.streaming.semantic_dedup_stream import (
+        start_stream_semantic_dedup,
+    )
+
+    vecs = load(spark, sf_dir, "embeddings")
+    # int8 quantization, the ann_lsh_seeded/pq_adc_seeded recipe: name
+    # the max as a projected column FIRST (explode-sibling recompute
+    # class), floor(x*scale+0.5) stays exact in float32
+    mx = F.array_max(
+        F.transform(F.col("embedding"), lambda y: F.abs(y.cast("double")))
+    )
+    with_mx = vecs.select("vec_id", "embedding", mx.alias("__mx"))
+    scale = F.when(F.col("__mx") == 0.0, F.lit(0.0)).otherwise(
+        F.lit(127.0) / F.col("__mx")
+    )
+    qvec = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("float"),
+    )
+    qdf = with_mx.select("vec_id", qvec.alias("embedding"))
+
+    work = tempfile.mkdtemp(prefix="sfdp_stream_sdts_")
+    try:
+        src = os.path.join(work, "qvecs")
+        qdf.write.mode("overwrite").parquet(src)
+        store = TableStore(os.path.join(work, "store"))
+        q = start_stream_semantic_dedup(
+            spark,
+            src,
+            store,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            max_files_per_trigger=10_000,  # one batch: deterministic
+            quantizer="trained",
+            train_iters=0,
+        )
+        q.awaitTermination()
+        return store.read(spark, "semantic_dup_log").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_interval_join_spread(spark, sf_dir):
     """The skew-spreading (key, time-bucket) interval-join plan under
     the full oracle (r6): error -> purchase attribution within 60
@@ -1498,6 +1563,69 @@ def q_stream_interval_join(spark, sf_dir):
     res = spark.table(name).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return res
+
+
+def q_stream_interval_join_spread_outer(spark, sf_dir):
+    """LEFT-OUTER error -> purchase attribution on the skew-spread
+    plan, composed at drain time (r6 brief #6): spread-inner stream ∪
+    watermark-final null-pads for errors whose whole 60-minute window
+    the final global watermark (min of both sides' max event time -
+    30 min) has passed without a match. Younger unmatched errors stay
+    undecided — absent — exactly as the native outer mode would hold
+    them buffered; the SQL oracle replays both the join and the
+    closure rule."""
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.streaming.joins_stream import (
+        drain_interval_join_spread,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="sfdp_sijso_")
+    try:
+        src = os.path.join(work, "events")
+        ev.write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def stream_side(tp):
+            return (
+                spark.readStream.schema(schema)
+                .parquet(src)
+                .filter(F.col("event_type") == tp)
+                .select("user_id", "ts", "event_id")
+            )
+
+        def batch_side(tp):
+            return (
+                spark.read.schema(schema)
+                .parquet(src)
+                .filter(F.col("event_type") == tp)
+                .select("user_id", "ts", "event_id")
+            )
+
+        out = drain_interval_join_spread(
+            spark,
+            stream_side("error"),
+            stream_side("purchase"),
+            batch_side("error"),
+            batch_side("purchase"),
+            key="user_id",
+            upper="60 minutes",
+            how="leftOuter",
+        )
+        return (
+            out.select(
+                "user_id",
+                F.col("event_id").alias("err_id"),
+                F.col("r_event_id").alias("purchase_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def q_canonical_selection(spark, sf_dir):
@@ -1871,25 +1999,36 @@ SELECT node AS doc_id, min(reach) AS cluster_id FROM r GROUP BY node""",
         q_simhash,
         f"""WITH {TOKS_CTE},
 tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
-h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) AS h FROM tok),
-bits AS (SELECT doc_id, h, unnest(range(0,32)) AS bit FROM h),
-signs AS (SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) AS h,
+             CAST(concat('0x', substr(md5(t),17,15)) AS BIGINT) AS h2 FROM tok),
+bits AS (SELECT doc_id, h, h2, unnest(range(0,64)) AS bit FROM h),
+signs AS (SELECT doc_id, bit,
+          SUM(CASE WHEN (CASE WHEN bit < 60 THEN (h >> bit) ELSE (h2 >> (bit-60)) END) & 1 = 1
+              THEN 1 ELSE -1 END) AS s
           FROM bits GROUP BY doc_id, bit)
-SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+SELECT doc_id, CAST(SUM(CASE WHEN s <= 0 THEN 0
+                           WHEN bit = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                           ELSE (CAST(1 AS BIGINT) << bit) END) AS BIGINT) AS simhash
 FROM signs GROUP BY doc_id""",
-        "E2b: 32-bit SimHash signatures (tf-weighted bit majority)",
+        "E2b: 64-bit SimHash signatures (tf-weighted bit majority;"
+        " bits 0-59 from md5 hex 1-15, 60-63 from hex 17-31)",
     ),
     "simhash_near_dup": QuerySpec(
         q_simhash_near_dup,
         f"""WITH {TOKS_CTE},
 tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
-h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) AS h FROM tok),
-bits AS (SELECT doc_id, h, unnest(range(0,32)) AS bit FROM h),
-signs AS (SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) AS h,
+             CAST(concat('0x', substr(md5(t),17,15)) AS BIGINT) AS h2 FROM tok),
+bits AS (SELECT doc_id, h, h2, unnest(range(0,64)) AS bit FROM h),
+signs AS (SELECT doc_id, bit,
+          SUM(CASE WHEN (CASE WHEN bit < 60 THEN (h >> bit) ELSE (h2 >> (bit-60)) END) & 1 = 1
+              THEN 1 ELSE -1 END) AS s
           FROM bits GROUP BY doc_id, bit),
-sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s <= 0 THEN 0
+                                   WHEN bit = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                                   ELSE (CAST(1 AS BIGINT) << bit) END) AS BIGINT) AS simhash
         FROM signs GROUP BY doc_id),
-bands AS (SELECT doc_id, simhash, band, (simhash >> (band*8)) & 255 AS band_key
+bands AS (SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS band_key
           FROM sig, (SELECT unnest(range(0,4)) AS band)),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
@@ -1897,9 +2036,10 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
 SELECT doc_a, doc_b, hamming FROM cand""",
-        "E2c: Manku Hamming-radius (<=3) near-dup pairs via 4x8-bit"
-        " band blocking — oracle mirrors the banding, so the pigeonhole"
-        " exactness argument is itself cross-checked",
+        "E2c: Manku Hamming-radius (<=3) near-dup pairs via 4x16-bit"
+        " band blocking over 64-bit fingerprints — oracle mirrors the"
+        " banding, so the pigeonhole exactness argument is itself"
+        " cross-checked",
     ),
     "topk_cosine": QuerySpec(
         q_topk_cosine,
@@ -3144,7 +3284,54 @@ WHERE l.event_type = 'error' AND r.event_type = 'purchase'
         q_stream_semantic_dedup_trained,
         None,
         "continuous semantic dedup under persisted sqrt(N) k-means cells"
-        " (iterative train step -> rows-only; argmax sibling is the oracle)",
+        " (iterative train step -> rows-only; argmax sibling is the oracle;"
+        " the seeded twin stream_semantic_dedup_trained_seeded hash-checks"
+        " the shared machinery)",
+    ),
+    "stream_semantic_dedup_trained_seeded": QuerySpec(
+        q_stream_semantic_dedup_trained_seeded,
+        """WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+qx AS (SELECT vec_id,
+         list_transform(v, x -> floor(x * (CASE WHEN mx = 0 THEN 0.0
+                                           ELSE 127.0/mx END) + 0.5)) AS q
+       FROM m),
+n AS (SELECT CAST(floor(sqrt(count(*) + 0.5)) AS BIGINT) AS k FROM qx),
+hs AS (SELECT vec_id, q,
+         row_number() OVER (
+           ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT),
+                    vec_id) - 1 AS rk
+       FROM qx),
+seeds AS (SELECT rk AS cell, q AS s FROM hs, n WHERE rk < n.k),
+dist AS (SELECT x.vec_id, s.cell,
+           list_dot_product(s.s, s.s) - 2*list_dot_product(x.q, s.s) AS d2
+         FROM qx x CROSS JOIN seeds s),
+asg AS (SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM dist) WHERE rn = 1),
+vc AS (SELECT x.vec_id, a.cell, x.q, sqrt(list_dot_product(x.q, x.q)) AS nrm
+       FROM qx x JOIN asg a ON x.vec_id = a.vec_id
+       WHERE list_dot_product(x.q, x.q) > 0),
+pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+          FROM vc a JOIN vc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.q, b.q) / (a.nrm * b.nrm) >= 0.4),
+edges AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
+r AS (SELECT u AS node, u AS reach FROM edges
+      UNION
+      SELECT r.node, e2.v FROM r JOIN edges e2 ON r.reach = e2.u),
+g AS (SELECT node, min(reach) AS grp FROM r GROUP BY node)
+SELECT x.vec_id,
+  CASE WHEN coalesce(g.grp, x.vec_id) = x.vec_id THEN NULL ELSE g.grp END AS dup_of,
+  CAST(NULL AS DOUBLE) AS cosine,
+  CASE WHEN coalesce(g.grp, x.vec_id) = x.vec_id
+       THEN 'admitted' ELSE 'batch' END AS origin
+FROM qx x LEFT JOIN g ON x.vec_id = g.node""",
+        "trained-quantizer semantic ingestion, seeded twin: int8-quantized"
+        " vectors + train_iters=0 pin the md5-seeded sqrt(N) centroids, so"
+        " the argmin cell assignment (||s||^2 - 2 v.s, lowest-cell ties),"
+        " within-cell cosine closure, and log commit replay exactly in SQL",
     ),
     "stream_interval_join": QuerySpec(
         q_stream_interval_join,
@@ -3154,6 +3341,27 @@ FROM events l JOIN events r ON l.user_id = r.user_id
 WHERE l.event_type = 'error' AND r.event_type = 'purchase'
   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 60 MINUTE""",
         "stream-stream interval join drained: error->purchase attribution in 60min",
+    ),
+    "stream_interval_join_spread_outer": QuerySpec(
+        q_stream_interval_join_spread_outer,
+        """WITH l AS (SELECT user_id, ts, event_id FROM events
+       WHERE event_type = 'error'),
+r AS (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(ts) FROM l), (SELECT max(ts) FROM r))
+              - INTERVAL 30 MINUTE AS w),
+m AS (SELECT l.user_id, l.event_id AS err_id, r.event_id AS purchase_id
+      FROM l JOIN r ON l.user_id = r.user_id
+       AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 60 MINUTE)
+SELECT user_id, err_id, purchase_id FROM m
+UNION ALL
+SELECT l.user_id, l.event_id AS err_id, CAST(NULL AS BIGINT) AS purchase_id
+FROM l, wm
+WHERE l.ts + INTERVAL 60 MINUTE < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.err_id = l.event_id)""",
+        "left-outer interval join on the skew-spread plan, drained:"
+        " spread-inner union watermark-final null-pads (errors whose"
+        " closed window matched nothing; younger ones stay buffered)",
     ),
     "decontaminate": QuerySpec(
         q_decontaminate,

@@ -133,6 +133,128 @@ def _replay_guard_decision(
     return batch_id <= row["batch_id"], True
 
 
+# auto-layout regime constants (r6 brief #5; regime measured in
+# PERF_NOTES r6.6): bucketed pruning pays when the per-batch distinct
+# count k is well under the bucket count B — choose B ~ 16k (touched
+# share 1-e^{-k/B} ~ 6%) within operational directory bounds
+# [2^6, 2^12], and fall back to flat when the first batch is
+# bulk-shaped: with B capped at 2^12, k above ~B/8 = 512 reads most of
+# the index through the IN-list anyway while paying per-batch
+# small-file appends — the r6.6 2x regression regime.
+AUTO_BULK_K = 512
+AUTO_MIN_BUCKETS_LOG2, AUTO_MAX_BUCKETS_LOG2 = 6, 12
+
+
+def _auto_index_buckets(
+    spark: SparkSession,
+    store: TableStore,
+    index_table: str,
+    batch_df: DataFrame,
+    text: str,
+) -> int | None:
+    """Resolve ``index_buckets="auto"`` to a concrete layout.
+
+    An existing index's layout is already pinned (the sidecar the
+    layout guard wrote) — auto adopts it. A NEW index is laid out from
+    the measured shape of its first batch, the decide-then-plan
+    pattern of skew_aware_interval_join: k = the batch's distinct-hash
+    count; bulk batches (k > AUTO_BULK_K, the r6.6 regime where a
+    B=64 index went 2x slower) get the flat layout, trickle batches
+    get B = next_pow2(16k) clamped to [2^6, 2^12] so the expected
+    probe reads ~6% of the index and appends touch ~k directories.
+    The first batch is a proxy for the stream's shape — the same
+    assumption every partitioner bootstrap makes; a mis-shaped first
+    batch costs the flat-vs-pruned delta, not correctness (the guard
+    pins whatever was chosen, and the log is layout-independent)."""
+    import math
+
+    layout_table = f"{index_table}__layout"
+    if os.path.exists(store.path(index_table)):
+        if os.path.exists(store.path(layout_table)):
+            rows = store.read(spark, layout_table).collect()
+            b = rows[0]["index_buckets"] if rows else 0
+            return b or None
+        raise ValueError(
+            f"index table {index_table!r} predates the layout sidecar; "
+            "index_buckets='auto' cannot adopt its layout — pass the "
+            "original explicit setting once to stamp it."
+        )
+    k = (
+        batch_df.select(F.sha2(F.col(text).cast("binary"), 256))
+        .distinct()
+        .count()
+    )
+    if k > AUTO_BULK_K:
+        return None
+    log2_b = max(
+        AUTO_MIN_BUCKETS_LOG2,
+        min(AUTO_MAX_BUCKETS_LOG2, math.ceil(math.log2(max(16 * k, 2)))),
+    )
+    return 1 << log2_b
+
+
+def _index_layout_guard(
+    spark: SparkSession,
+    store: TableStore,
+    index_table: str,
+    index_buckets: int | None,
+) -> None:
+    """Refuse to mix index layouts in one parquet dir (r6 advice).
+
+    An index created flat must never receive hive-partitioned appends
+    (hb=... subdirs beside root-level files) and vice versa: Spark's
+    partition discovery then fails with conflicting-directory-structure
+    errors — or silently reads without the hb column — on the NEXT
+    batch, far from the config flip that caused it. The declared bucket
+    count is committed to a one-row ``{index}__layout`` sidecar when
+    the index is created; on open it must equal the configured
+    ``index_buckets`` exactly (a bucket-COUNT flip is as wrong as a
+    flat/bucketed flip: stored hb values are pmod(hash, old_B), so
+    pruning with new_B would skip directories that hold real hashes).
+    Pre-sidecar indexes fall back to a directory sniff, which can only
+    adjudicate flat-vs-bucketed."""
+    layout_table = f"{index_table}__layout"
+    declared_flag = index_buckets or 0
+    if not os.path.exists(store.path(index_table)):
+        store.overwrite(
+            spark.createDataFrame([(declared_flag,)], "index_buckets int"),
+            layout_table,
+        )
+        return
+    if os.path.exists(store.path(layout_table)):
+        rows = store.read(spark, layout_table).collect()
+        on_disk = rows[0]["index_buckets"] if rows else 0
+        if on_disk != declared_flag:
+            raise ValueError(
+                f"index table {index_table!r} was created with "
+                f"index_buckets={on_disk or None} but this stream is "
+                f"configured with index_buckets={index_buckets}; mixing "
+                "layouts (or bucket counts) in one index dir corrupts "
+                "partition discovery and probe pruning. Re-point the "
+                "stream at a fresh index table or restore the original "
+                "setting."
+            )
+        return
+    # pre-sidecar index: sniff flat vs hive-partitioned, then stamp
+    has_hb = any(
+        name.startswith("hb=") for name in os.listdir(store.path(index_table))
+    )
+    if has_hb != bool(index_buckets):
+        raise ValueError(
+            f"index table {index_table!r} is "
+            f"{'hive-partitioned by hb' if has_hb else 'flat'} on disk "
+            f"but this stream is configured with "
+            f"index_buckets={index_buckets}; mixing layouts in one "
+            "index dir corrupts partition discovery. Re-point the "
+            "stream at a fresh index table or restore the original "
+            "setting."
+        )
+    store.overwrite(
+        spark.createDataFrame([(declared_flag,)], "index_buckets int"),
+        layout_table,
+    )
+
+
 def _resolve_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -143,8 +265,13 @@ def _resolve_batch(
     text: str,
     batch_id: int | None = None,
     run_id: str | None = None,
-    index_buckets: int | None = None,
+    index_buckets: int | None | str = None,
 ) -> None:
+    if index_buckets == "auto":
+        index_buckets = _auto_index_buckets(
+            spark, store, index_table, batch_df, text
+        )
+    _index_layout_guard(spark, store, index_table, index_buckets)
     # idempotent re-run guard: the log is the decision record — a
     # doc_id it already holds was fully decided, drop it from the
     # batch. Gated behind the (run_id, batch_id) marker so the log
@@ -185,12 +312,19 @@ def _resolve_batch(
         if index_buckets and "hb" in idx.columns:
             # bounded collect (<= index_buckets values): prune the
             # index scan to the hash-partition directories this batch
-            # can possibly hit
+            # can possibly hit. Measured-ratio routing (r6 brief #5):
+            # when the batch's bucket list covers most of the index
+            # anyway, the IN-list buys nothing and costs listing +
+            # filter planning — read the index flat for THIS batch
+            # (layout untouched; the next trickle batch prunes again).
             hbs = [
                 r["hb"]
                 for r in hashed.select(hb.alias("hb")).distinct().collect()
             ]
-            idx = idx.filter(F.col("hb").isin(hbs)).drop("hb")
+            if len(hbs) < 0.5 * index_buckets:
+                idx = idx.filter(F.col("hb").isin(hbs)).drop("hb")
+            else:
+                idx = idx.drop("hb")
         elif "hb" in idx.columns:
             idx = idx.drop("hb")
         firsts = firsts.join(idx, "content_hash", "left")
@@ -258,7 +392,7 @@ def start_stream_exact_dedup(
     max_files_per_trigger: int = 1,
     available_now: bool = True,
     path_glob_filter: str | None = None,
-    index_buckets: int | None = None,
+    index_buckets: int | None | str = None,
 ) -> StreamingQuery:
     """Tail ``input_dir`` for parquet document files and run the
     hash/probe/annotate pipeline per micro-batch. The decision log
@@ -266,7 +400,12 @@ def start_stream_exact_dedup(
     dup_of) with dup_of NULL for each content's first arrival —
     byte-identical contract to stateful.dedup_stream's output.
     ``index_buckets`` turns on the hash-partitioned index layout +
-    partition-pruned probes (see module docstring Scale notes)."""
+    partition-pruned probes (see module docstring Scale notes);
+    ``"auto"`` measures the first batch's distinct-hash count and
+    chooses the layout itself (trickle -> bucketed, bulk -> flat; an
+    existing index's pinned layout is adopted as-is), and per-batch
+    probes skip the IN-list whenever it would cover most of the index
+    anyway — see :func:`_auto_index_buckets`."""
     reader = spark.readStream.schema(f"{id_col} long, {text} string").option(
         "maxFilesPerTrigger", max_files_per_trigger
     )

@@ -138,7 +138,20 @@ def interval_join_spread(
         (F.unix_timestamp(base + F.expr(f"INTERVAL {upper}")) - F.unix_timestamp(base)).alias("b"),
     ).collect()[0]
     lo_s, up_s = int(row["a"]), int(row["b"])
-    w = spread_seconds if spread_seconds is not None else max(up_s - lo_s, 1)
+    span = max(up_s - lo_s, 1)
+    w = spread_seconds if spread_seconds is not None else span
+    if w < span:
+        # The left side only explodes to its two ENDPOINT buckets; a
+        # bucket narrower than the interval span leaves true matches in
+        # the middle buckets with no left copy to meet — silent row
+        # loss, not a perf knob. (r6 advice)
+        raise ValueError(
+            f"spread_seconds={w} is narrower than the interval span "
+            f"{span}s ({lower} .. {upper}); matches spanning interior "
+            "buckets would be silently dropped. Use spread_seconds >= "
+            "the span (default), or widen it to trade state-shard "
+            "granularity for per-bucket fanout."
+        )
 
     l0 = _as_event_time(left, left_ts)
     r0 = _as_event_time(right, right_ts)
@@ -165,3 +178,110 @@ def interval_join_spread(
         *[F.col(f"l.{c}") for c in left.columns],
         *[F.col(f"r.{c}") for c in right.columns],
     )
+
+
+def drain_interval_join_spread(
+    spark,
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    left_batch: DataFrame,
+    right_batch: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "15 minutes",
+    delay: str = "30 minutes",
+    how: str = "inner",
+    spread_seconds: int | None = None,
+) -> DataFrame:
+    """Outer modes for the skew-spread interval join, composed at
+    DRAIN time (r6 brief #6): the spread duplicates unmatched left
+    rows across their <= 2 candidate buckets, so null-padded outer
+    rows cannot be emitted inside the append-mode stream (they would
+    need a post-join dedup append mode cannot express). A bounded
+    drain CAN decide them: run the spread-INNER stream to completion,
+    then null-pad exactly the rows whose whole join window the FINAL
+    watermark has passed and that matched nothing — the same
+    eviction-is-the-proof rule native outer modes apply batch by
+    batch, evaluated once at the final watermark. Parity with
+    :func:`interval_join`'s native outer modes on time-sliced drains
+    is asserted in tests/test_streaming_joins.py.
+
+    ``left_batch`` / ``right_batch`` are batch views over the SAME
+    data the streams read (the drain scaffolds already have both).
+    The final global watermark is min(max left_ts, max right_ts) -
+    delay — Spark's min-of-inputs multipleWatermarkPolicy default.
+    Output columns: left's, then right's with colliding names
+    prefixed ``r_`` (batch_interval_join's convention).
+
+    Scale: the two closure scans are one max() aggregate each; the
+    anti-join keys on the left/right row columns (row identity), and
+    its probe side is the matched set — answer-sized, broadcastable.
+    """
+    import uuid
+
+    if how not in ("inner", "leftOuter", "rightOuter", "fullOuter"):
+        raise ValueError(f"unknown join mode {how!r}")
+    lcols = list(left_batch.columns)
+    rcols_out = [
+        f"r_{c}" if c in left_batch.columns else c for c in right_batch.columns
+    ]
+    inner_q = interval_join_spread(
+        left_stream, right_stream, key, left_ts, right_ts, lower, upper,
+        delay, spread_seconds,
+    ).toDF(*lcols, *rcols_out)
+    name = "spread_drain_" + uuid.uuid4().hex[:8]
+    q = (
+        inner_q.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    inner = spark.table(name).localCheckpoint(eager=True)
+    if how == "inner":
+        return inner
+    wm_row = (
+        left_batch.select(F.max(F.col(left_ts)).alias("__ml"))
+        .crossJoin(right_batch.select(F.max(F.col(right_ts)).alias("__mr")))
+        .select(
+            (F.least("__ml", "__mr") - F.expr(f"INTERVAL {delay}")).alias("w")
+        )
+        .collect()[0]
+    )
+    wm = F.lit(wm_row["w"])
+    rtypes = dict(zip(rcols_out, [f.dataType for f in right_batch.schema.fields]))
+    ltypes = {f.name: f.dataType for f in left_batch.schema.fields}
+    parts = [inner]
+    if how in ("leftOuter", "fullOuter"):
+        matched_l = inner.select(*lcols).distinct()
+        closed_l = left_batch.filter(
+            F.col(left_ts) + F.expr(f"INTERVAL {upper}") < wm
+        )
+        parts.append(
+            closed_l.join(matched_l, lcols, "left_anti").select(
+                *lcols,
+                *[F.lit(None).cast(rtypes[c]).alias(c) for c in rcols_out],
+            )
+        )
+    if how in ("rightOuter", "fullOuter"):
+        matched_r = inner.select(*rcols_out).distinct()
+        # a right row's last possible match has left_ts = right_ts -
+        # lower; its state evicts (and it null-pads) once the
+        # watermark passes that
+        closed_r = right_batch.toDF(*rcols_out).filter(
+            F.col(f"r_{right_ts}" if right_ts in left_batch.columns else right_ts)
+            - F.expr(f"INTERVAL {lower}") < wm
+        )
+        parts.append(
+            closed_r.join(matched_r, rcols_out, "left_anti").select(
+                *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+                *rcols_out,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

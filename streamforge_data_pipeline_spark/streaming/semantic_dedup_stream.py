@@ -136,13 +136,6 @@ def _ensure_centroids(
         train_df, n_clusters=n_cells, iters=train_iters,
         id_col="vec_id", vec_col="embedding",
     )
-    store.overwrite(
-        spark.createDataFrame(
-            [(i, [float(x) for x in cents[i]], n_train) for i in range(len(cents))],
-            "cell int, centroid array<double>, trained_on long",
-        ),
-        _centroids_table(corpus_table),
-    )
     if n > 0:
         corpus = store.read(spark, corpus_table).select("vec_id", "embedding")
         recelled = (
@@ -154,6 +147,23 @@ def _ensure_centroids(
             .localCheckpoint(eager=True)
         )
         store.overwrite_partitioned(recelled, corpus_table, ["cell"])
+    # Commit the centroids table LAST (r6 advice — crash atomicity):
+    # centroids carry trained_on, the doubling guard's clock. Written
+    # first, a crash between the two overwrites would leave NEW
+    # centroids over a STALE-celled corpus with the guard suppressing
+    # the retrain on restart — the probe then compares batch cells
+    # assigned under the new centroids to corpus cells from the old
+    # ones and silently misses duplicates. In this order a crash in
+    # between leaves the OLD trained_on, so restart re-triggers the
+    # deterministic retrain (same corpus -> same k-means -> same
+    # cells; the re-cell overwrite is idempotent) and self-heals.
+    store.overwrite(
+        spark.createDataFrame(
+            [(i, [float(x) for x in cents[i]], n_train) for i in range(len(cents))],
+            "cell int, centroid array<double>, trained_on long",
+        ),
+        _centroids_table(corpus_table),
+    )
     return cents
 
 
@@ -176,6 +186,7 @@ def _resolve_batch(
     batch_id: int | None = None,
     run_id: str | None = None,
     quantizer: str = "argmax",
+    train_iters: int = 4,
 ) -> None:
     from streamforge_data_pipeline_spark.streaming.exact_dedup_stream import (
         _replay_guard_decision,
@@ -185,7 +196,7 @@ def _resolve_batch(
         raise ValueError(f"unknown quantizer {quantizer!r}")
     trained = quantizer == "trained"
     cents = (
-        _ensure_centroids(spark, batch_df, store, corpus_table)
+        _ensure_centroids(spark, batch_df, store, corpus_table, train_iters)
         if trained
         else None
     )
@@ -373,6 +384,7 @@ def start_stream_semantic_dedup(
     available_now: bool = True,
     path_glob_filter: str | None = None,
     quantizer: str = "argmax",
+    train_iters: int = 4,
 ) -> StreamingQuery:
     """Tail ``input_dir`` for parquet embedding files and run the
     resolve/probe/admit pipeline per micro-batch. Returns the running
@@ -381,7 +393,12 @@ def start_stream_semantic_dedup(
     embedding files. ``quantizer``: 'argmax' (fixed 8 cells,
     oracle-checkable) or 'trained' (persisted sqrt(N)-scheduled k-means
     cells + cell-partitioned corpus — the unbounded-stream scale path;
-    see the module docstring)."""
+    see the module docstring). ``train_iters``: k-means refinement
+    iterations for the trained quantizer; 0 pins the centroids to the
+    md5-seeded initial vectors (kmeans_centroids' deterministic init),
+    which makes the whole trained pipeline SQL-replayable — the
+    seeded-twin move registry key stream_semantic_dedup_trained_seeded
+    uses for its DuckDB hash check."""
     reader = spark.readStream.schema(
         "vec_id long, embedding array<float>"
     ).option("maxFilesPerTrigger", max_files_per_trigger)
@@ -402,6 +419,7 @@ def start_stream_semantic_dedup(
             batch_id=batch_id,
             run_id=run_id,
             quantizer=quantizer,
+            train_iters=train_iters,
         )
 
     writer = stream.writeStream.foreachBatch(commit).option(

@@ -594,3 +594,80 @@ def test_fuzzy_dedup_banded_equals_unthresholded(spark):
     }
     assert banded == full
     assert banded, "sf0.01 corpus should contain fuzzy pairs"
+
+
+def test_fuzzy_dedup_char_blocking_catches_full_intoken_corruption(spark):
+    """r6 brief #4: corrupting every THIRD token kills ALL token
+    3-gram shingles (every window of three consecutive tokens contains
+    an edit), so token blocking is structurally blind — while char
+    5-gram blocking still sees the ~96%-intact character stream and
+    the pair verifies at rel_ed ~ 0.04."""
+    from streamforge_data_pipeline_spark.operators.minhash import fuzzy_dedup
+
+    base_tokens = [f"word{i:03d}" for i in range(60)]
+    base = " ".join(base_tokens)
+    corrupted = " ".join(
+        t[:2] + "x" + t[3:] if i % 3 == 0 else t
+        for i, t in enumerate(base_tokens)
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, corrupted), (3, "entirely different content here")],
+        "doc_id long, text string",
+    )
+    token_hits = {
+        (r["doc_a"], r["doc_b"]) for r in fuzzy_dedup(docs).collect()
+    }
+    assert (1, 2) not in token_hits  # the documented blind spot
+    char_hits = {
+        (r["doc_a"], r["doc_b"])
+        for r in fuzzy_dedup(docs, blocking="char").collect()
+    }
+    assert char_hits == {(1, 2)}
+
+
+def test_fuzzy_dedup_char_blocking_planted_ocr_recall(spark):
+    """Planted-OCR-noise recall property: every corpus doc gets a twin
+    with ~4% of its characters substituted at seeded-random positions
+    (classic OCR confusions); char-5-gram-blocked fuzzy_dedup must
+    recover EVERY planted pair — and nothing that links two different
+    base docs."""
+    import random
+
+    from streamforge_data_pipeline_spark.operators.minhash import fuzzy_dedup
+
+    rng = random.Random(20260815)
+    rows = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(20).collect()
+
+    def ocr_noise(s: str) -> str:
+        chars = list(s)
+        n_edits = max(1, int(len(chars) * 0.04))
+        for _ in range(n_edits):
+            i = rng.randrange(len(chars))
+            if chars[i] != " ":
+                chars[i] = rng.choice("ilo01rn")
+        return "".join(chars)
+
+    planted = [(r["doc_id"], r["text"]) for r in rows] + [
+        (r["doc_id"] + 100_000, ocr_noise(r["text"])) for r in rows
+    ]
+    docs = spark.createDataFrame(planted, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in fuzzy_dedup(docs, blocking="char").collect()
+    }
+    want = {(r["doc_id"], r["doc_id"] + 100_000) for r in rows}
+    missing = want - got
+    assert not missing, f"planted OCR pairs evaded char blocking: {missing}"
+    cross = {
+        (a, b) for (a, b) in got
+        if (b - a) != 100_000 and not (a < 100_000 and b < 100_000)
+    }
+    # pairs among the originals may legitimately exist (the corpus has
+    # real near-dups); what must NOT happen is noise linking two
+    # DIFFERENT base docs' twins
+    assert not cross or all(
+        (a, b - 100_000) in got or (b - 100_000, a) in got or a == b - 100_000
+        for (a, b) in cross if b >= 100_000
+    )

@@ -322,3 +322,106 @@ def test_bucketed_index_crash_between_appends_recovers(spark, tmp_path):
     assert rows == {1: None, 2: None, 3: 1}
     idx = store.read(spark, "hash_index")
     assert idx.count() == 2  # no double-index
+
+
+def test_index_layout_flip_raises(spark, tmp_path):
+    """r6 advice: toggling index_buckets over an existing index would
+    mix flat and hive-partitioned files in one parquet dir — the guard
+    refuses at open with an error naming the config flip, instead of
+    letting partition discovery fail (or silently drop hb) batches
+    later."""
+    import pytest
+
+    store = TableStore(str(tmp_path / "store_flip"))
+    batch = spark.createDataFrame(
+        [(1, "aa"), (2, "bb")], "doc_id long, text string"
+    )
+    _resolve_batch(spark, batch, store, "hash_index", "log", "doc_id", "text")
+    with pytest.raises(ValueError, match="index_buckets"):
+        _resolve_batch(spark, batch, store, "hash_index", "log", "doc_id",
+                       "text", index_buckets=8)
+
+    # the reverse flip (bucketed -> flat), and a bucket-COUNT flip
+    store2 = TableStore(str(tmp_path / "store_flip2"))
+    _resolve_batch(spark, batch, store2, "hash_index", "log", "doc_id", "text",
+                   index_buckets=8)
+    with pytest.raises(ValueError, match="index_buckets"):
+        _resolve_batch(spark, batch, store2, "hash_index", "log", "doc_id",
+                       "text")
+    with pytest.raises(ValueError, match="index_buckets"):
+        _resolve_batch(spark, batch, store2, "hash_index", "log", "doc_id",
+                       "text", index_buckets=16)
+    # same setting keeps working
+    _resolve_batch(spark, batch, store2, "hash_index", "log", "doc_id", "text",
+                   index_buckets=8)
+
+
+def test_index_layout_sniff_presidecar(spark, tmp_path):
+    """An index written before the layout sidecar existed is adjudicated
+    by directory sniff: flat dir + bucketed config still raises."""
+    import os as _os
+
+    import pytest
+
+    store = TableStore(str(tmp_path / "store_sniff"))
+    batch = spark.createDataFrame([(1, "aa")], "doc_id long, text string")
+    _resolve_batch(spark, batch, store, "hash_index", "log", "doc_id", "text")
+    # simulate a pre-r7 store: drop the sidecar
+    import shutil
+
+    shutil.rmtree(store.path("hash_index__layout"))
+    with pytest.raises(ValueError, match="flat"):
+        _resolve_batch(spark, batch, store, "hash_index", "log", "doc_id",
+                       "text", index_buckets=4)
+    # matching config re-stamps the sidecar and proceeds
+    _resolve_batch(spark, batch, store, "hash_index", "log", "doc_id", "text")
+    assert _os.path.exists(store.path("hash_index__layout"))
+
+
+def test_auto_index_buckets_trickle_vs_bulk(spark, tmp_path):
+    """r6 brief #5: index_buckets='auto' lays out a NEW index from the
+    measured first-batch shape — trickle (small distinct count) gets a
+    bucketed layout sized ~16k, bulk gets flat — and adopts an existing
+    index's pinned layout instead of re-deciding."""
+    import os as _os
+
+    # trickle: 3 distinct docs -> bucketed at the floor (2^6)
+    store = TableStore(str(tmp_path / "store_auto_t"))
+    trickle = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "cc")],
+        "doc_id long, text string",
+    )
+    _resolve_batch(spark, trickle, store, "hash_index", "log", "doc_id",
+                   "text", index_buckets="auto")
+    assert any(
+        d.startswith("hb=") for d in _os.listdir(store.path("hash_index"))
+    )
+    rows = store.read(spark, "hash_index__layout").collect()
+    assert rows[0]["index_buckets"] == 64
+
+    # a later batch under auto adopts the pinned layout (no flip, no
+    # guard trip) and keeps annotating correctly
+    more = spark.createDataFrame(
+        [(9, "aa"), (10, "zz")], "doc_id long, text string"
+    )
+    _resolve_batch(spark, more, store, "hash_index", "log", "doc_id",
+                   "text", index_buckets="auto")
+    log = {r["doc_id"]: r["dup_of"] for r in store.read(spark, "log").collect()}
+    assert log[9] == 1 and log[10] is None
+
+    # bulk: > AUTO_BULK_K distinct docs -> flat
+    from streamforge_data_pipeline_spark.streaming.exact_dedup_stream import (
+        AUTO_BULK_K,
+    )
+
+    store_b = TableStore(str(tmp_path / "store_auto_b"))
+    bulk = spark.range(AUTO_BULK_K + 100).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("d"), F.col("id")).alias("text")
+    )
+    _resolve_batch(spark, bulk, store_b, "hash_index", "log", "doc_id",
+                   "text", index_buckets="auto")
+    assert not any(
+        d.startswith("hb=") for d in _os.listdir(store_b.path("hash_index"))
+    )
+    rows = store_b.read(spark, "hash_index__layout").collect()
+    assert rows[0]["index_buckets"] == 0

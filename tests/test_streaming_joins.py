@@ -205,3 +205,87 @@ def test_interval_join_spread_matches_plain(spark, tmp_path):
     _drain(out, "spread_out")
     got = {(r["l_id"], r["r_id"]) for r in spark.table("spread_out").collect()}
     assert got == expected and expected
+
+
+def test_interval_join_spread_rejects_narrow_bucket(spark):
+    """r6 advice: a spread bucket narrower than the interval span leaves
+    true matches in interior buckets with no left copy — must raise, not
+    silently drop rows."""
+    import pytest
+
+    from streamforge_data_pipeline_spark.streaming.joins_stream import (
+        interval_join_spread,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "k long, ts string"
+    )
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00")], "k long, ts string"
+    )
+    with pytest.raises(ValueError, match="narrower than the interval span"):
+        interval_join_spread(
+            left, right, "k", lower="0 seconds", upper="15 minutes",
+            spread_seconds=60,
+        )
+
+
+def test_drain_spread_outer_parity_with_native(spark, tmp_path):
+    """r6 brief #6: the drain-time outer composition over the spread
+    plan (spread-inner ∪ watermark-final null-pads) must equal the
+    NATIVE outer interval join on the same time-sliced sources, for
+    all three outer modes."""
+    import time
+    from datetime import datetime
+
+    from streamforge_data_pipeline_spark.streaming.joins_stream import (
+        drain_interval_join_spread,
+        interval_join,
+    )
+
+    def ts(s):
+        return datetime.fromisoformat("2024-03-01 " + s)
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    lschema = "l_id long, ts timestamp, user_id long"
+    rschema = "r_id long, ts timestamp, user_id long"
+    # slice 1
+    spark.createDataFrame(
+        [(1, ts("01:00:00"), 10), (2, ts("01:00:00"), 20)], lschema
+    ).write.mode("append").parquet(lsrc)
+    spark.createDataFrame(
+        [(100, ts("01:05:00"), 10), (150, ts("01:20:00"), 55)], rschema
+    ).write.mode("append").parquet(rsrc)
+    time.sleep(1.1)
+    # slice 2: watermark pushers + a young unmatched row on each side
+    spark.createDataFrame(
+        [(3, ts("05:00:00"), 90)], lschema
+    ).write.mode("append").parquet(lsrc)
+    spark.createDataFrame(
+        [(200, ts("05:00:00"), 80)], rschema
+    ).write.mode("append").parquet(rsrc)
+
+    for how in ("leftOuter", "rightOuter", "fullOuter"):
+        lb = spark.readStream.schema(lschema).parquet(lsrc)
+        rb = spark.readStream.schema(rschema).parquet(rsrc)
+        native = interval_join(lb, rb, key="user_id", how=how).select(
+            F.col("l.l_id").alias("l_id"), F.col("r.r_id").alias("r_id")
+        )
+        name = f"native_{how.lower()}"
+        _drain(native, name)
+        want = {
+            (r["l_id"], r["r_id"]) for r in spark.table(name).collect()
+        }
+
+        got_df = drain_interval_join_spread(
+            spark,
+            spark.readStream.schema(lschema).parquet(lsrc),
+            spark.readStream.schema(rschema).parquet(rsrc),
+            spark.read.schema(lschema).parquet(lsrc),
+            spark.read.schema(rschema).parquet(rsrc),
+            key="user_id",
+            how=how,
+        )
+        got = {(r["l_id"], r["r_id"]) for r in got_df.collect()}
+        assert got == want, (how, got, want)
+        assert got, how
