@@ -69,9 +69,13 @@ HEADLINE = [
     "simhash_near_dup",
     "fuzzy_dedup",
     "ann_lsh_seeded",
-    # r7: the seeded trained-quantizer drain + spread-outer drain
+    # r7: the seeded trained-quantizer drain + spread-outer drain,
+    # the Manku radius dial, and the sketch-calibration key
     "stream_semantic_dedup_trained_seeded",
     "stream_interval_join_spread_outer",
+    "simhash_near_dup_radius6",
+    "minhash_estimate",
+    "stream_heavy_hitters",
 ]
 
 

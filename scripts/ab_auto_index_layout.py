@@ -2,18 +2,19 @@
 """A/B of `index_buckets="auto"` (r6 brief #5) in BOTH regimes at sf1:
 
 - trickle regime: the sf1 documents restaged as many small files,
-  drained 1 file/trigger (~500 distinct docs/batch) — auto must
-  choose the bucketed layout and the probe must stay partition-pruned
-  as the index grows;
+  drained 1 file/trigger (~500 distinct docs/batch);
 - bulk regime: the stock multi-file layout drained 3 files/trigger
-  (~4.7k distinct docs/batch > AUTO_BULK_K) — auto must choose flat,
-  the r6.6-measured winner there.
+  (~4.7k distinct docs/batch > AUTO_BULK_K).
 
-Each regime runs auto against the manually-chosen BEST layout (r6.6:
-bucketed for trickle, flat for bulk) and against the manually-chosen
-WRONG one, asserting identical decision logs and reporting steady
-per-batch resolve means — the evidence that auto lands on the right
-side of the regime boundary from its first-batch measurement alone.
+Each regime runs flat, forced-bucketed(4096), and auto, asserting
+identical decision logs and reporting steady per-batch resolve means.
+THE MEASUREMENT THAT FIXED THE POLICY: at sf1 index sizes flat wins
+BOTH regimes (trickle: flat 1.05 s/batch vs bucketed ~10 s; bulk:
+0.81 s vs 36.3 s) because the per-batch small-file appends dwarf the
+near-free flat probe — so auto starts flat and only migrates to
+bucketed once the measured on-disk index crosses AUTO_MIGRATE_BYTES.
+A fourth scenario forces that migration (auto_migrate_bytes=1) and
+asserts the migrated index keeps pruned probes and identical logs.
 
 Usage: python scripts/ab_auto_index_layout.py [SF_DIR] [TRICKLE_FILES] [TRICKLE_CAP]
 Prints one JSON line.
@@ -63,13 +64,19 @@ def main() -> None:
         for regime, src, fpt, modes in [
             ("trickle", src_trickle, 1, [None, 4096, "auto"]),
             ("bulk", src_bulk, 3, [None, 4096, "auto"]),
+            # forced early migration: auto flips to bucketed mid-stream
+            ("trickle_migrated", src_trickle, 1, [None, "auto"]),
         ]:
             logs = {}
             for mode in modes:
                 label = "flat" if mode is None else str(mode)
                 print(f"{regime} / {label}:", flush=True)
                 batches, decided, total, rows = run_mode(
-                    spark, src, mode, files_per_trigger=fpt
+                    spark, src, mode, files_per_trigger=fpt,
+                    auto_migrate_bytes=(
+                        1 if regime == "trickle_migrated" and mode == "auto"
+                        else None
+                    ),
                 )
                 assert decided == total, (regime, label)
                 logs[label] = rows
@@ -86,9 +93,12 @@ def main() -> None:
             vals = list(logs.values())
             assert all(v == vals[0] for v in vals), f"{regime}: logs differ"
             out[f"{regime}_logs_identical"] = True
-        # auto must have landed bucketed in the trickle regime: its
-        # last probe read a pruned file subset
+        # at sf1 sizes auto stays FLAT in both regimes (the measured
+        # winner); the forced-migration scenario must end bucketed
+        # with a pruned probe
         pf, tf = out["trickle_auto_probe_files_last"]
+        assert pf == tf, (pf, tf)
+        pf, tf = out["trickle_migrated_auto_probe_files_last"]
         assert pf < tf, (pf, tf)
     finally:
         shutil.rmtree(stage, ignore_errors=True)

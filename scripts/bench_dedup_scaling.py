@@ -58,6 +58,14 @@ KEYS = [
     "simhash_near_dup",
     "fuzzy_dedup",
     "snapshot_diff",
+    # r7 (r6 brief #8): the 2026-era keys that lacked per-octave rows
+    "asof_join_tolerance",
+    "interval_join_spread",
+    "stream_session_window",
+    # r7 additions
+    "ann_lsh_seeded",
+    "stream_semantic_dedup_trained_seeded",
+    "stream_interval_join_spread_outer",
 ]
 
 # sf1 MUST be the multi-file layout (sf1mf): the single-file sf1 dir
@@ -72,11 +80,20 @@ SF_DIRS = [
 
 
 def main() -> None:
+    global KEYS
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     # optional arg 2: comma-separated SF names to probe (e.g. "1" to
     # re-run one column after a layout fix)
     sf_filter = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     sf_dirs = [x for x in SF_DIRS if sf_filter is None or x[0] in sf_filter]
+    # optional arg 3: comma-separated KEY filter (targeted re-measure
+    # of a round's new/changed keys without the full 30-key run)
+    if len(sys.argv) > 3:
+        wanted = set(sys.argv[3].split(","))
+        unknown = wanted - set(KEYS)
+        if unknown:
+            raise SystemExit(f"keys not in the probe set: {sorted(unknown)}")
+        KEYS = [k for k in KEYS if k in wanted]
     spark = get_session("dedup-scaling")
     spark.sparkContext.setLogLevel("ERROR")
 

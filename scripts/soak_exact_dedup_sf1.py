@@ -32,7 +32,7 @@ from streamforge_data_pipeline_spark.sources.store import TableStore  # noqa: E4
 from streamforge_data_pipeline_spark.streaming import exact_dedup_stream  # noqa: E402
 
 
-def run_mode(spark, src, buckets, files_per_trigger=3):
+def run_mode(spark, src, buckets, files_per_trigger=3, auto_migrate_bytes=None):
     work = tempfile.mkdtemp(prefix="sfdp_soak_xd_")
     store = TableStore(os.path.join(work, "store"))
     batches = []
@@ -86,6 +86,7 @@ def run_mode(spark, src, buckets, files_per_trigger=3):
             checkpoint_dir=os.path.join(work, "ckpt"),
             max_files_per_trigger=files_per_trigger,
             index_buckets=buckets,
+            auto_migrate_bytes=auto_migrate_bytes,
         )
         q.awaitTermination()
     finally:

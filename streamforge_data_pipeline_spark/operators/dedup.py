@@ -276,7 +276,7 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_near_pairs(sigs: DataFrame, doc_id: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
     """Near-duplicate pairs within a Hamming radius over SimHash
     fingerprints, blocked by bit-bands (Manku, Jain & Das Sarma 2007's
     web-crawl dedup scheme, recast as a band equi-join).
@@ -292,33 +292,43 @@ def simhash_near_pairs(sigs: DataFrame, doc_id: str = "doc_id",
     docs — are dropped map-side and never reach the dedup shuffle,
     whose volume is then <= 4x the true answer, not the candidate set.
 
-    Exactness requires ``max_hamming`` <= number_of_bands - 1; guarded.
+    Exactness requires ``max_hamming`` <= ``n_bands`` - 1; guarded.
+    ``n_bands`` must divide 64. This parameterization IS Manku's
+    band/radius trade: a larger radius needs more (hence narrower)
+    bands, and each halving of band width multiplies coincidental
+    collisions by 2^(width/2)... i.e. radius 6-7 costs the 8x8-bit
+    layout's ~n^2/2048 candidate term — inherent to the recall target,
+    not a layout accident (Manku's sorted permutation tables spend
+    memory on exactly this). Default radius <= 3 keeps 16-bit bands.
 
-    Scale bound: 4 x 2^16 band buckets put the coincidental-collision
-    term at ~n^2/2^18 — 256x below the r6 4x8-bit layout, whose
-    measured n^2/1024 growth (1.2s -> 19.2s -> 34.3s at sf0.1/1/2) was
-    the dominant cost from ~10^6 docs. The 16-bit widening (this
-    layout, r7) pushes the crossover to ~10^8 docs; past that, Manku's
-    multi-table sorted-permutation layout is the next step — the
-    verify-before-distinct shape is unchanged by either. The arithmetic
-    vs logical shift question for the sign-carrying top band is moot:
-    `& 65535` keeps exactly bits 48-63 under both conventions, so the
-    Spark and DuckDB band keys agree on negative fingerprints.
+    Scale bound (default layout): 4 x 2^16 band buckets put the
+    coincidental-collision term at ~n^2/2^18 — 256x below the r6
+    4x8-bit layout, whose measured n^2/1024 growth (1.2s -> 19.2s ->
+    34.3s at sf0.1/1/2) was the dominant cost from ~10^6 docs. The
+    16-bit widening (r7) pushes the crossover to ~10^8 docs. The
+    arithmetic vs logical shift question for the sign-carrying top
+    band is moot: the band mask keeps exactly the band's bits under
+    both conventions, so Spark and DuckDB band keys agree on negative
+    fingerprints.
     """
-    if max_hamming > 3:
+    if SIMHASH_BITS % n_bands:
+        raise ValueError(f"n_bands must divide {SIMHASH_BITS}; got {n_bands}")
+    if max_hamming > n_bands - 1:
         raise ValueError(
-            "4-band blocking is only exact for max_hamming <= 3; "
-            f"got {max_hamming}"
+            f"{n_bands}-band blocking is only exact for max_hamming <= "
+            f"{n_bands - 1}; got {max_hamming}"
         )
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
     bands = sigs.select(
         F.col(doc_id),
         F.col("simhash"),
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     ).withColumn(
         # SQL form: the PySpark shiftright wrapper only takes a literal
         # shift amount, not a per-row Column
         "band_key",
-        F.expr("shiftright(simhash, band * 16) & 65535"),
+        F.expr(f"shiftright(simhash, band * {width}) & {mask}"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (

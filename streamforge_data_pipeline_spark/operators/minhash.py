@@ -747,6 +747,86 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     return finalize_released(out, sh)
 
 
+def minhash_estimate_pairs(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Sketch calibration: for every LSH candidate pair, the MinHash
+    ESTIMATE (fraction of agreeing signature components — the unbiased
+    estimator Pr[min_pi(A) = min_pi(B)] = J(A,B), Broder '97) next to
+    the exact token-3-gram Jaccard. (doc_a, doc_b, est_jaccard,
+    jaccard).
+
+    This is the operator a pipeline runs before trusting
+    sketch-threshold dedup at a scale where exact verification is
+    unaffordable: the est-vs-exact residuals on an affordable sample
+    bound the sketch's miss rate at the production tau. With 16
+    INDEPENDENT hash functions the estimate's standard error is
+    sqrt(J(1-J)/16) <= 0.125 — the calibration quantifies it per
+    corpus instead of assuming it.
+
+    Estimator family matters: the estimate uses per-component
+    RE-HASHING (component j = min over shingles of
+    hash60(sh || '#j') — 16 genuinely independent functions), NOT the
+    production affine permutations. Building this operator surfaced
+    why: the affine family's small multipliers (2j+1 <= 31) never wrap
+    MERSENNE31 when the corpus-minimum shingle hash is small, so all
+    16 components are order-preserving and track the SAME min shingle
+    — two docs sharing one rare shingle measured est=1.0 at true
+    J=0.007 on the sf0.001 corpus. Harmless for LSH (collisions only
+    generate candidates; the exact verifier decides) but disqualifying
+    for an estimator. Candidate generation still uses the production
+    band machinery, so the calibration measures the production
+    candidate set with an unbiased estimator.
+
+    Everything is integer arithmetic (md5-derived hashes,
+    component-equality counts; est = count/16 is a binary-exact
+    division) — the full pipeline including the estimator replays in
+    the DuckDB oracle. One shuffle per signature relation, band
+    equi-join for candidates, and the exact verifier only touches
+    candidates' shingles (the minhash_lsh_dedup machinery re-used).
+    """
+    import functools
+    import operator
+
+    sh = shingles_raw(df, id_col, text).persist()
+    cands = candidate_pairs(band_keys(signatures(sh)))
+    isigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(hash60(F.concat(F.col("sh"), F.lit(f"#{j}")))).alias(f"m{j}")
+            for j in range(NUM_PERMS)
+        ]
+    ).persist()
+    a = isigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{j}").alias(f"__a{j}") for j in range(NUM_PERMS)],
+    )
+    b = isigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{j}").alias(f"__b{j}") for j in range(NUM_PERMS)],
+    )
+    agree = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"__a{j}") == F.col(f"__b{j}"), 1).otherwise(0)
+            for j in range(NUM_PERMS)
+        ],
+    )
+    est = (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(NUM_PERMS)), 4).alias("est_jaccard"),
+        )
+    )
+    exact = exact_jaccard(sh, cands).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+    out = est.join(exact, ["doc_a", "doc_b"])
+    return finalize_released(out, sh, isigs)
+
+
 def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
                         text: str = "text", k: int = 4,
                         w: int = 4) -> DataFrame:

@@ -348,6 +348,15 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     return minhash.minhash_lsh_dedup(load(spark, sf_dir, "documents"), tau=0.5)
 
 
+def q_minhash_estimate(spark, sf_dir):
+    """Sketch calibration (r7): MinHash-estimated vs exact Jaccard for
+    every LSH candidate pair — the residuals a pipeline measures on an
+    affordable sample before trusting sketch-threshold dedup at scales
+    where exact verification is unaffordable. All-integer estimator,
+    so the oracle replays it."""
+    return minhash.minhash_estimate_pairs(load(spark, sf_dir, "documents"))
+
+
 def q_lsh_probe_dedup(spark, sf_dir):
     """Incremental near-dup: every 5th doc plays the incoming batch,
     the rest play the already-indexed corpus."""
@@ -375,13 +384,25 @@ def q_simhash(spark, sf_dir):
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    """Manku-style Hamming-radius near-dup pairs over SimHash
-    fingerprints: 4x8-bit band blocking (exact for radius <= 3 by
+    """Manku-style Hamming-radius near-dup pairs over 64-bit SimHash
+    fingerprints: 4x16-bit band blocking (exact for radius <= 3 by
     pigeonhole), verifier before the distinct."""
     sigs = dedup.simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
     return dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=3).withColumn(
         "hamming", F.col("hamming").cast("int")
     )
+
+
+def q_simhash_near_dup_radius6(spark, sf_dir):
+    """The Manku band/radius trade at a LOOSER radius: 8x8-bit bands
+    are pigeonhole-exact for Hamming <= 6 (wider recall for heavier
+    paraphrase), at the inherent cost of 256-bucket bands' larger
+    coincidental candidate term — the memory/recall dial Manku's
+    permutation tables turn, expressed as one parameter."""
+    sigs = dedup.simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
+    return dedup.simhash_near_pairs(
+        sigs, "doc_id", max_hamming=6, n_bands=8
+    ).withColumn("hamming", F.col("hamming").cast("int"))
 
 
 def q_topk_cosine(spark, sf_dir):
@@ -1565,6 +1586,45 @@ def q_stream_interval_join(spark, sf_dir):
     return res
 
 
+def q_stream_heavy_hitters(spark, sf_dir):
+    """Continuous bounded-state skew profiling drained as ONE batch
+    with capacity above the key cardinality: zero MG decrements, so
+    the summary holds EXACT counts and the top-20 equals the batch
+    profiler — oracle-checked; the bounded-capacity multi-batch error
+    bound is pytest-asserted (streaming/heavy_hitters_stream)."""
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from streamforge_data_pipeline_spark.streaming.heavy_hitters_stream import (
+        start_stream_heavy_hitters,
+        top_k,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    work = tempfile.mkdtemp(prefix="sfdp_shh_")
+    try:
+        src = os.path.join(work, "events")
+        ev.write.mode("overwrite").parquet(src)
+        store = TableStore(os.path.join(work, "store"))
+        q = start_stream_heavy_hitters(
+            spark,
+            src,
+            store,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            schema="event_id long, user_id long",
+            key="user_id",
+            capacity=1 << 20,
+            max_files_per_trigger=10_000,  # one batch: exact counters
+        )
+        q.awaitTermination()
+        return top_k(spark, store, k=20).withColumn(
+            "n", F.col("n").cast("long")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_stream_interval_join_spread_outer(spark, sf_dir):
     """LEFT-OUTER error -> purchase attribution on the skew-spread
     plan, composed at drain time (r6 brief #6): spread-inner stream ∪
@@ -1946,6 +2006,34 @@ FROM lev WHERE d <= 0.2 * ml""",
         ),
         "E2: MinHash(16 perms) + LSH(4x4 bands) + exact-Jaccard verify",
     ),
+    "minhash_estimate": QuerySpec(
+        q_minhash_estimate,
+        f"""WITH {SHINGLE_CTES},
+{_LSH_CAND_CTES},
+isig AS (SELECT doc_id, perm_id,
+           MIN(CAST(concat('0x', substr(md5(sh || '#' || CAST(perm_id AS VARCHAR)),1,15)) AS BIGINT)) AS mh
+         FROM sh, (SELECT unnest(range(0,16)) AS perm_id)
+         GROUP BY doc_id, perm_id),
+agree AS (SELECT c.doc_a, c.doc_b,
+            SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS eq
+          FROM cand c
+          JOIN isig sa ON sa.doc_id = c.doc_a
+          JOIN isig sb ON sb.doc_id = c.doc_b AND sb.perm_id = sa.perm_id
+          GROUP BY c.doc_a, c.doc_b),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+s AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT g.doc_a, g.doc_b, round(g.eq/16.0, 4) AS est_jaccard,
+       round(p.inter*1.0/(sa.n+sb.n-p.inter), 4) AS jaccard
+FROM agree g JOIN p ON p.doc_a = g.doc_a AND p.doc_b = g.doc_b
+JOIN s sa ON g.doc_a = sa.doc_id JOIN s sb ON g.doc_b = sb.doc_id""",
+        "E2 calibration: MinHash component-agreement estimate (16"
+        " independent re-hash functions — the affine family is"
+        " order-correlated, see minhash_estimate_pairs) vs exact"
+        " Jaccard per LSH candidate pair; integer-exact, oracle-replayed",
+    ),
     "lsh_probe_dedup": QuerySpec(
         q_lsh_probe_dedup,
         f"""WITH {SHINGLE_CTES},
@@ -2040,6 +2128,33 @@ SELECT doc_a, doc_b, hamming FROM cand""",
         " band blocking over 64-bit fingerprints — oracle mirrors the"
         " banding, so the pigeonhole exactness argument is itself"
         " cross-checked",
+    ),
+    "simhash_near_dup_radius6": QuerySpec(
+        q_simhash_near_dup_radius6,
+        f"""WITH {TOKS_CTE},
+tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) AS h,
+             CAST(concat('0x', substr(md5(t),17,15)) AS BIGINT) AS h2 FROM tok),
+bits AS (SELECT doc_id, h, h2, unnest(range(0,64)) AS bit FROM h),
+signs AS (SELECT doc_id, bit,
+          SUM(CASE WHEN (CASE WHEN bit < 60 THEN (h >> bit) ELSE (h2 >> (bit-60)) END) & 1 = 1
+              THEN 1 ELSE -1 END) AS s
+          FROM bits GROUP BY doc_id, bit),
+sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s <= 0 THEN 0
+                                   WHEN bit = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                                   ELSE (CAST(1 AS BIGINT) << bit) END) AS BIGINT) AS simhash
+        FROM signs GROUP BY doc_id),
+bands AS (SELECT doc_id, simhash, band, (simhash >> (band*8)) & 255 AS band_key
+          FROM sig, (SELECT unnest(range(0,8)) AS band)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       FROM bands a JOIN bands b
+         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 6)
+SELECT doc_a, doc_b, hamming FROM cand""",
+        "E2c at the looser radius: 8x8-bit bands, pigeonhole-exact for"
+        " Hamming <= 6 — the Manku band/radius memory-recall trade as"
+        " one parameter, oracle replaying the banding",
     ),
     "topk_cosine": QuerySpec(
         q_topk_cosine,
@@ -2974,6 +3089,14 @@ FROM events GROUP BY 1""",
   round(count(*) * 1.0 / (SELECT count(*) FROM events), 4) AS share
 FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20""",
         "join-key skew profiler: top-20 heaviest keys with traffic share",
+    ),
+    "stream_heavy_hitters": QuerySpec(
+        q_stream_heavy_hitters,
+        """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+  round(count(*) * 1.0 / (SELECT count(*) FROM events), 4) AS share
+FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20""",
+        "streaming bounded-state skew profiler drained: one-batch MG"
+        " summary above cardinality = exact counts, top-20 with share",
     ),
     "heavy_hitters_sketch": QuerySpec(
         q_heavy_hitters_sketch,

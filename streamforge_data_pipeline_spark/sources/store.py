@@ -274,6 +274,48 @@ class TableStore:
         shutil.rmtree(tmp, ignore_errors=True)
         return len(glob.glob(os.path.join(final, "part-*")))
 
+    def compact_partitioned(
+        self, spark: SparkSession, table: str, partition_cols: list[str]
+    ) -> int:
+        """Small-file compaction for a HIVE-PARTITIONED table,
+        preserving its directory layout — the maintenance job an
+        append-per-batch partitioned index (exact_dedup_stream's
+        ``index_buckets``, the trained semantic corpus's cell
+        partitioning) needs between batches: each micro-batch appends
+        one file per touched partition, so a long-lived index
+        accumulates files linearly with batch count while its LOGICAL
+        size stays corpus-bound.
+
+        One shuffle on the partition columns (every partition's rows
+        land in one task -> exactly one file per partition directory),
+        staged into a sibling temp dir and swapped in with two renames
+        — a single data rewrite, unlike the flat :meth:`compact`'s
+        double write. Run it quiesced (between batches / with the
+        stream stopped): the swap is not concurrent-reader-safe, which
+        is the standard contract for OPTIMIZE-style maintenance.
+        Returns the new data-file count. Layout sidecars (e.g. the
+        dedup index's ``__layout``) are untouched — the partition
+        values, column set, and row contents are identical by
+        construction, only file boundaries change.
+        """
+        import glob
+        import shutil
+
+        final = self.path(table)
+        tmp = final + "__compact"
+        old = final + "__precompact"
+        df = self.read(spark, table)
+        (
+            df.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(tmp)
+        )
+        os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(old, ignore_errors=True)
+        return len(glob.glob(os.path.join(final, "**", "part-*"), recursive=True))
+
     def existing_ids(self, spark: SparkSession, table: str = "items") -> DataFrame:
         """S3/P1: projection pushdown — only external_id reaches the scan
         (the reference's prefetch query, ItemRepository.java:16-17)."""

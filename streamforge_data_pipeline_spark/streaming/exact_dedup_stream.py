@@ -133,16 +133,34 @@ def _replay_guard_decision(
     return batch_id <= row["batch_id"], True
 
 
-# auto-layout regime constants (r6 brief #5; regime measured in
-# PERF_NOTES r6.6): bucketed pruning pays when the per-batch distinct
-# count k is well under the bucket count B — choose B ~ 16k (touched
-# share 1-e^{-k/B} ~ 6%) within operational directory bounds
-# [2^6, 2^12], and fall back to flat when the first batch is
-# bulk-shaped: with B capped at 2^12, k above ~B/8 = 512 reads most of
-# the index through the IN-list anyway while paying per-batch
-# small-file appends — the r6.6 2x regression regime.
+# auto-layout regime constants (r6 brief #5). The r7 sf1 A/B
+# (PERF_NOTES r7.8, scripts/ab_auto_index_layout.py) settled the
+# decision variable: it is NOT the batch's shape but the INDEX'S
+# MEASURED SIZE. At small index sizes the flat probe is nearly free
+# while a bucketed append touches ~k directories of small files per
+# batch — measured ~10x slower per batch at sf1 in BOTH regimes — so
+# auto starts every new index flat and MIGRATES to the bucketed
+# layout only once the on-disk index crosses AUTO_MIGRATE_BYTES
+# (where scanning the whole index per probe becomes the dominant
+# term) AND the arriving batches are trickle-shaped (k <= AUTO_BULK_K:
+# with B capped at 2^12, k above ~B/8 reads most buckets through the
+# IN-list anyway — the r6.6 2x regression regime). The migration is
+# one O(index) partitioned rewrite, amortized exactly like the
+# trained quantizer's re-cell.
 AUTO_BULK_K = 512
 AUTO_MIN_BUCKETS_LOG2, AUTO_MAX_BUCKETS_LOG2 = 6, 12
+AUTO_MIGRATE_BYTES = 4 << 30  # 4 GiB: ~seconds of flat scan per probe
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
 
 
 def _auto_index_buckets(
@@ -151,46 +169,69 @@ def _auto_index_buckets(
     index_table: str,
     batch_df: DataFrame,
     text: str,
+    migrate_bytes: int | None = None,
 ) -> int | None:
     """Resolve ``index_buckets="auto"`` to a concrete layout.
 
-    An existing index's layout is already pinned (the sidecar the
-    layout guard wrote) — auto adopts it. A NEW index is laid out from
-    the measured shape of its first batch, the decide-then-plan
-    pattern of skew_aware_interval_join: k = the batch's distinct-hash
-    count; bulk batches (k > AUTO_BULK_K, the r6.6 regime where a
-    B=64 index went 2x slower) get the flat layout, trickle batches
-    get B = next_pow2(16k) clamped to [2^6, 2^12] so the expected
-    probe reads ~6% of the index and appends touch ~k directories.
-    The first batch is a proxy for the stream's shape — the same
-    assumption every partitioner bootstrap makes; a mis-shaped first
-    batch costs the flat-vs-pruned delta, not correctness (the guard
-    pins whatever was chosen, and the log is layout-independent)."""
+    A NEW index starts FLAT — the r7 sf1 A/B measured flat winning
+    BOTH batch regimes while the index is small (see the module
+    constants; trickle flat 1.05 s/batch vs bucketed ~10 s). A flat
+    auto index is then re-evaluated per batch against the MEASURED
+    batch/index ratio: once the on-disk index exceeds
+    ``migrate_bytes`` (default AUTO_MIGRATE_BYTES) and the current
+    batch is trickle-shaped (distinct count k <= AUTO_BULK_K), the
+    index MIGRATES to the hive-bucketed layout with
+    B = next_pow2(16k) in [2^6, 2^12] (expected probe reads ~6% of a
+    now-large index) via one partitioned rewrite + sidecar restamp —
+    the same O(index)-rewrite-at-a-measured-threshold amortization as
+    the trained quantizer's re-cell. An index already bucketed (by
+    auto migration or an explicit setting) is adopted as-is.
+    Decisions and the log are layout-independent throughout — only
+    cost moves (asserted by the A/B's identical-logs postcondition)."""
     import math
 
     layout_table = f"{index_table}__layout"
-    if os.path.exists(store.path(index_table)):
-        if os.path.exists(store.path(layout_table)):
-            rows = store.read(spark, layout_table).collect()
-            b = rows[0]["index_buckets"] if rows else 0
-            return b or None
+    if not os.path.exists(store.path(index_table)):
+        return None  # new index: flat until the measured ratio says otherwise
+    if not os.path.exists(store.path(layout_table)):
         raise ValueError(
             f"index table {index_table!r} predates the layout sidecar; "
             "index_buckets='auto' cannot adopt its layout — pass the "
             "original explicit setting once to stamp it."
         )
+    rows = store.read(spark, layout_table).collect()
+    b = rows[0]["index_buckets"] if rows else 0
+    if b:
+        return b
+    threshold = AUTO_MIGRATE_BYTES if migrate_bytes is None else migrate_bytes
+    if _dir_bytes(store.path(index_table)) < threshold:
+        return None
     k = (
         batch_df.select(F.sha2(F.col(text).cast("binary"), 256))
         .distinct()
         .count()
     )
     if k > AUTO_BULK_K:
-        return None
+        return None  # bulk batches would read most buckets anyway
     log2_b = max(
         AUTO_MIN_BUCKETS_LOG2,
         min(AUTO_MAX_BUCKETS_LOG2, math.ceil(math.log2(max(16 * k, 2)))),
     )
-    return 1 << log2_b
+    buckets = 1 << log2_b
+    # migrate: one O(index) partitioned rewrite (localCheckpoint before
+    # overwriting our own input path — the _ensure_centroids pattern),
+    # then restamp the sidecar LAST so a crash mid-migration re-runs
+    # the deterministic rewrite instead of mixing layouts.
+    idx = store.read(spark, index_table)
+    recast = idx.withColumn(
+        "hb", F.pmod(F.xxhash64("content_hash"), F.lit(buckets))
+    ).localCheckpoint(eager=True)
+    store.overwrite_partitioned(recast, index_table, ["hb"])
+    store.overwrite(
+        spark.createDataFrame([(buckets,)], "index_buckets int"),
+        layout_table,
+    )
+    return buckets
 
 
 def _index_layout_guard(
@@ -266,10 +307,12 @@ def _resolve_batch(
     batch_id: int | None = None,
     run_id: str | None = None,
     index_buckets: int | None | str = None,
+    auto_migrate_bytes: int | None = None,
 ) -> None:
     if index_buckets == "auto":
         index_buckets = _auto_index_buckets(
-            spark, store, index_table, batch_df, text
+            spark, store, index_table, batch_df, text,
+            migrate_bytes=auto_migrate_bytes,
         )
     _index_layout_guard(spark, store, index_table, index_buckets)
     # idempotent re-run guard: the log is the decision record — a
@@ -393,6 +436,7 @@ def start_stream_exact_dedup(
     available_now: bool = True,
     path_glob_filter: str | None = None,
     index_buckets: int | None | str = None,
+    auto_migrate_bytes: int | None = None,
 ) -> StreamingQuery:
     """Tail ``input_dir`` for parquet document files and run the
     hash/probe/annotate pipeline per micro-batch. The decision log
@@ -401,11 +445,12 @@ def start_stream_exact_dedup(
     byte-identical contract to stateful.dedup_stream's output.
     ``index_buckets`` turns on the hash-partitioned index layout +
     partition-pruned probes (see module docstring Scale notes);
-    ``"auto"`` measures the first batch's distinct-hash count and
-    chooses the layout itself (trickle -> bucketed, bulk -> flat; an
-    existing index's pinned layout is adopted as-is), and per-batch
-    probes skip the IN-list whenever it would cover most of the index
-    anyway — see :func:`_auto_index_buckets`."""
+    ``"auto"`` starts flat and migrates to bucketed once the MEASURED
+    index size crosses ``auto_migrate_bytes`` (default 4 GiB) under
+    trickle-shaped batches — see :func:`_auto_index_buckets` and the
+    r7 sf1 A/B that fixed this policy; per-batch probes additionally
+    skip the IN-list whenever it would cover most of the buckets
+    anyway."""
     reader = spark.readStream.schema(f"{id_col} long, {text} string").option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
@@ -430,6 +475,7 @@ def start_stream_exact_dedup(
             batch_id=batch_id,
             run_id=run_id,
             index_buckets=index_buckets,
+            auto_migrate_bytes=auto_migrate_bytes,
         )
 
     writer = stream.writeStream.foreachBatch(commit).option(

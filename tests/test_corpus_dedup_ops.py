@@ -671,3 +671,77 @@ def test_fuzzy_dedup_char_blocking_planted_ocr_recall(spark):
         (a, b - 100_000) in got or (b - 100_000, a) in got or a == b - 100_000
         for (a, b) in cross if b >= 100_000
     )
+
+
+def test_simhash_banding_radius_dial(spark):
+    """n_bands generalization (r7): radius-6 blocking (8x8-bit bands)
+    must find every radius-3 pair the 4x16-bit layout finds (Hamming
+    <= 3 <= 6), plus planted pairs in the (3, 6] shell that the tight
+    radius must NOT emit; invalid band configs raise."""
+    from streamforge_data_pipeline_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    # synthetic fingerprints: exact control over Hamming distances
+    sigs = spark.createDataFrame(
+        [
+            (1, 0),
+            (2, 0b111),          # d(1,2) = 3
+            (3, 0b111111),       # d(1,3) = 6, d(2,3) = 3
+            (4, (1 << 40) - 1),  # far from all
+        ],
+        "doc_id long, simhash long",
+    )
+    tight = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(sigs, max_hamming=3).collect()
+    }
+    loose = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(sigs, max_hamming=6, n_bands=8).collect()
+    }
+    assert set(tight) == {(1, 2), (2, 3)}
+    assert set(loose) == {(1, 2), (2, 3), (1, 3)}
+    assert all(loose[p] == h for p, h in tight.items())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        simhash_near_pairs(sigs, max_hamming=3, n_bands=5)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_pairs(sigs, max_hamming=8, n_bands=8)
+
+
+def test_minhash_estimate_exact_dup_and_bounds(spark):
+    """Sketch calibration sanity: a planted EXACT duplicate estimates
+    1.0 and verifies 1.0; every estimate is a multiple of 1/16 in
+    [0, 1]; and the estimator's residual on real candidates stays
+    within 4 standard errors (sqrt(J(1-J)/16) + rounding slack)."""
+    from pyspark.sql import functions as F
+
+    from streamforge_data_pipeline_spark.operators.minhash import (
+        minhash_estimate_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    planted = docs.limit(1).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text", *[
+            c for c in docs.columns if c not in ("doc_id", "text")
+        ]
+    )
+    rows = minhash_estimate_pairs(
+        docs.select("doc_id", "text").unionByName(
+            planted.select("doc_id", "text")
+        )
+    ).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    dup = [
+        r for (a, b), r in by_pair.items() if b == a + 500_000
+    ]
+    assert dup and dup[0]["est_jaccard"] == 1.0 and dup[0]["jaccard"] == 1.0
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert abs(r["est_jaccard"] * 16 - round(r["est_jaccard"] * 16)) < 1e-6
+        j = r["jaccard"]
+        se = (j * (1 - j) / 16) ** 0.5
+        assert abs(r["est_jaccard"] - j) <= 4 * se + 0.26, r

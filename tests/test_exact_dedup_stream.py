@@ -378,50 +378,130 @@ def test_index_layout_sniff_presidecar(spark, tmp_path):
     assert _os.path.exists(store.path("hash_index__layout"))
 
 
-def test_auto_index_buckets_trickle_vs_bulk(spark, tmp_path):
-    """r6 brief #5: index_buckets='auto' lays out a NEW index from the
-    measured first-batch shape — trickle (small distinct count) gets a
-    bucketed layout sized ~16k, bulk gets flat — and adopts an existing
-    index's pinned layout instead of re-deciding."""
+def test_auto_index_buckets_flat_first_then_migrates(spark, tmp_path):
+    """r6 brief #5, policy fixed by the r7 sf1 A/B: auto starts every
+    NEW index flat (the measured winner while the index is small), and
+    MIGRATES to the bucketed layout only once the on-disk index
+    crosses the size threshold under a trickle-shaped batch — one
+    partitioned rewrite, sidecar restamped, decisions unchanged."""
     import os as _os
 
-    # trickle: 3 distinct docs -> bucketed at the floor (2^6)
-    store = TableStore(str(tmp_path / "store_auto_t"))
+    store = TableStore(str(tmp_path / "store_auto"))
     trickle = spark.createDataFrame(
         [(1, "aa"), (2, "bb"), (3, "aa"), (4, "cc")],
         "doc_id long, text string",
     )
     _resolve_batch(spark, trickle, store, "hash_index", "log", "doc_id",
                    "text", index_buckets="auto")
-    assert any(
+    # new index: flat, whatever the first batch looked like
+    assert not any(
         d.startswith("hb=") for d in _os.listdir(store.path("hash_index"))
     )
-    rows = store.read(spark, "hash_index__layout").collect()
-    assert rows[0]["index_buckets"] == 64
+    assert store.read(spark, "hash_index__layout").collect()[0][
+        "index_buckets"
+    ] == 0
 
-    # a later batch under auto adopts the pinned layout (no flip, no
-    # guard trip) and keeps annotating correctly
+    # below the size threshold: stays flat
     more = spark.createDataFrame(
         [(9, "aa"), (10, "zz")], "doc_id long, text string"
     )
     _resolve_batch(spark, more, store, "hash_index", "log", "doc_id",
                    "text", index_buckets="auto")
-    log = {r["doc_id"]: r["dup_of"] for r in store.read(spark, "log").collect()}
-    assert log[9] == 1 and log[10] is None
+    assert store.read(spark, "hash_index__layout").collect()[0][
+        "index_buckets"
+    ] == 0
 
-    # bulk: > AUTO_BULK_K distinct docs -> flat
+    # threshold crossed + trickle batch: migrates to bucketed
+    third = spark.createDataFrame(
+        [(20, "qq"), (21, "aa")], "doc_id long, text string"
+    )
+    _resolve_batch(spark, third, store, "hash_index", "log", "doc_id",
+                   "text", index_buckets="auto", auto_migrate_bytes=1)
+    assert any(
+        d.startswith("hb=") for d in _os.listdir(store.path("hash_index"))
+    )
+    migrated_b = store.read(spark, "hash_index__layout").collect()[0][
+        "index_buckets"
+    ]
+    assert migrated_b == 64  # next_pow2(16*k) floored at 2^6
+    # decisions unchanged across the migration
+    log = {r["doc_id"]: r["dup_of"] for r in store.read(spark, "log").collect()}
+    assert log == {1: None, 2: None, 3: 1, 4: None, 9: 1, 10: None,
+                   20: None, 21: 1}
+    # index contents preserved (plus the hb column)
+    idx = store.read(spark, "hash_index")
+    assert "hb" in idx.columns and idx.count() == 5
+    # later batches adopt the migrated layout
+    _resolve_batch(spark, spark.createDataFrame(
+        [(30, "zz")], "doc_id long, text string"
+    ), store, "hash_index", "log", "doc_id", "text", index_buckets="auto")
+    assert {
+        r["doc_id"]: r["dup_of"] for r in store.read(spark, "log").collect()
+    }[30] == 10
+
+
+def test_auto_index_buckets_bulk_batch_never_migrates(spark, tmp_path):
+    """Even past the size threshold, a bulk-shaped batch (distinct
+    count above AUTO_BULK_K) must NOT trigger migration — it would
+    read most buckets through the IN-list anyway (the r6.6 regime)."""
     from streamforge_data_pipeline_spark.streaming.exact_dedup_stream import (
         AUTO_BULK_K,
     )
 
-    store_b = TableStore(str(tmp_path / "store_auto_b"))
-    bulk = spark.range(AUTO_BULK_K + 100).select(
-        F.col("id").alias("doc_id"), F.concat(F.lit("d"), F.col("id")).alias("text")
+    store = TableStore(str(tmp_path / "store_auto_b"))
+    seed = spark.createDataFrame([(1, "aa")], "doc_id long, text string")
+    _resolve_batch(spark, seed, store, "hash_index", "log", "doc_id", "text",
+                   index_buckets="auto")
+    bulk = spark.range(2, AUTO_BULK_K + 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), F.col("id")).alias("text"),
     )
-    _resolve_batch(spark, bulk, store_b, "hash_index", "log", "doc_id",
-                   "text", index_buckets="auto")
-    assert not any(
-        d.startswith("hb=") for d in _os.listdir(store_b.path("hash_index"))
+    _resolve_batch(spark, bulk, store, "hash_index", "log", "doc_id", "text",
+                   index_buckets="auto", auto_migrate_bytes=1)
+    assert store.read(spark, "hash_index__layout").collect()[0][
+        "index_buckets"
+    ] == 0
+
+
+def test_compact_partitioned_index_preserves_probe_and_layout(spark, tmp_path):
+    """OPTIMIZE-style maintenance for the bucketed dedup index (r7):
+    per-partition compaction must cut the file count while leaving the
+    hive layout, the layout sidecar, and every subsequent probe
+    decision untouched."""
+    import glob
+    import os as _os
+
+    store = TableStore(str(tmp_path / "store_cp"))
+    # several batches -> several files per touched hb partition
+    for i in range(4):
+        batch = spark.createDataFrame(
+            [(i * 10 + j, f"doc-{j % 3}-{i % 2}") for j in range(6)],
+            "doc_id long, text string",
+        )
+        _resolve_batch(spark, batch, store, "hash_index", "log", "doc_id",
+                       "text", index_buckets=8)
+    before = len(
+        glob.glob(_os.path.join(store.path("hash_index"), "**", "part-*"),
+                  recursive=True)
     )
-    rows = store_b.read(spark, "hash_index__layout").collect()
-    assert rows[0]["index_buckets"] == 0
+    idx_before = sorted(
+        (r["content_hash"], r["first_id"], r["hb"])
+        for r in store.read(spark, "hash_index").collect()
+    )
+    after = store.compact_partitioned(spark, "hash_index", ["hb"])
+    assert after < before, (before, after)
+    assert sorted(
+        (r["content_hash"], r["first_id"], r["hb"])
+        for r in store.read(spark, "hash_index").collect()
+    ) == idx_before
+    # layout sidecar untouched, next batch still probes + annotates
+    assert store.read(spark, "hash_index__layout").collect()[0][
+        "index_buckets"
+    ] == 8
+    nxt = spark.createDataFrame(
+        [(999, "doc-0-0"), (1000, "brand new")], "doc_id long, text string"
+    )
+    _resolve_batch(spark, nxt, store, "hash_index", "log", "doc_id", "text",
+                   index_buckets=8)
+    log = {r["doc_id"]: r["dup_of"] for r in store.read(spark, "log").collect()}
+    assert log[999] == 0 and log[1000] is None

@@ -239,3 +239,21 @@ def test_simhash_near_dup_band_join_is_equi_not_nlj(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_estimate_no_cartesian_no_python_rows(spark):
+    """The calibration key's pair stage must be the band equi-join +
+    candidate semi-joins — never a cartesian — and the estimator must
+    stay in JVM expressions (no row-at-a-time Python)."""
+    plan = _plan(spark, "minhash_estimate")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_simhash_radius6_band_equijoin(spark):
+    """The 8-band layout still candidates through a hash equi-join on
+    (band, band_key) — widening the radius must not degrade the join
+    strategy to nested-loop."""
+    plan = _plan(spark, "simhash_near_dup_radius6")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "hamming" in plan  # verifier present before the distinct

@@ -208,3 +208,70 @@ def test_heavy_hitters_sketch_short_result_only_when_complete(spark):
     df = spark.range(600).select((F.col("id") % 3).alias("user_id"))
     rows = heavy_hitters_sketch(df, k=10, capacity=64).collect()
     assert [(r["user_id"], r["n"]) for r in rows] == [(0, 200), (1, 200), (2, 200)]
+
+
+def test_stream_heavy_hitters_multibatch_mg_bound(spark, tmp_path):
+    """Streaming bounded-state profiler (r7): across time-sliced
+    micro-batches with capacity far below the key cardinality, the
+    persisted summary must (a) never exceed capacity rows, (b) never
+    OVER-count any key, (c) under-count by at most N/capacity, and
+    (d) retain every key with share > 1/capacity — the Misra-Gries
+    contract carried across batch merges."""
+    import os
+    import time
+
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from streamforge_data_pipeline_spark.streaming.heavy_hitters_stream import (
+        start_stream_heavy_hitters,
+        top_k,
+    )
+
+    src = str(tmp_path / "hh_src")
+    rows = []
+    # 3 slices: a hot key (40% of traffic), a warm one, a long tail
+    for s in range(3):
+        slice_rows = (
+            [(s * 1000 + i, 7) for i in range(200)]
+            + [(s * 1000 + 500 + i, 11) for i in range(80)]
+            + [(s * 1000 + 700 + i, 100 + s * 100 + i) for i in range(220)]
+        )
+        rows.append(slice_rows)
+    for s, slice_rows in enumerate(rows):
+        spark.createDataFrame(
+            slice_rows, "event_id long, user_id long"
+        ).coalesce(1).write.mode("append").parquet(src)
+        if s < 2:
+            time.sleep(1.1)
+
+    store = TableStore(str(tmp_path / "hh_store"))
+    capacity = 16  # far below the ~660 distinct keys
+    q = start_stream_heavy_hitters(
+        spark, src, store,
+        checkpoint_dir=str(tmp_path / "hh_ckpt"),
+        schema="event_id long, user_id long",
+        key="user_id",
+        capacity=capacity,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    summary = {
+        r["user_id"]: r["mg"]
+        for r in store.read(spark, "hh_summary").collect()
+    }
+    n_total = sum(len(s) for s in rows)
+    true = {}
+    for s in rows:
+        for _eid, u in s:
+            true[u] = true.get(u, 0) + 1
+    assert len(summary) <= capacity
+    for u, c in summary.items():
+        assert c <= true[u], (u, c, true[u])
+        assert true[u] - c <= n_total / capacity, (u, c, true[u])
+    for u, c in true.items():
+        if c > n_total / capacity:
+            assert u in summary, (u, c)
+    # the profile's head is right, with exact-denominator shares
+    prof = top_k(spark, store, k=2).collect()
+    assert [r["user_id"] for r in prof] == [7, 11]
+    assert abs(prof[0]["share"] - 600 / n_total) < 0.01
