@@ -72,6 +72,18 @@ def signatures(sh: DataFrame) -> DataFrame:
     relation shuffles once at its own size — not exploded NUM_PERMS x
     as a (doc, perm) long format would (measured 2.5x on sf0.1). Every
     permutation expression stays in whole-stage codegen.
+
+    Family caveat (r7, found by minhash_estimate's calibration): the
+    affine permutations' small multipliers (2j+1 <= 31) never wrap
+    MERSENNE31 when a document's minimum shingle hash is below ~p/31,
+    making the components ORDER-PRESERVING (they all track the same
+    min shingle) rather than independent. For LSH banding this only
+    INCREASES band-collision probability at a given true Jaccard —
+    more candidates, never fewer, and the exact verifier decides — so
+    candidate-generation exactness is unaffected (six rounds of
+    oracle-green LSH keys). Do NOT use these signatures as a Jaccard
+    ESTIMATOR; :func:`minhash_estimate_pairs` re-hashes per component
+    for that.
     """
     hashed = sh.withColumn("h", hash60("sh"))
     return hashed.groupBy("doc_id").agg(

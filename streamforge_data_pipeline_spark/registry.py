@@ -1586,6 +1586,44 @@ def q_stream_interval_join(spark, sf_dir):
     return res
 
 
+def q_stream_decontaminate(spark, sf_dir):
+    """Continuous eval-set decontamination drained as ONE batch: train
+    docs (deterministic 80% hash split, the sample_split recipe)
+    stream against the held-out 20%'s shingle index; the verdict log —
+    one row per train doc with overlap stats + contaminated flag — is
+    what the SQL oracle replays. Decisions are a pure function of
+    (batch, static eval index), so multi-batch runs produce the same
+    log rows batch by batch (pytest-asserted)."""
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.functions import hash60
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from streamforge_data_pipeline_spark.streaming.decontaminate_stream import (
+        start_stream_decontaminate,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    is_train = hash60(F.col("doc_id").cast("string")) % 100 < 80
+    work = tempfile.mkdtemp(prefix="sfdp_sdec_")
+    try:
+        src = os.path.join(work, "train")
+        docs.filter(is_train).write.mode("overwrite").parquet(src)
+        store = TableStore(os.path.join(work, "store"))
+        q = start_stream_decontaminate(
+            spark,
+            src,
+            store,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            eval_docs=docs.filter(~is_train),
+            max_files_per_trigger=10_000,  # one batch: deterministic
+        )
+        q.awaitTermination()
+        return store.read(spark, "decontam_log").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_stream_heavy_hitters(spark, sf_dir):
     """Continuous bounded-state skew profiling drained as ONE batch
     with capacity above the key cardinality: zero MG decrements, so
@@ -3089,6 +3127,32 @@ FROM events GROUP BY 1""",
   round(count(*) * 1.0 / (SELECT count(*) FROM events), 4) AS share
 FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20""",
         "join-key skew profiler: top-20 heaviest keys with traffic share",
+    ),
+    "stream_decontaminate": QuerySpec(
+        q_stream_decontaminate,
+        f"""WITH {SHINGLE_CTES},
+tr AS (SELECT doc_id, sh FROM sh
+       WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 80),
+ev AS (SELECT DISTINCT sh FROM sh
+       WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 >= 80),
+docs_tr AS (SELECT doc_id FROM documents
+            WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 80),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM tr JOIN ev USING(sh) GROUP BY doc_id),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+          FROM tr GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(h.n_hits, 0) AS n_hits,
+  COALESCE(s.n_shingles, 0) AS n_shingles,
+  CASE WHEN COALESCE(s.n_shingles, 0) > 0
+       THEN round(COALESCE(h.n_hits, 0) * 1.0 / s.n_shingles, 4) END AS overlap_frac,
+  COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM docs_tr d
+LEFT JOIN sizes s ON s.doc_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id""",
+        "continuous eval-set decontamination drained: per-doc verdict"
+        " log (overlap stats + contaminated flag) vs the held-out"
+        " shingle index",
     ),
     "stream_heavy_hitters": QuerySpec(
         q_stream_heavy_hitters,
