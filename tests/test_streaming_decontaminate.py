@@ -89,3 +89,32 @@ def test_stream_decontaminate_slicing_invariant(spark, tmp_path):
     assert rows(one), "corpus should produce verdicts"
     # contaminated docs exist in this corpus (near-dups cross the split)
     assert any(r[-1] for r in rows(one))
+
+
+def test_stream_decontaminate_matches_batch_operator(spark, tmp_path):
+    """Cross-operator parity: the streaming log's CONTAMINATED rows
+    must equal operators.text.decontaminate's output (same stats) on
+    the same deterministic split."""
+    from streamforge_data_pipeline_spark.functions import hash60
+    from streamforge_data_pipeline_spark.operators.text import decontaminate
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    is_train = hash60(F.col("doc_id").cast("string")) % 100 < 80
+    src = str(tmp_path / "train_src")
+    docs.filter(is_train).write.parquet(src)
+
+    store = _drain(spark, src, tmp_path, "parity",
+                   docs.filter(~is_train), max_files_per_trigger=10_000)
+    got = sorted(
+        (r["doc_id"], r["n_hits"], r["n_shingles"], r["overlap_frac"])
+        for r in store.read(spark, "decontam_log")
+        .filter("contaminated")
+        .collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_hits"], r["n_shingles"], r["overlap_frac"])
+        for r in decontaminate(docs).collect()
+    )
+    assert got == want and got
