@@ -313,3 +313,41 @@ def test_trained_rerun_is_idempotent(spark, tmp_path):
         r["vec_id"] for r in store.read(spark, "vec_corpus").collect()
     ) == first
     assert store.read(spark, "semantic_dup_log").count() == 2
+
+
+def test_compact_partitioned_semantic_corpus(spark, tmp_path):
+    """compact_partitioned generalizes to the trained path's
+    cell-partitioned corpus: file count drops, cell layout and row
+    contents identical (r7 maintenance op)."""
+    import glob
+    import os
+
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+
+    store = TableStore(str(tmp_path / "store_cpc"))
+    # several partitioned appends -> several files per cell dir
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(i * 10 + j, [float(j), 1.0], j % 2) for j in range(6)],
+            "vec_id long, embedding array<double>, cell int",
+        )
+        store.append_partitioned(df, "vec_corpus", ["cell"])
+    before = len(
+        glob.glob(os.path.join(store.path("vec_corpus"), "**", "part-*"),
+                  recursive=True)
+    )
+    rows_before = sorted(
+        (r["vec_id"], tuple(r["embedding"]), r["cell"])
+        for r in store.read(spark, "vec_corpus").collect()
+    )
+    after = store.compact_partitioned(spark, "vec_corpus", ["cell"])
+    assert after < before
+    assert sorted(
+        (r["vec_id"], tuple(r["embedding"]), r["cell"])
+        for r in store.read(spark, "vec_corpus").collect()
+    ) == rows_before
+    subdirs = {
+        d for d in os.listdir(store.path("vec_corpus"))
+        if d.startswith("cell=")
+    }
+    assert subdirs == {"cell=0", "cell=1"}
