@@ -66,6 +66,10 @@ KEYS = [
     "ann_lsh_seeded",
     "stream_semantic_dedup_trained_seeded",
     "stream_interval_join_spread_outer",
+    "stream_heavy_hitters",
+    "stream_decontaminate",
+    "minhash_estimate",
+    "simhash_near_dup_radius6",
 ]
 
 # sf1 MUST be the multi-file layout (sf1mf): the single-file sf1 dir
