@@ -76,6 +76,8 @@ HEADLINE = [
     "simhash_near_dup_radius6",
     "minhash_estimate",
     "stream_heavy_hitters",
+    "stream_simhash_dedup",
+    "stream_decontaminate",
 ]
 
 

@@ -1586,6 +1586,24 @@ def q_stream_interval_join(spark, sf_dir):
     return res
 
 
+def q_stream_simhash_dedup(spark, sf_dir):
+    """Continuous SimHash near-dup ingestion drained as ONE
+    micro-batch (streaming/simhash_dedup_stream): with no pre-existing
+    index the decision log is exactly the in-batch Hamming-radius
+    closure — band-blocked pairs -> connected components -> min-id
+    representative — which the recursive-CTE oracle expresses. The
+    multi-batch fingerprint-index probe path is pytest-asserted
+    (tests/test_streaming_dedup.py)."""
+    from streamforge_data_pipeline_spark.streaming.simhash_dedup_stream import (
+        start_stream_simhash_dedup,
+    )
+
+    return _drain_documents_stream(
+        spark, sf_dir, start_stream_simhash_dedup, "simhash_dup_log",
+        "sfdp_stream_sh_",
+    )
+
+
 def q_stream_decontaminate(spark, sf_dir):
     """Continuous eval-set decontamination drained as ONE batch: train
     docs (deterministic 80% hash split, the sample_split recipe)
@@ -3127,6 +3145,42 @@ FROM events GROUP BY 1""",
   round(count(*) * 1.0 / (SELECT count(*) FROM events), 4) AS share
 FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20""",
         "join-key skew profiler: top-20 heaviest keys with traffic share",
+    ),
+    "stream_simhash_dedup": QuerySpec(
+        q_stream_simhash_dedup,
+        f"""WITH RECURSIVE {TOKS_CTE},
+tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) AS h,
+             CAST(concat('0x', substr(md5(t),17,15)) AS BIGINT) AS h2 FROM tok),
+bits AS (SELECT doc_id, h, h2, unnest(range(0,64)) AS bit FROM h),
+signs AS (SELECT doc_id, bit,
+          SUM(CASE WHEN (CASE WHEN bit < 60 THEN (h >> bit) ELSE (h2 >> (bit-60)) END) & 1 = 1
+              THEN 1 ELSE -1 END) AS s
+          FROM bits GROUP BY doc_id, bit),
+sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s <= 0 THEN 0
+                                   WHEN bit = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                                   ELSE (CAST(1 AS BIGINT) << bit) END) AS BIGINT) AS simhash
+        FROM signs GROUP BY doc_id),
+bands AS (SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS band_key
+          FROM sig, (SELECT unnest(range(0,4)) AS band)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM bands a JOIN bands b
+         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
+          UNION SELECT doc_b, doc_a FROM cand),
+r AS (SELECT u AS node, u AS reach FROM edges
+      UNION
+      SELECT r.node, e2.v FROM r JOIN edges e2 ON r.reach = e2.u),
+g AS (SELECT node, min(reach) AS grp FROM r GROUP BY node)
+SELECT d.doc_id,
+  CASE WHEN coalesce(g.grp, d.doc_id) = d.doc_id THEN NULL ELSE g.grp END AS dup_of,
+  CAST(NULL AS INTEGER) AS hamming,
+  CASE WHEN coalesce(g.grp, d.doc_id) = d.doc_id
+       THEN 'admitted' ELSE 'batch' END AS origin
+FROM documents d LEFT JOIN g ON d.doc_id = g.node""",
+        "continuous SimHash near-dup ingestion drained: one-batch log"
+        " equals the Hamming-band closure (min-id representatives)",
     ),
     "stream_decontaminate": QuerySpec(
         q_stream_decontaminate,

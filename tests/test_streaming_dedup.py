@@ -171,3 +171,60 @@ def test_dedup_stream_ttl_path_runs(spark, tmp_path):
     rows = _drain(spark, src, "dedup_ttl", ttl_minutes=5)
     by_id = {r["doc_id"]: r["dup_of"] for r in rows}
     assert by_id == {1: None, 2: 1, 3: None}
+
+
+def test_stream_simhash_dedup_cross_batch_probe(spark, tmp_path):
+    """SimHash ingestion twin (r7): a batch-2 doc within Hamming<=3 of
+    a batch-1 admit must log origin='index' with the indexed id and
+    its hamming; the admitted fingerprint index must hold no residual
+    pairs within the radius."""
+    import time
+
+    from streamforge_data_pipeline_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from streamforge_data_pipeline_spark.streaming.simhash_dedup_stream import (
+        start_stream_simhash_dedup,
+    )
+
+    base = " ".join(f"tok{i:03d}" for i in range(80))
+    near = " ".join(
+        ("tok999" if i == 40 else f"tok{i:03d}") for i in range(80)
+    )  # one token swapped: few fingerprint bits flip
+    src = str(tmp_path / "sh_src")
+    spark.createDataFrame(
+        [(1, base), (2, "completely different words entirely here")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(10, near), (11, base)],  # 11 = exact dup of 1; 10 = near
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    store = TableStore(str(tmp_path / "sh_store"))
+    q = start_stream_simhash_dedup(
+        spark, src, store,
+        checkpoint_dir=str(tmp_path / "sh_ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    log = {r["doc_id"]: r for r in store.read(spark, "simhash_dup_log").collect()}
+    assert log[1]["origin"] == "admitted" and log[2]["origin"] == "admitted"
+    # in-batch resolution runs FIRST: 10 and 11 are near-dups of each
+    # other, so they cluster and min-id 10 is the representative — 11
+    # logs 'batch' dup_of 10, and rep 10 probes the index, hitting the
+    # batch-1 admit (doc 1). The log resolves transitively
+    # (11 -> 10 -> 1), the documented near_dedup_stream contract.
+    assert log[11]["origin"] == "batch" and log[11]["dup_of"] == 10
+    assert log[10]["origin"] == "index" and log[10]["dup_of"] == 1
+    assert log[10]["hamming"] is not None and log[10]["hamming"] <= 3
+    # residual check: the admitted index holds no within-radius pairs
+    idx = store.read(spark, "simhash_index")
+    residual = simhash_near_pairs(idx, "doc_id", max_hamming=3).count()
+    assert residual == 0
+    assert sorted(
+        r["doc_id"] for r in idx.collect()
+    ) == [1, 2]
