@@ -78,6 +78,14 @@ HEADLINE = [
     "stream_heavy_hitters",
     "stream_simhash_dedup",
     "stream_decontaminate",
+    # r7 (late): seeded IVF twin completes the ANN family, streaming
+    # SCD2 drain, BPE tokenizer training
+    "ann_ivf_seeded",
+    "stream_scd2_merge",
+    "bpe_learn_merges",
+    "bpe_tokenize",
+    "stream_bottomk_sample",
+    "per_source_sample",
 ]
 
 

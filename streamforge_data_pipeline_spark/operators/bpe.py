@@ -1,0 +1,131 @@
+"""Tokenizer training: byte-pair-encoding merge learning on a corpus.
+
+The counting operator (`bpe_token_count`, operators/text.py) answers
+"how many BPE-ish tokens does each doc have" for a FIXED tokenizer;
+this module learns the tokenizer itself — the iterative
+most-frequent-adjacent-pair merge rule of Sennrich et al. 2016
+(arXiv:1508.07909), the training step an LLM data pipeline runs before
+any token counting is meaningful.
+
+Scale design (the dictionary optimization from the paper, re-expressed
+relationally): the corpus is touched EXACTLY ONCE — one tokenize ->
+explode -> groupBy(word) pass produces the (word, freq) vocabulary,
+and every merge iteration runs over that vocabulary weighted by freq,
+so per-step cost is bounded by DISTINCT-WORD count (natural-language
+vocabularies grow ~Heaps' law, sublinear in corpus size), not corpus
+size. At 100 TB the vocab table is a few million rows; each step is
+one partial-agg shuffle over it plus a 1-row argmax collect (the
+documented bounded-collect exception). No Python UDFs anywhere — pair
+extraction is slice/zip/explode Column expressions, merge application
+is one engine-side string replace.
+
+Determinism (cross-engine, oracle-checked): pair counts are exact
+integers; the argmax tie-breaks on (count DESC, lhs ASC, rhs ASC) over
+[a-z0-9]+ tokens, where ASCII ordering agrees between engines; merge
+application is literal non-overlapping LEFT-TO-RIGHT string replace on
+the space-separated symbol string — both Spark's `replace` and
+DuckDB's `replace` scan left to right, which is exactly the greedy
+order BPE specifies (" a a a " -> " aa a ").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from streamforge_data_pipeline_spark.functions import tokens
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 8,
+    text: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from a document corpus.
+
+    Returns one row per merge step: (step, lhs, rhs, pair_count) —
+    the merged symbol pair and the exact weighted count that made it
+    the winner at that step. Stops early if the vocabulary runs out of
+    adjacent pairs (single-symbol words only).
+
+    Per step the vocabulary's symbol strings shrink monotonically, so
+    iteration cost falls as training proceeds; the loop is a driver
+    loop over n_merges SMALL jobs (vocab-bounded), the same shape as
+    kmeans_centroids' iteration — each step localCheckpoints the
+    (tiny) vocabulary so lineage never grows (the iterative-lineage
+    lesson, PERF_NOTES).
+    """
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(tokens(text)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            # "hello" -> "h e l l o": one space-separated symbol per char
+            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        a = F.split(F.col("sym"), " ")
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(a, 1, F.size(a) - 1).alias("lhs"),
+                        F.slice(a, 2, F.size(a) - 1).alias("rhs"),
+                    )
+                ).alias("pr"),
+                "freq",
+            )
+            .groupBy(F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.desc("cnt"), "lhs", "rhs").limit(1).collect()
+        )  # 1-row argmax collect, bounded by construction
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["cnt"]
+        merges.append((step, lhs, rhs, cnt))
+        # tokens are [a-z0-9]+ so the literals are injection-safe; the
+        # space padding makes the match anchor on whole symbols
+        vocab = vocab.select(
+            F.expr(
+                f"trim(replace(concat(' ', sym, ' '),"
+                f" ' {lhs} {rhs} ', ' {lhs}{rhs} '))"
+            ).alias("sym"),
+            "freq",
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, pair_count long"
+    )
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text: str = "text",
+    out: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize ``text`` with a learned merge list: chars -> apply each
+    merge in training order (greedy left-to-right, the BPE inference
+    rule) -> the token array. Pure Column expressions; the merge list
+    is a plan constant, so this is a single narrow map over the corpus
+    (no shuffle) — the shape that matters when re-tokenizing 100 TB."""
+    word = F.explode(tokens(text)).alias("word")
+    base = df.select("*", word)
+    sym = F.concat(
+        F.lit(" "), F.trim(F.regexp_replace("word", "(.)", "$1 ")), F.lit(" ")
+    )
+    expr = sym
+    for lhs, rhs in merges:
+        expr = F.replace(
+            expr, F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} ")
+        )
+    return base.select(
+        "*", F.split(F.trim(expr), " ").alias(out)
+    )

@@ -53,3 +53,85 @@ def sql_stratified_sample(
         f"{sql_hash60(f'CAST({key} AS VARCHAR)')} % {BUCKETS} "
         f"< (CASE {cases} ELSE {int(default_rate * BUCKETS)} END)"
     )
+
+def bottomk_sample(
+    df: DataFrame, k: int = 100, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixed-SIZE uniform sample: the k rows whose md5-derived key hash
+    is smallest (bottom-k / KMV sketch, Bar-Yossef et al. 2002). The
+    complement of :func:`stratified_sample`'s fixed-RATE guarantee —
+    "give me exactly 10k audit rows" needs bottom-k, "keep 10% of every
+    stratum" needs rate sampling.
+
+    Properties that matter at 100 TB:
+    - one pass, no shuffle of the data: Spark plans orderBy+limit as
+      TakeOrderedAndProject — per-partition partial top-k, then a
+      k-row merge; only k rows ever move.
+    - MERGEABLE: bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪
+      bottom-k(B)), exactly — so partial samples from splits/streams
+      combine losslessly (the streaming twin's whole correctness
+      argument, and why the multi-batch drain is oracle-exact, not
+      just the one-batch drain).
+    - deterministic: hash ties break on the id itself; same rows in,
+      same sample out, on any partitioning, in any engine.
+
+    Returns (id_col, h) ordered-by-construction; h is kept because the
+    max sampled hash doubles as the KMV distinct-count estimator input
+    (:func:`kmv_distinct_estimate`).
+    """
+    h = hash60(F.col(id_col).cast("string"))
+    return (
+        df.select(id_col, h.alias("h"))
+        .dropDuplicates([id_col])
+        .orderBy("h", id_col)
+        .limit(k)
+    )
+
+
+def kmv_distinct_estimate(
+    df: DataFrame, k: int = 256, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct-count estimate from the bottom-k sample: the k-th
+    smallest of n uniform 60-bit hashes sits near k/n of the range, so
+    n_distinct ~ (k-1) * 2^60 / h_k. One row: (n_sample,
+    est_distinct); when fewer than k distinct keys exist the sample IS
+    the key set and the estimate is exact by definition.
+
+    Unlike HLL (approx_count_distinct, rows-only), every arithmetic
+    step here is a deterministic function of md5 hashes — one IEEE
+    multiply of exactly-representable doubles, one divide, one floor —
+    so the estimator itself is DuckDB-hash-checkable. Accuracy is
+    ~1/sqrt(k-2) relative (pytest-asserted vs the exact count).
+    """
+    sample = bottomk_sample(df, k=k, id_col=id_col)
+    c = float(k - 1) * float(2**60)  # exact: (k-1) has << 53 bits
+    return sample.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("long"))
+        .otherwise(
+            F.floor(F.lit(c) / F.max("h")).cast("long")
+        )
+        .alias("est_distinct"),
+    )
+
+def per_stratum_bottomk(
+    df: DataFrame, stratum: str, k: int = 20, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixed-size sample PER STRATUM (balanced subsets: exactly k docs
+    from every source, however skewed the sources are) — the window
+    form of :func:`bottomk_sample`: rank by (hash, id) within each
+    stratum, keep rank <= k. One hash-partitioned sort per stratum —
+    at 100 TB this is the one shuffle a balanced-subset draw costs,
+    and a hot stratum skews only its own partition group. Same
+    determinism contract as the other samplers."""
+    from pyspark.sql import Window
+
+    h = hash60(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum).orderBy("h", id_col)
+    return (
+        df.select(stratum, id_col, h.alias("h"))
+        .dropDuplicates([id_col])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(stratum, id_col, "h", F.col("rk").cast("int").alias("rk"))
+    )

@@ -796,3 +796,167 @@ def ann_topk_lsh_seeded(
         .filter(F.col("rank") <= k)
         .select("q_id", id_col, "sim", "rank")
     )
+
+def ann_topk_ivf_seeded(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ann_topk_ivf` made hash-checkable end-to-end — the last
+    ANN family member without a seeded twin (LSH has
+    ann_topk_lsh_seeded, PQ has pq_adc_seeded). The k-means refinement
+    is the only stage whose float averaging is engine-sensitive, so
+    this twin pins the coarse quantizer to the md5-SEEDED INIT (the
+    n_cells vectors with the smallest md5-of-id — the identical seed
+    rule kmeans_centroids and the trained streaming quantizer use)
+    over int8-QUANTIZED vectors, making every stage integer-exact:
+
+    - cell assignment: argmin of squared L2 = qn2 + cn2 - 2*dot, all
+      operands exact int64 (|dot| <= 127^2*dim ~ 10^6), computed as
+      ONE int64 NumPy matmul per Arrow batch (the r7 ann_lsh_seeded
+      kernel shape); ties break on cell index — stable argsort here,
+      ``ROW_NUMBER ... ORDER BY d2, cell`` in the oracle.
+    - inverted file: corpus -> nearest cell; queries probe ``nprobe``
+      nearest cells; candidates are the cell equi-join (never
+      all-pairs — search touches ~nprobe/n_cells of the corpus, the
+      IVF scale story, and at 100 TB the cell is a write-time
+      partition key so probes are partition-pruned scans).
+    - rerank: exact integer dot / (sqrt(nn_a) * sqrt(nn_b)) rounded to
+      4 dp BEFORE ranking, the proven cross-engine cosine recipe.
+
+    The production key stays ann_ivf (trained float k-means,
+    recall-tested); this twin exists so the driver's differential
+    hash-checks the assign -> probe -> rerank machinery. Zero vectors
+    quantize to all-zero and drop at the norm guard (NaN >= tau trap,
+    r5 advice). Same output schema as the other ann_* operators.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def q8(df: DataFrame, out_id: str) -> DataFrame:
+        # max/scale as projected columns FIRST (explode-sibling
+        # recompute class) — same recipe as ann_topk_lsh_seeded
+        mx = F.array_max(
+            F.transform(F.col(vec_col), lambda y: F.abs(y.cast("double")))
+        )
+        with_mx = df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col), mx.alias("__mx")
+        )
+        scale = F.when(F.col("__mx") == 0.0, F.lit(0.0)).otherwise(
+            F.lit(127.0) / F.col("__mx")
+        )
+        q = F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+        )
+        return with_mx.select(out_id, q.alias("q"))
+
+    izero = F.lit(0).cast("long")
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), izero, lambda acc, v: acc + v
+        )
+
+    vq = (
+        q8(vectors, "vec_id_c")
+        .withColumn("__nn", idot(F.col("q"), F.col("q")))
+        .localCheckpoint(eager=True)
+    )
+    qq = (
+        q8(query, "q_id")
+        .withColumn("__nn", idot(F.col("q"), F.col("q")))
+        .localCheckpoint(eager=True)
+    )
+
+    # Seeded centroids: the n_cells quantized vectors with the smallest
+    # (md5-of-id, id) — a bounded n_cells-row collect, the documented
+    # centroid-table exception (same rule as kmeans_centroids init).
+    seed_rows = (
+        vq.withColumn(
+            "__h",
+            F.conv(
+                F.substring(F.md5(F.col("vec_id_c").cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+        )
+        .orderBy("__h", "vec_id_c")
+        .limit(n_cells)
+        .select("q")
+        .collect()
+    )
+    cents = np.array([r["q"] for r in seed_rows], dtype=np.int64)  # (n_cells, dim)
+    cn2 = (cents * cents).sum(axis=1)  # exact int64
+    sc = vectors.sparkSession.sparkContext
+    b_cents = sc.broadcast((cents, cn2))
+
+    def cells(qdf: DataFrame, out_id: str, probe: int) -> DataFrame:
+        schema = T.StructType(
+            [
+                T.StructField(out_id, T.LongType()),
+                T.StructField("cell", T.IntegerType()),
+            ]
+        )
+
+        def _assign(batches):
+            c, c2 = b_cents.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf["q"].to_numpy()).astype(np.int64)  # (n, dim)
+                # d2 = nn + cn2 - 2*dot; nn constant per row — drop it,
+                # argmin order is unchanged and everything stays int64
+                d2 = c2[None, :] - 2 * (v @ c.T)
+                near = np.argsort(d2, axis=1, kind="stable")[:, :probe]
+                ids = pdf[out_id].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        out_id: np.repeat(ids, probe),
+                        "cell": near.reshape(-1).astype(np.int32),
+                    }
+                )
+
+        return qdf.select(out_id, "q").mapInPandas(_assign, schema)
+
+    cand = (
+        cells(vq, "vec_id_c", 1)
+        .join(F.broadcast(cells(qq, "q_id", nprobe)), "cell")
+        .filter(F.col("vec_id_c") != F.col("q_id"))
+        .select("q_id", "vec_id_c")
+        .distinct()
+    )
+    rer = (
+        cand.join(
+            vq.select(
+                "vec_id_c", F.col("q").alias("__qa"), F.col("__nn").alias("__na2")
+            ),
+            "vec_id_c",
+        )
+        .join(
+            F.broadcast(
+                qq.select(
+                    "q_id", F.col("q").alias("__qb"), F.col("__nn").alias("__nb2")
+                )
+            ),
+            "q_id",
+        )
+        .withColumn("__dot", idot(F.col("__qa"), F.col("__qb")))
+        .filter((F.col("__na2") > 0) & (F.col("__nb2") > 0))
+        .select(
+            "q_id",
+            F.col("vec_id_c").alias(id_col),
+            F.round(
+                F.col("__dot") / (F.sqrt("__na2") * F.sqrt("__nb2")), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "sim", "rank")
+    )

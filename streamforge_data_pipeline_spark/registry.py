@@ -24,7 +24,11 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from streamforge_data_pipeline_spark.functions import SQL_TOKENS, sql_minhash_perm
+from streamforge_data_pipeline_spark.functions import (
+    SQL_TOKENS,
+    sql_hash60,
+    sql_minhash_perm,
+)
 from streamforge_data_pipeline_spark.operators import (
     aggregates,
     dedup,
@@ -95,6 +99,99 @@ bands AS (SELECT doc_id, CAST(perm_id // 4 AS INTEGER) AS band,
     # minhash_perm (functions.sql_minhash_perm is its SQL rendering)
     perm=sql_minhash_perm("h", "perm_id")
 )
+
+# Bottom-k sample oracle — shared verbatim by bottomk_sample (batch)
+# and stream_bottomk_sample (mergeable-sketch drain, any slicing).
+_BOTTOMK_SQL = f"""WITH d AS (SELECT DISTINCT doc_id FROM documents)
+SELECT doc_id, {sql_hash60("CAST(doc_id AS VARCHAR)")} AS h
+FROM d ORDER BY h, doc_id LIMIT 100"""
+
+# SCD2 MERGE oracle — shared verbatim by scd2_merge (batch) and
+# stream_scd2_merge (one-batch streaming drain over the seeded store):
+# the drain IS the batch merge, so one SQL pins both.
+_SCD2_MERGE_SQL = """WITH cur AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         TIMESTAMP '2020-01-01' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+  FROM customer),
+upd AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 21 = 0 THEN c_acctbal
+              ELSE round(c_acctbal + 100.0, 2) END AS c_acctbal,
+         TIMESTAMP '2021-06-01' AS eff_ts
+  FROM customer WHERE c_custkey % 7 = 0),
+j AS (
+  SELECT cur.c_custkey AS ck, upd.c_custkey AS uk,
+         cur.c_mktsegment AS cseg, cur.c_acctbal AS cbal,
+         upd.c_mktsegment AS useg, upd.c_acctbal AS ubal,
+         cur.valid_from, cur.valid_to, cur.is_current, upd.eff_ts,
+         (cur.c_mktsegment IS DISTINCT FROM upd.c_mktsegment)
+           OR (cur.c_acctbal IS DISTINCT FROM upd.c_acctbal) AS changed
+  FROM cur FULL OUTER JOIN upd ON cur.c_custkey = upd.c_custkey)
+SELECT ck AS c_custkey, cseg AS c_mktsegment, cbal AS c_acctbal,
+       valid_from, valid_to, is_current
+FROM j WHERE ck IS NOT NULL AND (uk IS NULL OR NOT changed)
+UNION ALL
+SELECT ck, cseg, cbal, valid_from, eff_ts, FALSE
+FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND changed
+UNION ALL
+SELECT uk, useg, ubal, eff_ts, CAST(NULL AS TIMESTAMP), TRUE
+FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR changed)"""
+
+def _bpe_merges_sql(n_merges: int = 8, final: str = "merges") -> str:
+    """Unroll the BPE merge iteration as chained CTEs — per step:
+    adjacent-pair explode (e), weighted pair counts (p), argmax with
+    ASCII tie-break (b), and the left-to-right literal-replace merge
+    application (v). Mirrors operators/bpe.learn_bpe_merges stage for
+    stage. ``final='merges'`` returns the learned merge table;
+    ``final='tokenize'`` instead re-joins the trained vocabulary to
+    the corpus and returns per-doc token counts under the learned
+    tokenizer (mirrors learn + apply_bpe_merges + count)."""
+    # v{i}/b{i} MUST be MATERIALIZED: DuckDB inlines plain CTEs, and
+    # each step references its predecessor 3x (pair explode + both
+    # replace scalar subqueries) — inlining makes the chain expand
+    # ~3^n copies of the tokenize stage (observed: hang at n=8)
+    parts = [
+        "WITH " + TOKS_CTE + ",",
+        "w AS (SELECT unnest(ts) AS word FROM toks),",
+        "v0 AS MATERIALIZED (SELECT word,"
+        " trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,"
+        " count(*) AS freq FROM w GROUP BY 1, 2),",
+    ]
+    for i in range(1, n_merges + 1):
+        parts += [
+            f"e{i} AS (SELECT a, freq,"
+            f" unnest(range(0, greatest(len(a)-1, 0))) AS x"
+            f" FROM (SELECT string_split(sym, ' ') AS a, freq FROM v{i-1})),",
+            f"p{i} AS (SELECT a[x+1] AS lhs, a[x+2] AS rhs, SUM(freq) AS cnt"
+            f" FROM e{i} GROUP BY 1, 2),",
+            f"b{i} AS MATERIALIZED (SELECT CAST({i} AS INTEGER) AS step,"
+            f" lhs, rhs,"
+            f" CAST(cnt AS BIGINT) AS pair_count FROM p{i}"
+            f" ORDER BY cnt DESC, lhs, rhs LIMIT 1),",
+            f"v{i} AS MATERIALIZED (SELECT word,"
+            f" trim(replace(' ' || sym || ' ',"
+            f" (SELECT ' '||lhs||' '||rhs||' ' FROM b{i}),"
+            f" (SELECT ' '||lhs||rhs||' ' FROM b{i}))) AS sym, freq"
+            f" FROM v{i-1}),",
+        ]
+    # drop the final CTE's trailing comma
+    parts[-1] = parts[-1].rstrip(",")
+    if final == "tokenize":
+        parts[-1] += (
+            f""",
+dw AS (SELECT doc_id, unnest(ts) AS word FROM toks)
+SELECT dw.doc_id,
+       CAST(SUM(len(string_split(v.sym, ' '))) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN v{n_merges} v USING (word)
+GROUP BY dw.doc_id"""
+        )
+        return "\n".join(parts)
+    union = "\nUNION ALL ".join(
+        f"SELECT * FROM b{i}" for i in range(1, n_merges + 1)
+    )
+    return "\n".join(parts) + "\n" + union
+
 
 # ... -> candidate pairs, shared by the pair query and the
 # connected-components oracle.
@@ -427,6 +524,18 @@ def q_ann_ivf(spark, sf_dir):
     asserted in tests (no SQL oracle — approximate by design)."""
     vecs = load(spark, sf_dir, "embeddings")
     return similarity.ann_topk_ivf(vecs, vecs.filter(F.col("vec_id") < 5), k=10)
+
+
+def q_ann_ivf_seeded(spark, sf_dir):
+    """Hash-checkable IVF: the ann_ivf pipeline with the md5-seeded
+    coarse quantizer over int8-quantized vectors — integer-exact cell
+    assignment, nprobe cell probe, exact rerank (see
+    operators.similarity.ann_topk_ivf_seeded). Completes the seeded-twin
+    program across the ANN family (LSH, PQ, IVF)."""
+    vecs = load(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_ivf_seeded(
+        vecs, vecs.filter(F.col("vec_id") < 5), k=10
+    )
 
 
 def q_asof_join(spark, sf_dir):
@@ -1032,6 +1141,41 @@ def q_bpe_token_count(spark, sf_dir):
     return text.bpe_token_count(load(spark, sf_dir, "documents"))
 
 
+def q_bpe_learn_merges(spark, sf_dir):
+    """Tokenizer TRAINING (not just counting): the first 8 BPE merges
+    learned from the documents corpus via the vocabulary-weighted
+    most-frequent-pair iteration (operators/bpe.py). The oracle unrolls
+    the identical 8 steps as chained CTEs — counts are exact integers,
+    ties break on ASCII, merge application is left-to-right literal
+    replace in both engines."""
+    from streamforge_data_pipeline_spark.operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(load(spark, sf_dir, "documents"), n_merges=8)
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """Train-then-apply round trip: learn the 8 merges, re-tokenize the
+    corpus with them (single narrow no-shuffle map), count tokens per
+    doc. Pins that inference applies the merges in training order with
+    the same greedy left-to-right semantics the trainer assumed — the
+    contract a production tokenizer must keep between train and
+    serve."""
+    from streamforge_data_pipeline_spark.operators.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in learn_bpe_merges(docs, n_merges=8).collect()
+    ]  # n_merges rows, bounded by construction
+    tok = apply_bpe_merges(docs.select("doc_id", "text"), merges)
+    return tok.groupBy("doc_id").agg(
+        F.sum(F.size("bpe_tokens")).cast("long").alias("n_bpe_tokens")
+    )
+
+
 def q_value_stats(spark, sf_dir):
     """Per-type numeric profile: min/max/decimal-sum/exact median."""
     ev = load(spark, sf_dir, "events")
@@ -1524,6 +1668,144 @@ def q_stream_session_window(spark, sf_dir):
         # memory-sink rows live in the session; safe to localCheckpoint
         # and drop the staging dir
         out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_stream_scd2_merge(spark, sf_dir):
+    """SCD2 dimension maintenance DRAINED THROUGH THE STREAMING ENGINE:
+    the customer dim is bootstrapped into the versioned store
+    (seed_snapshot, v=0), the scd2_merge update set streams in, and
+    foreachBatch applies the same MERGE-equivalent scd2_apply. A
+    one-batch drain equals the batch merge (in-batch CDC compaction is
+    a no-op on one-update-per-key input), so the scd2_merge SQL oracle
+    replays it exactly; cross-batch history semantics are
+    pytest-asserted (tests/test_streaming_scd2.py)."""
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.streaming.scd2_stream import (
+        read_current,
+        seed_snapshot,
+        start_scd2_maintenance,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 21 == 0, F.col("c_acctbal"))
+        .otherwise(F.round(F.col("c_acctbal") + 100.0, 2))
+        .alias("c_acctbal"),
+        F.lit("2021-06-01").cast("timestamp").alias("eff_ts"),
+    )
+    work = tempfile.mkdtemp(prefix="sfdp_sscd2_")
+    try:
+        store = os.path.join(work, "dim")
+        seed_snapshot(current, store)
+        src = os.path.join(work, "updates")
+        updates.write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        q = start_scd2_maintenance(
+            spark.readStream.schema(schema).parquet(src),
+            store_root=store,
+            checkpoint=os.path.join(work, "ckpt"),
+            key="c_custkey",
+            attrs=["c_mktsegment", "c_acctbal"],
+        )
+        q.awaitTermination()
+        out = (
+            read_current(spark, store)
+            .select(
+                "c_custkey", "c_mktsegment", "c_acctbal",
+                "valid_from", "valid_to", "is_current",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_bottomk_sample(spark, sf_dir):
+    """Fixed-size deterministic uniform sample (bottom-k by md5 hash):
+    the exact-size complement to sample_split's fixed-rate Bernoulli;
+    plans as TakeOrderedAndProject — only k rows ever move."""
+    from streamforge_data_pipeline_spark.operators.sampling import bottomk_sample
+
+    return bottomk_sample(load(spark, sf_dir, "documents"), k=100)
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count estimator over the bottom-256 sample: unlike
+    HLL (approx_count_distinct, rows-only) every step is a
+    deterministic function of md5 hashes, so the ESTIMATOR itself is
+    hash-checked; accuracy vs the exact count is pytest-asserted."""
+    from streamforge_data_pipeline_spark.operators.sampling import (
+        kmv_distinct_estimate,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return kmv_distinct_estimate(ev, k=256, id_col="user_id")
+
+
+def q_per_source_sample(spark, sf_dir):
+    """Balanced subset: exactly 20 docs from EVERY source regardless of
+    source skew — the window form of bottom-k (rank by hash within
+    stratum). One hash-partitioned sort is the entire cost."""
+    from streamforge_data_pipeline_spark.operators.sampling import (
+        per_stratum_bottomk,
+    )
+
+    return per_stratum_bottomk(
+        load(spark, sf_dir, "documents"), stratum="source", k=20
+    )
+
+
+def q_stream_bottomk_sample(spark, sf_dir):
+    """Continuous bounded-state uniform sampling drained through the
+    engine. Bottom-k is exactly mergeable — bottom-k(A ∪ B) ==
+    bottom-k(bottom-k(A) ∪ bottom-k(B)) — so the state equals the
+    batch operator's output under ANY batch slicing (the multi-batch
+    drain shares the batch oracle, not just the one-batch drain;
+    slicing invariance pytest-asserted). State is <= k rows on disk
+    regardless of stream length."""
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from streamforge_data_pipeline_spark.streaming.sample_stream import (
+        read_sample,
+        start_stream_bottomk_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="sfdp_sbk_")
+    try:
+        src = os.path.join(work, "docs")
+        docs.write.mode("overwrite").parquet(src)
+        store = TableStore(os.path.join(work, "store"))
+        q = start_stream_bottomk_sample(
+            spark,
+            src,
+            store,
+            os.path.join(work, "ckpt"),
+            schema=spark.read.parquet(src).schema,
+            id_col="doc_id",
+            k=100,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        out = read_sample(spark, store).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
@@ -2322,6 +2604,56 @@ FROM e LEFT JOIN g ON e.vec_id = g.node""",
     "ann_ivf": QuerySpec(
         q_ann_ivf, None, "IVF coarse-quantizer ANN + nprobe rerank (recall-tested)"
     ),
+    "ann_ivf_seeded": QuerySpec(
+        q_ann_ivf_seeded,
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q8 AS (
+  SELECT vec_id,
+    list_transform(v, x -> CAST(floor(
+      x * (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END) + 0.5) AS BIGINT)) AS q
+  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e)),
+n2 AS (SELECT vec_id, q,
+         CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[])) AS BIGINT) AS nn
+       FROM q8),
+seeds AS (
+  SELECT q AS c, row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
+    CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[])) AS BIGINT) AS cn2
+  FROM (SELECT vec_id, q,
+          CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM q8)
+  QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 16),
+dist AS (
+  SELECT n2.vec_id, s.cell,
+    s.cn2 - 2 * CAST(list_dot_product(CAST(n2.q AS DOUBLE[]), CAST(s.c AS DOUBLE[])) AS BIGINT) AS d2
+  FROM n2, seeds s),
+corpus_cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist) WHERE rn <= 1),
+query_cells AS (
+  SELECT vec_id AS q_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist WHERE vec_id < 5) WHERE rn <= 4),
+cand AS (
+  SELECT DISTINCT qc.q_id, cc.vec_id
+  FROM query_cells qc JOIN corpus_cells cc ON qc.cell = cc.cell
+  WHERE cc.vec_id <> qc.q_id),
+rer AS (
+  SELECT c.q_id, c.vec_id,
+    round(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(b.q AS DOUBLE[]))
+          / (sqrt(a.nn) * sqrt(b.nn)), 4) AS sim
+  FROM cand c
+  JOIN n2 a ON c.vec_id = a.vec_id
+  JOIN n2 b ON c.q_id = b.vec_id
+  WHERE a.nn > 0 AND b.nn > 0),
+r AS (SELECT q_id, vec_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      FROM rer)
+SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 10""",
+        "IVF ANN made hash-checkable — md5-seeded int8 coarse quantizer,"
+        " integer-exact cell argmin, nprobe probe, exact rerank; the"
+        " oracle replays assign -> probe -> rerank end-to-end",
+    ),
     "pq_topk": QuerySpec(
         q_pq_topk,
         None,
@@ -2461,6 +2793,20 @@ FROM toks""",
         "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type",
         "salted two-phase aggregation (skew mitigation, exact results)",
     ),
+    "bpe_learn_merges": QuerySpec(
+        q_bpe_learn_merges,
+        _bpe_merges_sql(8),
+        "tokenizer training: first 8 BPE merges via vocabulary-weighted"
+        " most-frequent-pair iteration (Sennrich et al. 2016's dictionary"
+        " optimization — per-step cost is vocab-bounded, corpus touched once)",
+    ),
+    "bpe_tokenize": QuerySpec(
+        q_bpe_tokenize,
+        _bpe_merges_sql(8, final="tokenize"),
+        "train-then-apply round trip: per-doc token counts under the"
+        " learned 8-merge tokenizer (inference = training-order greedy"
+        " left-to-right merge application, a single no-shuffle map)",
+    ),
     "bpe_token_count": QuerySpec(
         q_bpe_token_count,
         "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), "
@@ -2494,6 +2840,48 @@ FROM toks""",
         "SELECT doc_id, CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 80 "
         "THEN 'train' ELSE 'test' END AS split FROM documents",
         "deterministic content-hash train/test split",
+    ),
+    "bottomk_sample": QuerySpec(
+        q_bottomk_sample,
+        _BOTTOMK_SQL,
+        "fixed-size uniform sample: bottom-100 by md5 hash (KMV) —"
+        " exact-size complement to sample_split's fixed-rate split;"
+        " TakeOrderedAndProject, only k rows move",
+    ),
+    "stream_bottomk_sample": QuerySpec(
+        q_stream_bottomk_sample,
+        _BOTTOMK_SQL,
+        "continuous bounded-state uniform sampling drained: bottom-k is"
+        " exactly mergeable, so the multi-batch state equals the batch"
+        " operator under any slicing — same oracle as bottomk_sample",
+    ),
+    "per_source_sample": QuerySpec(
+        q_per_source_sample,
+        f"""WITH d AS (SELECT source, doc_id,
+        {sql_hash60("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+r AS (SELECT source, doc_id, h,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+             AS INTEGER) AS rk
+      FROM d)
+SELECT source, doc_id, h, rk FROM r WHERE rk <= 20""",
+        "balanced subset: exactly k docs per source via within-stratum"
+        " bottom-k window rank",
+    ),
+    "kmv_distinct": QuerySpec(
+        q_kmv_distinct,
+        f"""WITH d AS (SELECT DISTINCT user_id FROM events),
+s AS (SELECT user_id, {sql_hash60("CAST(user_id AS VARCHAR)")} AS h
+      FROM d ORDER BY h, user_id LIMIT 256),
+a AS (SELECT count(*) AS n, max(h) AS hk FROM s)
+SELECT CAST(n AS BIGINT) AS n_sample,
+       CASE WHEN n < 256 THEN CAST(n AS BIGINT)
+            ELSE CAST(floor(255.0 * 1152921504606846976.0 / hk) AS BIGINT)
+       END AS est_distinct
+FROM a""",
+        "KMV distinct estimator over the bottom-256 sample — the"
+        " hash-checkable counterpart to the HLL sketch (every step a"
+        " deterministic function of md5 hashes)",
     ),
     "repetition_filter": QuerySpec(
         q_repetition_filter,
@@ -3079,35 +3467,15 @@ SELECT doc_id, change FROM d WHERE change IS NOT NULL""",
     ),
     "scd2_merge": QuerySpec(
         q_scd2_merge,
-        """WITH cur AS (
-  SELECT c_custkey, c_mktsegment, c_acctbal,
-         TIMESTAMP '2020-01-01' AS valid_from,
-         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
-  FROM customer),
-upd AS (
-  SELECT c_custkey, c_mktsegment,
-         CASE WHEN c_custkey % 21 = 0 THEN c_acctbal
-              ELSE round(c_acctbal + 100.0, 2) END AS c_acctbal,
-         TIMESTAMP '2021-06-01' AS eff_ts
-  FROM customer WHERE c_custkey % 7 = 0),
-j AS (
-  SELECT cur.c_custkey AS ck, upd.c_custkey AS uk,
-         cur.c_mktsegment AS cseg, cur.c_acctbal AS cbal,
-         upd.c_mktsegment AS useg, upd.c_acctbal AS ubal,
-         cur.valid_from, cur.valid_to, cur.is_current, upd.eff_ts,
-         (cur.c_mktsegment IS DISTINCT FROM upd.c_mktsegment)
-           OR (cur.c_acctbal IS DISTINCT FROM upd.c_acctbal) AS changed
-  FROM cur FULL OUTER JOIN upd ON cur.c_custkey = upd.c_custkey)
-SELECT ck AS c_custkey, cseg AS c_mktsegment, cbal AS c_acctbal,
-       valid_from, valid_to, is_current
-FROM j WHERE ck IS NOT NULL AND (uk IS NULL OR NOT changed)
-UNION ALL
-SELECT ck, cseg, cbal, valid_from, eff_ts, FALSE
-FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND changed
-UNION ALL
-SELECT uk, useg, ubal, eff_ts, CAST(NULL AS TIMESTAMP), TRUE
-FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR changed)""",
+        _SCD2_MERGE_SQL,
         "SCD2 merge: full-outer join + three branches, MERGE INTO equivalent",
+    ),
+    "stream_scd2_merge": QuerySpec(
+        q_stream_scd2_merge,
+        _SCD2_MERGE_SQL,
+        "streaming SCD2 maintenance drained as one CDC batch over the"
+        " seeded dimension store — same merge, same oracle; cross-batch"
+        " history is pytest-asserted",
     ),
     "gap_fill": QuerySpec(
         q_gap_fill,

@@ -55,6 +55,18 @@ def read_current(spark: SparkSession, root: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(root, f"v={v}"))
 
 
+def seed_snapshot(initial: DataFrame, store_root: str) -> None:
+    """Bootstrap an existing dimension into the versioned store as
+    ``v=0`` before the update stream starts — the CDC-onboarding step
+    (batch backfill first, stream takes over). ``initial`` must already
+    carry the SCD2 bookkeeping columns (valid_from/valid_to/is_current).
+    Batches commit at ``v=batch_id + 1``, so the seed slot can never be
+    overwritten by a replayed batch 0."""
+    if _versions(os.fspath(store_root), committed_only=False):
+        raise ValueError(f"store {store_root!r} is not empty; refusing to seed")
+    initial.write.mode("error").parquet(os.path.join(store_root, "v=0"))
+
+
 def start_scd2_maintenance(
     updates_stream: DataFrame,
     store_root: str,
@@ -70,6 +82,11 @@ def start_scd2_maintenance(
     states inside one batch are collapsed, the standard CDC-compaction
     semantics. Batches then apply sequentially, so history across
     batches is preserved exactly.
+
+    Batch N commits snapshot ``v=N+1`` (idempotent: a recovering
+    replay of batch N overwrites its own version, never a neighbor);
+    ``v=0`` is reserved for an optional :func:`seed_snapshot`
+    bootstrap of a pre-existing dimension.
     """
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -96,7 +113,7 @@ def start_scd2_maintenance(
             merged = scd2_apply(current, latest, key=key, attrs=attrs,
                                 eff_col=eff_col)
         merged.write.mode("overwrite").parquet(
-            os.path.join(store_root, f"v={batch_id}")
+            os.path.join(store_root, f"v={batch_id + 1}")
         )
 
     return (

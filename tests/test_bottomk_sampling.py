@@ -1,0 +1,102 @@
+"""Bottom-k (KMV) sampling: mergeability, dedup, estimator accuracy."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from streamforge_data_pipeline_spark.operators.sampling import (
+    bottomk_sample,
+    kmv_distinct_estimate,
+)
+from streamforge_data_pipeline_spark.session import load
+from streamforge_data_pipeline_spark.sources.store import TableStore
+from streamforge_data_pipeline_spark.streaming.sample_stream import (
+    read_sample,
+    start_stream_bottomk_sample,
+)
+
+from tests.conftest import SF_SMALL
+
+
+def test_stream_state_equals_batch_under_any_slicing(spark, tmp_path):
+    """Bottom-k is exactly mergeable, so the 3-batch drained state must
+    be BYTE-IDENTICAL to the batch operator over the union — the
+    property that lets the multi-batch drain share the batch oracle."""
+    docs = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs")
+    # 3 separate files -> 3 micro-batches with maxFilesPerTrigger=1
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    store = TableStore(str(tmp_path / "store"))
+    q = start_stream_bottomk_sample(
+        spark, src, store, str(tmp_path / "ckpt"),
+        schema=spark.read.parquet(src).schema, k=50,
+    )
+    q.awaitTermination()
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) >= 3
+
+    streamed = [(r["doc_id"], r["h"]) for r in read_sample(spark, store).collect()]
+    batch = [
+        (r["doc_id"], r["h"]) for r in bottomk_sample(docs, k=50).collect()
+    ]
+    assert streamed == batch and len(batch) == 50
+
+
+def test_reoccurring_id_sampled_once(spark, tmp_path):
+    """A key re-arriving in a later batch must not duplicate in the
+    sample (union + dedup on id before the re-limit)."""
+    src = str(tmp_path / "docs")
+    d1 = spark.createDataFrame([(i, "a") for i in range(20)], "doc_id long, text string")
+    d1.coalesce(1).write.mode("append").parquet(src)
+    d1.coalesce(1).write.mode("append").parquet(src)  # same ids again
+    store = TableStore(str(tmp_path / "store"))
+    q = start_stream_bottomk_sample(
+        spark, src, store, str(tmp_path / "ckpt"),
+        schema=spark.read.parquet(src).schema, k=50,
+    )
+    q.awaitTermination()
+    rows = read_sample(spark, store).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert sorted(ids) == list(range(20)) and len(set(ids)) == len(ids)
+
+
+def test_kmv_estimate_within_theory_bound(spark):
+    """KMV relative error is ~1/sqrt(k-2); at k=256 that is ~6%, so a
+    20% assertion has huge slack while still catching a broken
+    estimator (off-by-2x range bugs, wrong hash width)."""
+    ev = load(spark, SF_SMALL, "events")
+    exact = ev.select("user_id").distinct().count()
+    est = kmv_distinct_estimate(ev, k=256, id_col="user_id").collect()[0]
+    if exact < 256:
+        assert est["est_distinct"] == exact
+    else:
+        assert abs(est["est_distinct"] - exact) / exact < 0.2
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([(i,) for i in range(37)], "user_id long")
+    est = kmv_distinct_estimate(df, k=256, id_col="user_id").collect()[0]
+    assert est["n_sample"] == 37 and est["est_distinct"] == 37
+
+def test_per_stratum_bottomk_balanced_and_deterministic(spark):
+    from streamforge_data_pipeline_spark.operators.sampling import (
+        per_stratum_bottomk,
+    )
+
+    rows = [(i, "s%d" % (i % 3), "t") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = per_stratum_bottomk(df, stratum="source", k=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"s0", "s1", "s2"}
+    for src, rs in by_src.items():
+        assert len(rs) == 5 and sorted(r["rk"] for r in rs) == [1, 2, 3, 4, 5]
+        hs = [r["h"] for r in sorted(rs, key=lambda r: r["rk"])]
+        assert hs == sorted(hs)  # rank follows hash order
+    again = per_stratum_bottomk(df, stratum="source", k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

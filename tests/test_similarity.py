@@ -143,3 +143,38 @@ def test_ann_lsh_seeded_recall_and_bucket_parity(spark):
     }
     overlap = len(a & s) / max(len(a), 1)
     assert overlap >= 0.5, f"int8 twin diverged from float path: {overlap:.2f}"
+
+def test_ann_ivf_seeded_recall_and_ivf_parity(spark):
+    """The hash-checkable IVF twin must (a) keep useful recall vs the
+    exact float baseline — the seeded (untrained) coarse quantizer
+    partitions worse than trained k-means, nprobe=4/16 compensates —
+    and (b) overlap the trained float IVF on a majority of hits."""
+    vecs = load(spark, SF_MED, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 20)
+    exact = similarity.topk_cosine(vecs, queries, k=10)
+    seeded = similarity.ann_topk_ivf_seeded(vecs, queries, k=10)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    s = {(r["q_id"], r["vec_id"]) for r in seeded.collect()}
+    recall = len(e & s) / len(e)
+    assert recall >= 0.5, f"seeded IVF recall too low: {recall:.2f}"
+    a = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity.ann_topk_ivf(vecs, queries, k=10).collect()
+    }
+    overlap = len(a & s) / max(len(a), 1)
+    assert overlap >= 0.4, f"int8 IVF twin diverged from float path: {overlap:.2f}"
+
+
+def test_ann_ivf_seeded_zero_vector_guard(spark):
+    """A zero vector quantizes to all-zero (nn=0) and must be excluded
+    from rerank rather than producing NaN sims."""
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(1, 40)]
+    rows.append((0, [1.0] * 8))        # query
+    rows.append((99, [0.0] * 8))       # zero vector in the corpus
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ann_topk_ivf_seeded(
+        vecs, vecs.filter(F.col("vec_id") == 0), k=5, n_cells=4, nprobe=4
+    ).collect()
+    assert all(r["vec_id"] != 99 for r in out)
+    assert all(r["sim"] == r["sim"] for r in out)  # no NaN
+    assert len(out) > 0

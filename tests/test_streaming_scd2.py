@@ -60,8 +60,9 @@ def test_streaming_scd2_two_batches(spark, tmp_path):
     assert snap2[(1, True)]["bal"] == 11.0
     assert snap2[(2, True)]["bal"] == 20.0 and snap2[(2, True)]["valid_to"] is None
     assert snap2[(3, True)]["bal"] == 7.0
-    # versioned snapshots double as time travel
-    assert sorted(d for d in os.listdir(store) if d.startswith("v=")) == ["v=0", "v=1"]
+    # versioned snapshots double as time travel (v=0 is the reserved
+    # seed slot; batch N commits v=N+1)
+    assert sorted(d for d in os.listdir(store) if d.startswith("v=")) == ["v=1", "v=2"]
 
     # batch 3: change A AGAIN — its closed history row must pass through
     # untouched (not re-match the update on key), and exactly one open
@@ -155,3 +156,39 @@ def test_vacuum_keeps_newest_versions(spark, tmp_path):
     # keep clamps to 1: never drops the current snapshot
     assert vacuum_snapshots(store, keep=0) == [3]
     assert read_current(spark, store).collect()[0]["k"] == 4
+
+def test_seeded_bootstrap_then_stream(spark, tmp_path):
+    """CDC onboarding: a pre-existing dimension seeds v=0; the first
+    streamed batch merges against it (not against None) and commits
+    v=1. Seeding a non-empty store must refuse."""
+    import pytest
+
+    from streamforge_data_pipeline_spark.streaming.scd2_stream import (
+        seed_snapshot,
+    )
+
+    src = str(tmp_path / "updates")
+    store = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    initial = spark.createDataFrame(
+        [(1, "A", 10.0, T1, None, True), (2, "B", 5.0, T1, None, True)],
+        "k long, seg string, bal double, valid_from timestamp,"
+        " valid_to timestamp, is_current boolean",
+    )
+    seed_snapshot(initial, store)
+    with pytest.raises(ValueError):
+        seed_snapshot(initial, store)
+
+    spark.createDataFrame(
+        [(1, "A", 11.0, T2), (3, "C", 7.0, T2)],
+        "k long, seg string, bal double, eff_ts timestamp",
+    ).write.mode("overwrite").parquet(src)
+    _run_batch(spark, src, store, ckpt)
+
+    snap = {(r["k"], r["is_current"]): r for r in read_current(spark, store).collect()}
+    assert snap[(1, False)]["bal"] == 10.0 and snap[(1, False)]["valid_to"] == T2
+    assert snap[(1, True)]["bal"] == 11.0
+    assert snap[(2, True)]["bal"] == 5.0 and snap[(2, True)]["valid_to"] is None
+    assert snap[(3, True)]["bal"] == 7.0
+    assert sorted(d for d in os.listdir(store) if d.startswith("v=")) == ["v=0", "v=1"]
