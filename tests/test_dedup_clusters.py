@@ -61,7 +61,7 @@ def test_long_chain_converges_without_plan_blowup(spark):
     pairs_df = spark.createDataFrame(chain, ["doc_a", "doc_b"])
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in connected_components(pairs_df, max_iters=n).collect()
+        for r in connected_components(pairs_df, max_iters=n, small_graph_max_edges=0).collect()
     }
     assert got == {i: 0 for i in range(n)}
 
@@ -119,7 +119,7 @@ def test_long_chain_crosses_checkpoint_generations(spark):
     )
     got = {
         r.doc_id: r.cluster_id
-        for r in connected_components(pairs, max_iters=30).collect()
+        for r in connected_components(pairs, max_iters=30, small_graph_max_edges=0).collect()
     }
     assert got == {i: 0 for i in range(n)}
 
@@ -137,6 +137,26 @@ def test_chain_longer_than_iteration_cap_converges(spark):
     )
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in connected_components(pairs).collect()
+        for r in connected_components(pairs, small_graph_max_edges=0).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+def test_small_graph_fast_path_matches_distributed(spark):
+    """The thresholded union-find fast path must produce byte-identical
+    labels to the distributed min-label loop on the same graph —
+    cliques, chains, and singly-linked stars mixed."""
+    edges = (
+        [(i, i + 1) for i in range(30)]              # chain
+        + [(100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)]  # clique
+        + [(200, 200 + i) for i in range(1, 8)]      # star
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, small_graph_max_edges=0).collect()
+    }
+    assert fast == dist and fast[30] == 0 and fast[104] == 100 and fast[207] == 200
