@@ -52,8 +52,14 @@ def learn_bpe_merges(
     loop over n_merges SMALL jobs (vocab-bounded), the same shape as
     kmeans_centroids' iteration — each step localCheckpoints the
     (tiny) vocabulary so lineage never grows (the iterative-lineage
-    lesson, PERF_NOTES).
+    lesson, PERF_NOTES), and frees the previous generation's blocks so
+    at most one checkpointed vocab is ever live (the
+    connected_components retention rule).
     """
+    from streamforge_data_pipeline_spark.operators.dedup import (
+        _free_local_checkpoint,
+    )
+
     spark = df.sparkSession
     vocab = (
         df.select(F.explode(tokens(text)).alias("word"))
@@ -92,6 +98,7 @@ def learn_bpe_merges(
         merges.append((step, lhs, rhs, cnt))
         # tokens are [a-z0-9]+ so the literals are injection-safe; the
         # space padding makes the match anchor on whole symbols
+        prev = vocab
         vocab = vocab.select(
             F.expr(
                 f"trim(replace(concat(' ', sym, ' '),"
@@ -99,6 +106,7 @@ def learn_bpe_merges(
             ).alias("sym"),
             "freq",
         ).localCheckpoint(eager=True)
+        _free_local_checkpoint(prev)
 
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, pair_count long"

@@ -55,7 +55,8 @@ def sql_stratified_sample(
     )
 
 def bottomk_sample(
-    df: DataFrame, k: int = 100, id_col: str = "doc_id"
+    df: DataFrame, k: int = 100, id_col: str = "doc_id",
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Fixed-SIZE uniform sample: the k rows whose md5-derived key hash
     is smallest (bottom-k / KMV sketch, Bar-Yossef et al. 2002). The
@@ -78,14 +79,17 @@ def bottomk_sample(
     Returns (id_col, h) ordered-by-construction; h is kept because the
     max sampled hash doubles as the KMV distinct-count estimator input
     (:func:`kmv_distinct_estimate`).
+
+    ``assume_unique=True`` skips the id dedup when the caller knows
+    ``id_col`` is a primary key — that dedup is the plan's only
+    Exchange (a corpus-wide shuffle of the 2-column projection); with
+    it skipped the whole sample is one scan + a k-row merge.
     """
     h = hash60(F.col(id_col).cast("string"))
-    return (
-        df.select(id_col, h.alias("h"))
-        .dropDuplicates([id_col])
-        .orderBy("h", id_col)
-        .limit(k)
-    )
+    proj = df.select(id_col, h.alias("h"))
+    if not assume_unique:
+        proj = proj.dropDuplicates([id_col])
+    return proj.orderBy("h", id_col).limit(k)
 
 
 def kmv_distinct_estimate(

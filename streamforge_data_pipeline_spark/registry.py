@@ -1792,7 +1792,13 @@ def q_stream_bottomk_sample(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="sfdp_sbk_")
     try:
         src = os.path.join(work, "docs")
-        docs.write.mode("overwrite").parquet(src)
+        # stage as 4 files -> 4 micro-batches at ANY SF: the drain cost
+        # must measure the per-batch k-row merge, not a batch COUNT
+        # that scales with the input's partitioning (32 files at sf1mf
+        # made the drain pay 32x the fixed batch overhead); 4 batches
+        # still exercise the multi-batch merge the slicing-invariance
+        # pytest pins
+        docs.coalesce(4).write.mode("overwrite").parquet(src)
         store = TableStore(os.path.join(work, "store"))
         q = start_stream_bottomk_sample(
             spark,

@@ -24,6 +24,15 @@ atomic), the TABLE-state pattern of heavy_hitters_stream:
 
 State size: <= k rows on disk, independent of stream length — the
 100 TB posture.
+
+Replay safety without a marker: foreachBatch is at-least-once, but
+this merge is IDEMPOTENT by algebra — re-merging a batch re-offers
+the same (id, hash) rows, the id-dedup absorbs them, and bottom-k of
+an idempotent union is unchanged — so unlike the dedup/SCD2 twins
+(whose decision LOGS are append-only and need the marker-gated replay
+guard) no replay bookkeeping exists here at all. A crash between the
+localCheckpoint and the overwrite leaves the previous committed
+sample, and the replayed batch reproduces the identical merge.
 """
 
 from __future__ import annotations

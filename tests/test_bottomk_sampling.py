@@ -100,3 +100,9 @@ def test_per_stratum_bottomk_balanced_and_deterministic(spark):
         assert hs == sorted(hs)  # rank follows hash order
     again = per_stratum_bottomk(df, stratum="source", k=5).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+def test_assume_unique_identical_on_pk_input(spark):
+    docs = load(spark, SF_SMALL, "documents")
+    a = [tuple(r) for r in bottomk_sample(docs, k=40).collect()]
+    b = [tuple(r) for r in bottomk_sample(docs, k=40, assume_unique=True).collect()]
+    assert a == b
