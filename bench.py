@@ -86,6 +86,7 @@ HEADLINE = [
     "bpe_tokenize",
     "stream_bottomk_sample",
     "per_source_sample",
+    "ann_ivf_indexed",
 ]
 
 

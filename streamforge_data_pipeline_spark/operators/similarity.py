@@ -796,6 +796,139 @@ def ann_topk_lsh_seeded(
         .filter(F.col("rank") <= k)
         .select("q_id", id_col, "sim", "rank")
     )
+# ---- integer-exact IVF machinery (shared by ann_topk_ivf_seeded and
+# the write-time-partitioned index variant). Every stage is exact
+# int64 arithmetic so the DuckDB oracle replays it bit-identically;
+# see ann_topk_ivf_seeded's docstring for the full argument.
+
+
+def _q8_nn(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    """(out_id, q, __nn): int8-range quantization + exact squared norm.
+    max/scale as projected columns FIRST (explode-sibling recompute
+    class) — same recipe as ann_topk_lsh_seeded."""
+    mx = F.array_max(
+        F.transform(F.col(vec_col), lambda y: F.abs(y.cast("double")))
+    )
+    with_mx = df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col), mx.alias("__mx")
+    )
+    scale = F.when(F.col("__mx") == 0.0, F.lit(0.0)).otherwise(
+        F.lit(127.0) / F.col("__mx")
+    )
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    return with_mx.select(out_id, q.alias("q")).withColumn(
+        "__nn", _idot64(F.col("q"), F.col("q"))
+    )
+
+
+def _idot64(a, b):
+    izero = F.lit(0).cast("long")
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), izero, lambda acc, v: acc + v
+    )
+
+
+def _seed_q8_centroids(vq: DataFrame, out_id: str, n_cells: int):
+    """(cents, cn2) int64 ndarrays: the n_cells quantized vectors with
+    the smallest (md5-of-id, id) — a bounded n_cells-row collect, the
+    documented centroid-table exception (kmeans_centroids' seed rule)."""
+    import numpy as np
+
+    seed_rows = (
+        vq.withColumn(
+            "__h",
+            F.conv(
+                F.substring(F.md5(F.col(out_id).cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+        )
+        .orderBy("__h", out_id)
+        .limit(n_cells)
+        .select("q")
+        .collect()
+    )
+    cents = np.array([r["q"] for r in seed_rows], dtype=np.int64)
+    cn2 = (cents * cents).sum(axis=1)  # exact int64
+    return cents, cn2
+
+
+def _int_cell_assign(
+    qdf: DataFrame, out_id: str, probe: int, b_cents
+) -> DataFrame:
+    """(out_id, cell) for each vector's ``probe`` nearest seeded
+    centroids — ONE int64 NumPy matmul per Arrow batch; d2 = cn2 -
+    2*dot (the per-row nn term is constant, argmin order unchanged);
+    stable argsort ties == the oracle's ROW_NUMBER(d2, cell)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(out_id, T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def _assign(batches):
+        c, c2 = b_cents.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            d2 = c2[None, :] - 2 * (v @ c.T)
+            near = np.argsort(d2, axis=1, kind="stable")[:, :probe]
+            ids = pdf[out_id].to_numpy()
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(ids, probe),
+                    "cell": near.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return qdf.select(out_id, "q").mapInPandas(_assign, schema)
+
+
+def _int_rerank_topk(
+    cand: DataFrame, vq: DataFrame, qq: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Exact integer cosine rerank + deterministic top-k window: dot /
+    (sqrt(nn_a)*sqrt(nn_b)) rounded to 4 dp BEFORE ranking; zero-norm
+    guard (NaN >= tau trap, r5 advice)."""
+    rer = (
+        cand.join(
+            vq.select(
+                "vec_id_c", F.col("q").alias("__qa"), F.col("__nn").alias("__na2")
+            ),
+            "vec_id_c",
+        )
+        .join(
+            F.broadcast(
+                qq.select(
+                    "q_id", F.col("q").alias("__qb"), F.col("__nn").alias("__nb2")
+                )
+            ),
+            "q_id",
+        )
+        .withColumn("__dot", _idot64(F.col("__qa"), F.col("__qb")))
+        .filter((F.col("__na2") > 0) & (F.col("__nb2") > 0))
+        .select(
+            "q_id",
+            F.col("vec_id_c").alias(id_col),
+            F.round(
+                F.col("__dot") / (F.sqrt("__na2") * F.sqrt("__nb2")), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "sim", "rank")
+    )
+
 
 def ann_topk_ivf_seeded(
     vectors: DataFrame,
@@ -823,8 +956,9 @@ def ann_topk_ivf_seeded(
     - inverted file: corpus -> nearest cell; queries probe ``nprobe``
       nearest cells; candidates are the cell equi-join (never
       all-pairs — search touches ~nprobe/n_cells of the corpus, the
-      IVF scale story, and at 100 TB the cell is a write-time
-      partition key so probes are partition-pruned scans).
+      IVF scale story; :func:`build_ivf_index_seeded` makes the cell a
+      WRITE-TIME partition key so probes are partition-pruned scans,
+      proven by the indexed twin sharing this operator's oracle).
     - rerank: exact integer dot / (sqrt(nn_a) * sqrt(nn_b)) rounded to
       4 dp BEFORE ranking, the proven cross-engine cosine recipe.
 
@@ -834,129 +968,114 @@ def ann_topk_ivf_seeded(
     quantize to all-zero and drop at the norm guard (NaN >= tau trap,
     r5 advice). Same output schema as the other ann_* operators.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    def q8(df: DataFrame, out_id: str) -> DataFrame:
-        # max/scale as projected columns FIRST (explode-sibling
-        # recompute class) — same recipe as ann_topk_lsh_seeded
-        mx = F.array_max(
-            F.transform(F.col(vec_col), lambda y: F.abs(y.cast("double")))
-        )
-        with_mx = df.select(
-            F.col(id_col).alias(out_id), F.col(vec_col), mx.alias("__mx")
-        )
-        scale = F.when(F.col("__mx") == 0.0, F.lit(0.0)).otherwise(
-            F.lit(127.0) / F.col("__mx")
-        )
-        q = F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
-        )
-        return with_mx.select(out_id, q.alias("q"))
-
-    izero = F.lit(0).cast("long")
-
-    def idot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), izero, lambda acc, v: acc + v
-        )
-
-    vq = (
-        q8(vectors, "vec_id_c")
-        .withColumn("__nn", idot(F.col("q"), F.col("q")))
-        .localCheckpoint(eager=True)
-    )
-    qq = (
-        q8(query, "q_id")
-        .withColumn("__nn", idot(F.col("q"), F.col("q")))
-        .localCheckpoint(eager=True)
-    )
-
-    # Seeded centroids: the n_cells quantized vectors with the smallest
-    # (md5-of-id, id) — a bounded n_cells-row collect, the documented
-    # centroid-table exception (same rule as kmeans_centroids init).
-    seed_rows = (
-        vq.withColumn(
-            "__h",
-            F.conv(
-                F.substring(F.md5(F.col("vec_id_c").cast("string")), 1, 15), 16, 10
-            ).cast("long"),
-        )
-        .orderBy("__h", "vec_id_c")
-        .limit(n_cells)
-        .select("q")
-        .collect()
-    )
-    cents = np.array([r["q"] for r in seed_rows], dtype=np.int64)  # (n_cells, dim)
-    cn2 = (cents * cents).sum(axis=1)  # exact int64
-    sc = vectors.sparkSession.sparkContext
-    b_cents = sc.broadcast((cents, cn2))
-
-    def cells(qdf: DataFrame, out_id: str, probe: int) -> DataFrame:
-        schema = T.StructType(
-            [
-                T.StructField(out_id, T.LongType()),
-                T.StructField("cell", T.IntegerType()),
-            ]
-        )
-
-        def _assign(batches):
-            c, c2 = b_cents.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                v = np.stack(pdf["q"].to_numpy()).astype(np.int64)  # (n, dim)
-                # d2 = nn + cn2 - 2*dot; nn constant per row — drop it,
-                # argmin order is unchanged and everything stays int64
-                d2 = c2[None, :] - 2 * (v @ c.T)
-                near = np.argsort(d2, axis=1, kind="stable")[:, :probe]
-                ids = pdf[out_id].to_numpy()
-                yield pd.DataFrame(
-                    {
-                        out_id: np.repeat(ids, probe),
-                        "cell": near.reshape(-1).astype(np.int32),
-                    }
-                )
-
-        return qdf.select(out_id, "q").mapInPandas(_assign, schema)
-
+    vq = _q8_nn(vectors, id_col, vec_col, "vec_id_c").localCheckpoint(eager=True)
+    qq = _q8_nn(query, id_col, vec_col, "q_id").localCheckpoint(eager=True)
+    cents, cn2 = _seed_q8_centroids(vq, "vec_id_c", n_cells)
+    b_cents = vectors.sparkSession.sparkContext.broadcast((cents, cn2))
     cand = (
-        cells(vq, "vec_id_c", 1)
-        .join(F.broadcast(cells(qq, "q_id", nprobe)), "cell")
+        _int_cell_assign(vq, "vec_id_c", 1, b_cents)
+        .join(F.broadcast(_int_cell_assign(qq, "q_id", nprobe, b_cents)), "cell")
         .filter(F.col("vec_id_c") != F.col("q_id"))
         .select("q_id", "vec_id_c")
         .distinct()
     )
-    rer = (
-        cand.join(
-            vq.select(
-                "vec_id_c", F.col("q").alias("__qa"), F.col("__nn").alias("__na2")
-            ),
-            "vec_id_c",
-        )
-        .join(
-            F.broadcast(
-                qq.select(
-                    "q_id", F.col("q").alias("__qb"), F.col("__nn").alias("__nb2")
-                )
-            ),
-            "q_id",
-        )
-        .withColumn("__dot", idot(F.col("__qa"), F.col("__qb")))
-        .filter((F.col("__na2") > 0) & (F.col("__nb2") > 0))
-        .select(
-            "q_id",
-            F.col("vec_id_c").alias(id_col),
-            F.round(
-                F.col("__dot") / (F.sqrt("__na2") * F.sqrt("__nb2")), 4
-            ).alias("sim"),
-        )
+    return _int_rerank_topk(cand, vq, qq, k, id_col)
+
+
+def build_ivf_index_seeded(
+    vectors: DataFrame,
+    store,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_table: str = "ivf_index",
+    centroids_table: str = "ivf_centroids",
+) -> None:
+    """WRITE-TIME IVF layout: quantize the corpus, seed the coarse
+    quantizer, and persist the inverted file as a parquet table
+    HIVE-PARTITIONED BY CELL (cell=<n> directories) plus a bounded
+    centroids sidecar. This is the claim ann_topk_ivf's docstring has
+    carried since r3 — "at 100 TB the index is a write-time layout
+    choice" — turned into a tested artifact: a probe that touches
+    nprobe cells reads ONLY those directories (PartitionFilters,
+    plan-asserted in tests/test_ivf_partitioned.py), so search I/O is
+    ~nprobe/n_cells of the corpus instead of a full scan + filter.
+
+    The stored rows carry the quantized vector and its exact integer
+    norm (both parquet-lossless), so the probe side never touches the
+    float embeddings — :func:`ann_topk_ivf_seeded_indexed` produces
+    bit-identical output to :func:`ann_topk_ivf_seeded` and shares its
+    DuckDB oracle."""
+    spark = vectors.sparkSession
+    vq = _q8_nn(vectors, id_col, vec_col, "vec_id_c").localCheckpoint(eager=True)
+    cents, cn2 = _seed_q8_centroids(vq, "vec_id_c", n_cells)
+    b_cents = spark.sparkContext.broadcast((cents, cn2))
+    corpus_cells = _int_cell_assign(vq, "vec_id_c", 1, b_cents)
+    store.overwrite_partitioned(
+        vq.join(corpus_cells, "vec_id_c").select(
+            F.col("vec_id_c").alias(id_col), "q", F.col("__nn").alias("nn"),
+            "cell",
+        ),
+        index_table,
+        ["cell"],
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
-    return (
-        rer.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", id_col, "sim", "rank")
+    store.overwrite(
+        spark.createDataFrame(
+            [
+                (i, [int(v) for v in cents[i]], int(cn2[i]))
+                for i in range(len(cents))
+            ],
+            "cell int, c array<long>, cn2 long",
+        ),
+        centroids_table,
     )
+
+
+def ann_topk_ivf_seeded_indexed(
+    spark,
+    store,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_table: str = "ivf_index",
+    centroids_table: str = "ivf_centroids",
+) -> DataFrame:
+    """Probe the :func:`build_ivf_index_seeded` layout: assign queries
+    to their nprobe nearest cells, read ONLY those cells' partitions
+    (``cell IN (...)`` lands in the scan's PartitionFilters — directory
+    pruning, no data files from other cells are opened), candidate
+    equi-join, exact integer rerank. Bit-identical to
+    :func:`ann_topk_ivf_seeded` by construction: the probed cell union
+    is a superset of every query's candidate cells and candidates are
+    still matched per (query, cell)."""
+    import numpy as np
+
+    cent_rows = sorted(
+        store.read(spark, centroids_table).collect(), key=lambda r: r["cell"]
+    )  # n_cells rows, bounded
+    cents = np.array([r["c"] for r in cent_rows], dtype=np.int64)
+    cn2 = np.array([r["cn2"] for r in cent_rows], dtype=np.int64)
+    b_cents = spark.sparkContext.broadcast((cents, cn2))
+    qq = _q8_nn(query, id_col, vec_col, "q_id").localCheckpoint(eager=True)
+    qcells = _int_cell_assign(qq, "q_id", nprobe, b_cents).localCheckpoint(
+        eager=True
+    )
+    probe_cells = sorted(
+        r["cell"] for r in qcells.select("cell").distinct().collect()
+    )  # bounded by n_cells
+    index = store.read(spark, index_table).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    cand = (
+        index.select(F.col(id_col).alias("vec_id_c"), "cell")
+        .join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id_c") != F.col("q_id"))
+        .select("q_id", "vec_id_c")
+        .distinct()
+    )
+    vq_cols = index.select(
+        F.col(id_col).alias("vec_id_c"), "q", F.col("nn").alias("__nn")
+    )
+    return _int_rerank_topk(cand, vq_cols, qq, k, id_col)

@@ -106,6 +106,54 @@ _BOTTOMK_SQL = f"""WITH d AS (SELECT DISTINCT doc_id FROM documents)
 SELECT doc_id, {sql_hash60("CAST(doc_id AS VARCHAR)")} AS h
 FROM d ORDER BY h, doc_id LIMIT 100"""
 
+# Integer-exact seeded-IVF oracle — shared verbatim by ann_ivf_seeded
+# (in-memory assign) and ann_ivf_indexed (write-time cell-partitioned
+# index probe): same answer, two physical paths, one SQL.
+_ANN_IVF_SEEDED_SQL = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q8 AS (
+  SELECT vec_id,
+    list_transform(v, x -> CAST(floor(
+      x * (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END) + 0.5) AS BIGINT)) AS q
+  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e)),
+n2 AS (SELECT vec_id, q,
+         CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[])) AS BIGINT) AS nn
+       FROM q8),
+seeds AS (
+  SELECT q AS c, row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
+    CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[])) AS BIGINT) AS cn2
+  FROM (SELECT vec_id, q,
+          CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM q8)
+  QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 16),
+dist AS (
+  SELECT n2.vec_id, s.cell,
+    s.cn2 - 2 * CAST(list_dot_product(CAST(n2.q AS DOUBLE[]), CAST(s.c AS DOUBLE[])) AS BIGINT) AS d2
+  FROM n2, seeds s),
+corpus_cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist) WHERE rn <= 1),
+query_cells AS (
+  SELECT vec_id AS q_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist WHERE vec_id < 5) WHERE rn <= 4),
+cand AS (
+  SELECT DISTINCT qc.q_id, cc.vec_id
+  FROM query_cells qc JOIN corpus_cells cc ON qc.cell = cc.cell
+  WHERE cc.vec_id <> qc.q_id),
+rer AS (
+  SELECT c.q_id, c.vec_id,
+    round(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(b.q AS DOUBLE[]))
+          / (sqrt(a.nn) * sqrt(b.nn)), 4) AS sim
+  FROM cand c
+  JOIN n2 a ON c.vec_id = a.vec_id
+  JOIN n2 b ON c.q_id = b.vec_id
+  WHERE a.nn > 0 AND b.nn > 0),
+r AS (SELECT q_id, vec_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      FROM rer)
+SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 10"""
+
 # SCD2 MERGE oracle — shared verbatim by scd2_merge (batch) and
 # stream_scd2_merge (one-batch streaming drain over the seeded store):
 # the drain IS the batch merge, so one SQL pins both.
@@ -536,6 +584,31 @@ def q_ann_ivf_seeded(spark, sf_dir):
     return similarity.ann_topk_ivf_seeded(
         vecs, vecs.filter(F.col("vec_id") < 5), k=10
     )
+
+
+def q_ann_ivf_indexed(spark, sf_dir):
+    """The seeded IVF run through the WRITE-TIME layout: build the
+    cell-partitioned inverted file + centroid sidecar in a temp store,
+    then probe it — cell IN (...) partition pruning means the scan
+    opens only the probed cells' directories (plan-asserted in
+    tests/test_ivf_partitioned.py). Shares ann_ivf_seeded's oracle
+    verbatim: same answer, two physical paths."""
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+
+    vecs = load(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="sfdp_ivfx_")
+    try:
+        store = TableStore(work)
+        similarity.build_ivf_index_seeded(vecs, store, n_cells=16)
+        out = similarity.ann_topk_ivf_seeded_indexed(
+            spark, store, vecs.filter(F.col("vec_id") < 5), k=10, nprobe=4
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 def q_asof_join(spark, sf_dir):
@@ -2579,6 +2652,13 @@ SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 10""",
         " int8-quantized vectors, all-integer plane dots, exact rerank;"
         " the oracle replays bucket -> candidate -> rerank end-to-end",
     ),
+    "ann_ivf_indexed": QuerySpec(
+        q_ann_ivf_indexed,
+        _ANN_IVF_SEEDED_SQL,
+        "seeded IVF probed through the write-time cell-partitioned"
+        " inverted file (directory-pruned scans) — same oracle as"
+        " ann_ivf_seeded, different physical path",
+    ),
     "semantic_dedup": QuerySpec(
         q_semantic_dedup,
         None,
@@ -2612,50 +2692,7 @@ FROM e LEFT JOIN g ON e.vec_id = g.node""",
     ),
     "ann_ivf_seeded": QuerySpec(
         q_ann_ivf_seeded,
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-q8 AS (
-  SELECT vec_id,
-    list_transform(v, x -> CAST(floor(
-      x * (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END) + 0.5) AS BIGINT)) AS q
-  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e)),
-n2 AS (SELECT vec_id, q,
-         CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[])) AS BIGINT) AS nn
-       FROM q8),
-seeds AS (
-  SELECT q AS c, row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
-    CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[])) AS BIGINT) AS cn2
-  FROM (SELECT vec_id, q,
-          CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-        FROM q8)
-  QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 16),
-dist AS (
-  SELECT n2.vec_id, s.cell,
-    s.cn2 - 2 * CAST(list_dot_product(CAST(n2.q AS DOUBLE[]), CAST(s.c AS DOUBLE[])) AS BIGINT) AS d2
-  FROM n2, seeds s),
-corpus_cells AS (
-  SELECT vec_id, cell FROM (
-    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-    FROM dist) WHERE rn <= 1),
-query_cells AS (
-  SELECT vec_id AS q_id, cell FROM (
-    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-    FROM dist WHERE vec_id < 5) WHERE rn <= 4),
-cand AS (
-  SELECT DISTINCT qc.q_id, cc.vec_id
-  FROM query_cells qc JOIN corpus_cells cc ON qc.cell = cc.cell
-  WHERE cc.vec_id <> qc.q_id),
-rer AS (
-  SELECT c.q_id, c.vec_id,
-    round(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(b.q AS DOUBLE[]))
-          / (sqrt(a.nn) * sqrt(b.nn)), 4) AS sim
-  FROM cand c
-  JOIN n2 a ON c.vec_id = a.vec_id
-  JOIN n2 b ON c.q_id = b.vec_id
-  WHERE a.nn > 0 AND b.nn > 0),
-r AS (SELECT q_id, vec_id, sim,
-        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
-      FROM rer)
-SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 10""",
+        _ANN_IVF_SEEDED_SQL,
         "IVF ANN made hash-checkable — md5-seeded int8 coarse quantizer,"
         " integer-exact cell argmin, nprobe probe, exact rerank; the"
         " oracle replays assign -> probe -> rerank end-to-end",
