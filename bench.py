@@ -87,6 +87,7 @@ HEADLINE = [
     "stream_bottomk_sample",
     "per_source_sample",
     "ann_ivf_indexed",
+    "pagerank_canonical",
 ]
 
 

@@ -452,3 +452,86 @@ def canonical_selection(
             ),
         )
     )
+
+def pagerank_scores(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
+    iters: int = 4, scale: int = 1_000_000,
+) -> DataFrame:
+    """PageRank over an undirected pair graph -> (doc_id, score), made
+    hash-checkable by INTEGER-SCALED power iteration — the
+    determinize-the-risky-stages move applied to graph centrality.
+    Float PageRank is engine-sensitive (summation order moves ulps);
+    here rank mass is an integer multiple of 1/scale and every round
+    is: share = floor(r / degree), incoming = SUM(shares) (exact int),
+    r' = floor(0.15*scale) + floor(0.85 * incoming). The only float
+    ops are divisions/multiplications of exactly-representable
+    integers (< 2^53) by the same literals — correctly-rounded IEEE,
+    bit-identical across engines — and each is floored immediately, so
+    any engine replays the identical integer sequence. Fixed ``iters``
+    (no convergence action): the oracle unrolls the same rounds as
+    chained CTEs.
+
+    Scale shape: each round is one equi-join of the edge list with the
+    rank table + a partial-agg sum — never materializes anything
+    larger than edges; rounds are data-independent jobs (no per-round
+    driver action, unlike the CC fixpoint), so 100 TB pair graphs run
+    iters chained shuffles.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    r = deg.select(F.col("src").alias("doc_id"), F.lit(scale).cast("long").alias("r"))
+    base = int(0.15 * scale)
+    prev_ckpt = None
+    for _ in range(iters):
+        share = (
+            r.join(deg, r["doc_id"] == deg["src"])
+            .select("doc_id", F.floor(F.col("r") / F.col("d")).alias("sh"))
+        )
+        incoming = (
+            edges.join(share, edges["src"] == share["doc_id"])
+            .groupBy("dst")
+            .agg(F.sum("sh").alias("inc"))
+        )
+        r = (
+            deg.select(F.col("src").alias("doc_id"))
+            .join(incoming, F.col("doc_id") == incoming["dst"], "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(base)
+                    + F.floor(F.lit(0.85) * F.coalesce(F.col("inc"), F.lit(0)))
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if prev_ckpt is not None:
+            _free_local_checkpoint(prev_ckpt)
+        prev_ckpt = r
+    return r.select("doc_id", F.col("r").alias("score"))
+
+
+def pagerank_canonical(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", iters: int = 4
+) -> DataFrame:
+    """Importance-ranked canonical selection: within each near-dup
+    component keep the most CENTRAL member (highest integer PageRank,
+    ties on min id) instead of blindly the min id — the web-dedup
+    heuristic that the most-linked version of a page is the best
+    representative. Returns one row per node in the dup graph:
+    (doc_id, cluster_id, score, keep). Docs in no dup pair trivially
+    keep and are out of scope here (same contract as the pair stage)."""
+    comps = connected_components(pairs, a=a, b=b)
+    scores = pagerank_scores(pairs, a=a, b=b, iters=iters)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        comps.join(scores, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "score", "keep")
+    )

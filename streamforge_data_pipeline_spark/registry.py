@@ -611,6 +611,28 @@ def q_ann_ivf_indexed(spark, sf_dir):
     return out
 
 
+def q_pagerank_canonical(spark, sf_dir):
+    """Importance-ranked canonical selection over the embedding
+    near-dup graph (cosine >= 0.4, the embedding_near_dup predicate):
+    integer-scaled PageRank picks each component's most central member
+    as canonical instead of the min id. The power iteration is exact
+    integer arithmetic (floored shares/damping), so the oracle unrolls
+    the identical 4 rounds; components replay via the established
+    recursive-closure CTE."""
+    from streamforge_data_pipeline_spark.operators.dedup import (
+        pagerank_canonical,
+    )
+
+    vecs = load(spark, sf_dir, "embeddings")
+    # numpy blocked-matmul pair kernel (exact-fold equivalence asserted
+    # in tests/test_similarity.py) — the fold form is quadratic in
+    # interpreted expressions and made sf1 the pair stage's bottleneck
+    pairs = similarity.near_dup_pairs_numpy(vecs, tau=0.4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return pagerank_canonical(pairs)
+
+
 def q_asof_join(spark, sf_dir):
     """Time-series enrichment: each click event picks up the latest
     prior purchase value of the same user. Right side is pre-deduped
@@ -2651,6 +2673,63 @@ SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 10""",
         "E32: sign-LSH ANN made hash-checkable — md5-seeded planes over"
         " int8-quantized vectors, all-integer plane dots, exact rerank;"
         " the oracle replays bucket -> candidate -> rerank end-to-end",
+    ),
+    "pagerank_canonical": QuerySpec(
+        q_pagerank_canonical,
+        """WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_dot_product(embedding, embedding) > 0),
+p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+ed AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM p
+                    UNION SELECT ib, ia FROM p),
+deg AS MATERIALIZED (SELECT src, count(*) AS d FROM ed GROUP BY src),
+r0 AS MATERIALIZED (SELECT src AS doc_id, CAST(1000000 AS BIGINT) AS r FROM deg),
+r1 AS MATERIALIZED (
+  SELECT deg.src AS doc_id,
+         CAST(150000 + floor(0.85 * coalesce(i.inc, 0)) AS BIGINT) AS r
+  FROM deg LEFT JOIN (
+    SELECT ed.dst, SUM(CAST(floor(rp.r / d2.d) AS BIGINT)) AS inc
+    FROM ed JOIN r0 rp ON ed.src = rp.doc_id
+            JOIN deg d2 ON ed.src = d2.src
+    GROUP BY ed.dst) i ON deg.src = i.dst),
+r2 AS MATERIALIZED (
+  SELECT deg.src AS doc_id,
+         CAST(150000 + floor(0.85 * coalesce(i.inc, 0)) AS BIGINT) AS r
+  FROM deg LEFT JOIN (
+    SELECT ed.dst, SUM(CAST(floor(rp.r / d2.d) AS BIGINT)) AS inc
+    FROM ed JOIN r1 rp ON ed.src = rp.doc_id
+            JOIN deg d2 ON ed.src = d2.src
+    GROUP BY ed.dst) i ON deg.src = i.dst),
+r3 AS MATERIALIZED (
+  SELECT deg.src AS doc_id,
+         CAST(150000 + floor(0.85 * coalesce(i.inc, 0)) AS BIGINT) AS r
+  FROM deg LEFT JOIN (
+    SELECT ed.dst, SUM(CAST(floor(rp.r / d2.d) AS BIGINT)) AS inc
+    FROM ed JOIN r2 rp ON ed.src = rp.doc_id
+            JOIN deg d2 ON ed.src = d2.src
+    GROUP BY ed.dst) i ON deg.src = i.dst),
+r4 AS MATERIALIZED (
+  SELECT deg.src AS doc_id,
+         CAST(150000 + floor(0.85 * coalesce(i.inc, 0)) AS BIGINT) AS r
+  FROM deg LEFT JOIN (
+    SELECT ed.dst, SUM(CAST(floor(rp.r / d2.d) AS BIGINT)) AS inc
+    FROM ed JOIN r3 rp ON ed.src = rp.doc_id
+            JOIN deg d2 ON ed.src = d2.src
+    GROUP BY ed.dst) i ON deg.src = i.dst),
+cl AS (SELECT src AS node, src AS reach FROM ed
+       UNION
+       SELECT cl.node, e2.dst FROM cl JOIN ed e2 ON cl.reach = e2.src),
+g AS (SELECT node, min(reach) AS grp FROM cl GROUP BY node)
+SELECT r4.doc_id, g.grp AS cluster_id, r4.r AS score,
+       ROW_NUMBER() OVER (PARTITION BY g.grp
+                          ORDER BY r4.r DESC, r4.doc_id) = 1 AS keep
+FROM r4 JOIN g ON r4.doc_id = g.node""",
+        "importance-ranked canonical selection: integer-scaled PageRank"
+        " (floored shares + damping — every round an exact integer"
+        " sequence, oracle-unrolled) picks each near-dup component's"
+        " most central member",
     ),
     "ann_ivf_indexed": QuerySpec(
         q_ann_ivf_indexed,

@@ -160,3 +160,37 @@ def test_small_graph_fast_path_matches_distributed(spark):
         for r in connected_components(pairs, small_graph_max_edges=0).collect()
     }
     assert fast == dist and fast[30] == 0 and fast[104] == 100 and fast[207] == 200
+
+def test_pagerank_canonical_picks_central_not_min(spark):
+    """Star graph 10-(11..15): the CENTER (id 10) must win even though
+    min-id selection would also pick 10 — so add a second component
+    where the center is NOT the min id: 21-(20,22,23). PageRank must
+    pick 21 over the min id 20."""
+    from streamforge_data_pipeline_spark.operators.dedup import (
+        pagerank_canonical,
+    )
+
+    edges = [(10, i) for i in (11, 12, 13, 14, 15)]
+    edges += [(21, 20), (21, 22), (21, 23)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = {r["doc_id"]: r for r in pagerank_canonical(pairs).collect()}
+    assert out[10]["keep"] and not out[11]["keep"]
+    assert out[21]["keep"] and not out[20]["keep"], (
+        out[20]["score"], out[21]["score"]
+    )
+    assert out[20]["cluster_id"] == 20 and out[21]["cluster_id"] == 20
+    # scores: centers strictly above leaves
+    assert out[10]["score"] > out[11]["score"]
+    assert out[21]["score"] > out[22]["score"]
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    from streamforge_data_pipeline_spark.operators.dedup import pagerank_scores
+
+    pairs = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 17) for i in range(17) if i != (i * 3 + 1) % 17],
+        "doc_a long, doc_b long",
+    )
+    a = sorted(map(tuple, pagerank_scores(pairs).collect()))
+    b = sorted(map(tuple, pagerank_scores(pairs).collect()))
+    assert a == b and len(a) > 0
