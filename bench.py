@@ -88,6 +88,7 @@ HEADLINE = [
     "per_source_sample",
     "ann_ivf_indexed",
     "pagerank_canonical",
+    "stream_kmv_distinct",
 ]
 
 

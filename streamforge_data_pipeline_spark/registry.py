@@ -1912,6 +1912,46 @@ def q_stream_bottomk_sample(spark, sf_dir):
     return out
 
 
+def q_stream_kmv_distinct(spark, sf_dir):
+    """Distinct-count estimation maintained INCREMENTALLY over the
+    stream: drain the bottom-k sample stream, then compute the KMV
+    estimate from the k-row state alone. Because bottom-k is exactly
+    mergeable, the streamed state's estimate equals the batch formula
+    over the full corpus — so the estimator over an unbounded stream
+    is itself hash-checked, state <= k rows forever."""
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from streamforge_data_pipeline_spark.streaming.sample_stream import (
+        distinct_estimate,
+        start_stream_bottomk_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="sfdp_skmv_")
+    try:
+        src = os.path.join(work, "docs")
+        docs.coalesce(4).write.mode("overwrite").parquet(src)
+        store = TableStore(os.path.join(work, "store"))
+        q = start_stream_bottomk_sample(
+            spark,
+            src,
+            store,
+            os.path.join(work, "ckpt"),
+            schema=spark.read.parquet(src).schema,
+            id_col="doc_id",
+            k=100,
+        )
+        q.awaitTermination()
+        out = distinct_estimate(spark, store, k=100).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_stream_interval_join(spark, sf_dir):
     """Stream-stream event-time interval join drained as ONE
     micro-batch: error -> purchase attribution within 60 minutes per
@@ -2989,6 +3029,21 @@ r AS (SELECT source, doc_id, h,
 SELECT source, doc_id, h, rk FROM r WHERE rk <= 20""",
         "balanced subset: exactly k docs per source via within-stratum"
         " bottom-k window rank",
+    ),
+    "stream_kmv_distinct": QuerySpec(
+        q_stream_kmv_distinct,
+        f"""WITH d AS (SELECT DISTINCT doc_id FROM documents),
+s AS (SELECT doc_id, {sql_hash60("CAST(doc_id AS VARCHAR)")} AS h
+      FROM d ORDER BY h, doc_id LIMIT 100),
+a AS (SELECT count(*) AS n, max(h) AS hk FROM s)
+SELECT CAST(n AS BIGINT) AS n_sample,
+       CASE WHEN n < 100 THEN CAST(n AS BIGINT)
+            ELSE CAST(floor(99.0 * 1152921504606846976.0 / hk) AS BIGINT)
+       END AS est_distinct
+FROM a""",
+        "KMV distinct estimate computed from the DRAINED bottom-k stream"
+        " state — mergeable sketch, so the incremental estimator equals"
+        " the batch formula and is itself hash-checked",
     ),
     "kmv_distinct": QuerySpec(
         q_kmv_distinct,
