@@ -35,3 +35,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return registry.oracle_sql()
+
+
+def rows_only() -> dict[str, str]:
+    """Declared rows-only keys: each key in ``queries()`` that has no
+    ``oracle_sql()`` entry BY DESIGN (approximate sketches, float
+    k-means training, media decode plumbing), mapped to the registry
+    key whose exact/seeded twin hash-checks the same machinery. A
+    "no_oracle" correctness row for any key listed here is a declared
+    classification, not a coverage gap."""
+    return registry.rows_only()

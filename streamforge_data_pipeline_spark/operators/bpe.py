@@ -23,9 +23,17 @@ Determinism (cross-engine, oracle-checked): pair counts are exact
 integers; the argmax tie-breaks on (count DESC, lhs ASC, rhs ASC) over
 [a-z0-9]+ tokens, where ASCII ordering agrees between engines; merge
 application is literal non-overlapping LEFT-TO-RIGHT string replace on
-the space-separated symbol string — both Spark's `replace` and
-DuckDB's `replace` scan left to right, which is exactly the greedy
-order BPE specifies (" a a a " -> " aa a ").
+a DOUBLE-space-separated symbol string — both Spark's `replace` and
+DuckDB's `replace` scan left to right. The double separator is what
+makes one literal pass EXACTLY the greedy rule of Sennrich et al.:
+every symbol boundary holds two spaces and the pattern
+`' lhs  rhs '` consumes only ONE space from each flank, so adjacent
+occurrences never compete for a shared separator
+("  a  n  a  n  " -> "  an  an  ", where a single-space scheme would
+stop after the first merge — the r7 ADVICE fixpoint bug). A run of
+the same pair merges left-to-right exactly as BPE specifies
+("  a  a  a  a  " + (a,a) -> "  aa  aa  "). RE2 (DuckDB) has no
+lookbehind, so this literal scheme is the one that ports identically.
 """
 
 from __future__ import annotations
@@ -66,8 +74,9 @@ def learn_bpe_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
-            # "hello" -> "h e l l o": one space-separated symbol per char
-            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"),
+            # "hello" -> "h  e  l  l  o": DOUBLE-space separated, one
+            # symbol per char (see module docstring for why two)
+            F.trim(F.regexp_replace("word", "(.)", "$1  ")).alias("sym"),
             "freq",
         )
         .localCheckpoint(eager=True)
@@ -75,7 +84,7 @@ def learn_bpe_merges(
 
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
-        a = F.split(F.col("sym"), " ")
+        a = F.split(F.col("sym"), "  ")
         pairs = (
             vocab.select(
                 F.explode(
@@ -97,12 +106,14 @@ def learn_bpe_merges(
         lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["cnt"]
         merges.append((step, lhs, rhs, cnt))
         # tokens are [a-z0-9]+ so the literals are injection-safe; the
-        # space padding makes the match anchor on whole symbols
+        # single-space pattern flanks against the double-space padding
+        # anchor whole symbols AND leave one separator space for the
+        # neighbouring occurrence (adjacent-merge correctness)
         prev = vocab
         vocab = vocab.select(
             F.expr(
-                f"trim(replace(concat(' ', sym, ' '),"
-                f" ' {lhs} {rhs} ', ' {lhs}{rhs} '))"
+                f"trim(replace(concat('  ', sym, '  '),"
+                f" ' {lhs}  {rhs} ', ' {lhs}{rhs} '))"
             ).alias("sym"),
             "freq",
         ).localCheckpoint(eager=True)
@@ -127,13 +138,25 @@ def apply_bpe_merges(
     word = F.explode(tokens(text)).alias("word")
     base = df.select("*", word)
     sym = F.concat(
-        F.lit(" "), F.trim(F.regexp_replace("word", "(.)", "$1 ")), F.lit(" ")
+        F.lit("  "),
+        F.trim(F.regexp_replace("word", "(.)", "$1  ")),
+        F.lit("  "),
     )
     expr = sym
     for lhs, rhs in merges:
-        expr = F.replace(
-            expr, F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} ")
+        # re-pad between merges: a replace consumes one flank space, so
+        # the NEXT merge's single-space pattern flank needs the
+        # boundary restored to two. trim+concat('  ',...) per step
+        # keeps the invariant (boundaries always hold 2 spaces).
+        expr = F.concat(
+            F.lit("  "),
+            F.trim(
+                F.replace(
+                    expr, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
+                )
+            ),
+            F.lit("  "),
         )
     return base.select(
-        "*", F.split(F.trim(expr), " ").alias(out)
+        "*", F.split(F.trim(expr), "  ").alias(out)
     )

@@ -127,14 +127,20 @@ def per_stratum_bottomk(
     stratum, keep rank <= k. One hash-partitioned sort per stratum —
     at 100 TB this is the one shuffle a balanced-subset draw costs,
     and a hot stratum skews only its own partition group. Same
-    determinism contract as the other samplers."""
+    determinism contract as the other samplers.
+
+    Dedup is on (stratum, id) — NOT id alone — so an id appearing
+    under two strata contributes one deterministic row to EACH, and
+    the oracle's matching SELECT DISTINCT keeps the contract on
+    non-PK inputs (r7 ADVICE fix: id-only dedup made the surviving
+    stratum arbitrary)."""
     from pyspark.sql import Window
 
     h = hash60(F.col(id_col).cast("string"))
     w = Window.partitionBy(stratum).orderBy("h", id_col)
     return (
         df.select(stratum, id_col, h.alias("h"))
-        .dropDuplicates([id_col])
+        .dropDuplicates([stratum, id_col])
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(stratum, id_col, "h", F.col("rk").cast("int").alias("rk"))

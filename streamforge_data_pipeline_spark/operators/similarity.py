@@ -879,11 +879,15 @@ def _int_cell_assign(
                 continue
             v = np.stack(pdf["q"].to_numpy()).astype(np.int64)
             d2 = c2[None, :] - 2 * (v @ c.T)
-            near = np.argsort(d2, axis=1, kind="stable")[:, :probe]
+            # fewer seeded centroids than probe (tiny corpus / clamped
+            # n_cells): emit one row per EXISTING cell, matching the
+            # oracle's rn <= nprobe tolerance (r7 ADVICE fix)
+            p = min(probe, d2.shape[1])
+            near = np.argsort(d2, axis=1, kind="stable")[:, :p]
             ids = pdf[out_id].to_numpy()
             yield pd.DataFrame(
                 {
-                    out_id: np.repeat(ids, probe),
+                    out_id: np.repeat(ids, p),
                     "cell": near.reshape(-1).astype(np.int32),
                 }
             )

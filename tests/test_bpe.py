@@ -67,6 +67,45 @@ def test_apply_merges_in_training_order(spark):
             assert (a, b) not in merges
 
 
+def test_adjacent_occurrences_both_merge(spark):
+    """r7 ADVICE regression: adjacent occurrences of a pair share a
+    separator — the single-space literal replace consumed it and
+    stopped after the first merge ('b a n a n a' + (a,n) ->
+    'b an a n a'). Canonical greedy BPE merges both: 'b an an a'.
+    The double-space encoding fixes this in ONE literal pass."""
+    toks = apply_bpe_merges(
+        _docs(spark, ["banana"]), [("a", "n")], out="bpe"
+    ).collect()
+    assert toks[0]["bpe"] == ["b", "an", "an", "a"]
+
+    # runs of the same pair: 'aaaa' + (a,a) -> 'aa'+'aa' (not 'aa a a')
+    toks = apply_bpe_merges(
+        _docs(spark, ["aaaa"]), [("a", "a")], out="bpe"
+    ).collect()
+    assert toks[0]["bpe"] == ["aa", "aa"]
+
+    # and odd runs still end with the leftover singleton
+    toks = apply_bpe_merges(
+        _docs(spark, ["aaaaa"]), [("a", "a")], out="bpe"
+    ).collect()
+    assert toks[0]["bpe"] == ["aa", "aa", "a"]
+
+
+def test_learned_counts_see_merged_adjacents(spark):
+    """Training-side twin of the adjacency fix: after merging (a,n)
+    over 'banana' x4, the vocabulary must hold 'b an an a', whose
+    pair set is {(b,an), (an,an), (an,a)} — all count 4, and the
+    (cnt DESC, lhs, rhs) tie-break picks (an, a). The buggy
+    single-space encoding left 'b an a n a', whose pair set still
+    contains (a, n) at count 4, which the same tie-break would pick
+    instead — so step 2's winner discriminates the encodings."""
+    out = learn_bpe_merges(_docs(spark, ["banana banana banana banana"]),
+                           n_merges=2).collect()
+    assert (out[0]["lhs"], out[0]["rhs"]) == ("a", "n")
+    assert (out[1]["lhs"], out[1]["rhs"], out[1]["pair_count"]) == (
+        "an", "a", 4)
+
+
 def test_learn_merges_stops_when_no_pairs(spark):
     """Single-char vocabulary has no adjacent pairs: empty result, no
     error (early break, not an empty-argmax crash)."""

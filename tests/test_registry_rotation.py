@@ -27,6 +27,20 @@ def test_contract_dicts_are_consistent():
     )
 
 
+def test_rows_only_declaration_names_hash_checked_twins():
+    """r7 VERDICT #5: every key without an oracle is DECLARED via
+    rows_only(), and its named twin is a real, oracle-backed registry
+    key — so driver "no_oracle" rows are classifications, not gaps."""
+    qs = registry.queries()
+    osql = registry.oracle_sql()
+    ro = registry.rows_only()
+    # exactly the no-oracle keys, no more, no fewer
+    assert set(ro) == set(qs) - set(osql)
+    for key, twin in ro.items():
+        assert twin in osql, f"{key}: twin {twin} is not oracle-backed"
+        assert twin != key
+
+
 def test_tiering_never_then_stale_then_verified(monkeypatch):
     names = list(registry.REGISTRY)
     # fake staleness (the real derivation is git-based, tested in

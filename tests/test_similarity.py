@@ -165,6 +165,26 @@ def test_ann_ivf_seeded_recall_and_ivf_parity(spark):
     assert overlap >= 0.4, f"int8 IVF twin diverged from float path: {overlap:.2f}"
 
 
+def test_ann_ivf_seeded_tiny_corpus_fewer_cells_than_nprobe(spark):
+    """r7 ADVICE regression: when the corpus has fewer vectors than
+    nprobe (so fewer seeded centroids exist than cells to probe),
+    _int_cell_assign's np.repeat/reshape lengths diverged and the
+    mapInPandas task crashed. Each query must now probe every
+    EXISTING cell and the search degrades gracefully to exact."""
+    rows = [(i, [float((i * 5 + j) % 7 - 3) for j in range(8)])
+            for i in range(3)]  # 3 vectors < nprobe=4
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ann_topk_ivf_seeded(
+        vecs, vecs, k=2, n_cells=8, nprobe=4
+    ).collect()
+    # with every cell probed, each query sees both other vectors
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    assert all(len(v) == 2 for v in per_q.values())
+    assert len(per_q) == 3
+
+
 def test_ann_ivf_seeded_zero_vector_guard(spark):
     """A zero vector quantizes to all-zero (nn=0) and must be excluded
     from rerank rather than producing NaN sims."""
