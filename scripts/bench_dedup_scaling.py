@@ -70,6 +70,8 @@ KEYS = [
     "stream_decontaminate",
     "minhash_estimate",
     "simhash_near_dup_radius6",
+    # r8: the weak-mark fix — the ranking over the BLOCKED pair stream
+    "pagerank_canonical_blocked",
 ]
 
 # sf1 MUST be the multi-file layout (sf1mf): the single-file sf1 dir
