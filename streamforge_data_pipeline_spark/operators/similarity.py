@@ -536,6 +536,7 @@ def semantic_dedup_fixed_cells(
     tau: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """:func:`semantic_dedup` with a DETERMINISTIC, SQL-expressible
     coarse quantizer — cell = argmax |component| over the first
@@ -555,21 +556,55 @@ def semantic_dedup_fixed_cells(
     code over the leading dims), not a hash: cells still group
     directionally-similar vectors, so the within-cell join exercises
     the same skew/size behavior the k-means cells produce.
-    """
-    assigned = vectors.select(
-        F.col(id_col), argmax_cell(vec_col, n_cells).alias("cell")
-    )
+
+    ``cell_cap`` (r7 VERDICT #2) bounds the within-cell quadratic
+    term: any level-1 cell whose population exceeds the cap is
+    DETERMINISTICALLY split into ``n_cells`` subcells by the argmax
+    quantizer over the NEXT ``n_cells`` dimensions — recursive
+    sub-quantization, still fully SQL-expressible (the oracle mirrors
+    the population count + CASE refinement), so oversized cells' pair
+    volume drops ~n_cells^2-fold instead of growing with the square of
+    corpus size. Documented recall effect: a duplicate pair whose
+    members land in different subcells of a refined cell is missed —
+    the standard SemDeDup trade (its cells also grow with the corpus);
+    tau-groups are near-parallel vectors, so same-level-2-argmax is
+    the common case. The cell-count table is n_cells rows — the
+    refinement join broadcasts. One level of refinement bounds the
+    per-cell population to corpus/n_cells^2; the scale path for
+    further growth is the trained sqrt(N) quantizer (E25)."""
+    c1 = argmax_cell(vec_col, n_cells)
+    if cell_cap is None:
+        assigned = vectors.select(F.col(id_col), c1.alias("cell"))
+    else:
+        lvl = vectors.select(
+            F.col(id_col),
+            c1.alias("c1"),
+            argmax_cell(vec_col, n_cells, offset=n_cells).alias("c2"),
+        )
+        counts = lvl.groupBy("c1").agg(F.count(F.lit(1)).alias("__cn"))
+        assigned = lvl.join(F.broadcast(counts), "c1").select(
+            F.col(id_col),
+            F.when(
+                F.col("__cn") > cell_cap,
+                F.lit(n_cells) + F.col("c1") * n_cells + F.col("c2"),
+            )
+            .otherwise(F.col("c1"))
+            .cast("int")
+            .alias("cell"),
+        )
     return _dedup_within_cells(vectors, assigned, tau, id_col, vec_col)
 
 
-def argmax_cell(vec_col: str, n_cells: int = 8):
+def argmax_cell(vec_col: str, n_cells: int = 8, offset: int = 0):
     """The deterministic coarse quantizer shared by
     :func:`semantic_dedup_fixed_cells` and the streaming semantic
-    dedup: cell = argmax |component| over the first ``n_cells``
-    dimensions (ties -> lowest index). Stateless and SQL-expressible,
-    so cell assignments agree across batches, engines, and restarts
-    with no trained model to version."""
-    first = F.slice(F.col(vec_col), 1, n_cells)
+    dedup: cell = argmax |component| over ``n_cells`` dimensions
+    starting at ``offset`` (ties -> lowest index). Stateless and
+    SQL-expressible, so cell assignments agree across batches,
+    engines, and restarts with no trained model to version. Non-zero
+    ``offset`` yields the independent level-2 sub-quantizer used for
+    cell_cap refinement."""
+    first = F.slice(F.col(vec_col), offset + 1, n_cells)
     mags = F.transform(first, lambda x: F.abs(x.cast("double")))
     return (F.array_position(mags, F.array_max(mags)) - 1).cast("int")
 

@@ -227,6 +227,45 @@ SELECT r4.doc_id, g.grp AS cluster_id, r4.r AS score,
 FROM r4 JOIN g ON r4.doc_id = g.node"""
 
 
+def _semdedup_cells_sql(cap: int | None = None, n_cells: int = 8) -> str:
+    """Oracle for semantic_dedup_fixed_cells: argmax-|component| cells,
+    within-cell cosine>=tau pairs, recursive closure, min-id canonical.
+    With ``cap``, mirrors the deterministic cell refinement: level-1
+    cells whose population exceeds the cap split into n_cells subcells
+    by the argmax over the NEXT n_cells dims (r7 VERDICT #2 — bounds
+    the within-cell quadratic term; the CASE + count mirror the Spark
+    broadcast-join refinement exactly)."""
+    lo, hi = n_cells + 1, 2 * n_cells
+    am1 = (f"list_position(list_transform(v[1:{n_cells}], x -> abs(x)),"
+           f" list_max(list_transform(v[1:{n_cells}], x -> abs(x)))) - 1")
+    am2 = (f"list_position(list_transform(v[{lo}:{hi}], x -> abs(x)),"
+           f" list_max(list_transform(v[{lo}:{hi}], x -> abs(x)))) - 1")
+    if cap is None:
+        cells = f"c AS (SELECT vec_id, v, {am1} AS cell FROM e)"
+    else:
+        cells = f"""c0 AS (SELECT vec_id, v, {am1} AS c1, {am2} AS c2 FROM e),
+cnt AS (SELECT c1, count(*) AS n FROM c0 GROUP BY c1),
+c AS (SELECT vec_id, v,
+        CASE WHEN cnt.n > {cap} THEN {n_cells} + c1 * {n_cells} + c2
+             ELSE c1 END AS cell
+      FROM c0 JOIN cnt USING (c1))"""
+    return f"""WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{cells},
+pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+          FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
+            AND list_cosine_similarity(a.v, b.v) >= 0.4),
+edges AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
+r AS (SELECT u AS node, u AS reach FROM edges
+      UNION
+      SELECT r.node, e2.v FROM r JOIN edges e2 ON r.reach = e2.u),
+g AS (SELECT node, min(reach) AS grp FROM r GROUP BY node)
+SELECT e.vec_id, coalesce(g.grp, e.vec_id) AS group_id,
+       coalesce(g.grp, e.vec_id) = e.vec_id AS keep
+FROM e LEFT JOIN g ON e.vec_id = g.node"""
+
+
 def _bpe_merges_sql(n_merges: int = 8, final: str = "merges") -> str:
     """Unroll the BPE merge iteration as chained CTEs — per step:
     adjacent-pair explode (e), weighted pair counts (p), argmax with
@@ -1242,7 +1281,7 @@ def q_semantic_dedup_cells(spark, sf_dir):
     semantic_dedup remains rows-only. tau 0.4 matches
     embedding_near_dup's established cross-engine cosine recipe."""
     return similarity.semantic_dedup_fixed_cells(
-        load(spark, sf_dir, "embeddings"), n_cells=8, tau=0.4
+        load(spark, sf_dir, "embeddings"), n_cells=8, tau=0.4, cell_cap=500
     )
 
 
@@ -2833,26 +2872,11 @@ p AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
     ),
     "semantic_dedup_cells": QuerySpec(
         q_semantic_dedup_cells,
-        """WITH RECURSIVE e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c AS (SELECT vec_id, v,
-        list_position(list_transform(v[1:8], x -> abs(x)),
-                      list_max(list_transform(v[1:8], x -> abs(x)))) - 1 AS cell
-      FROM e),
-pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
-          FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
-          WHERE list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
-            AND list_cosine_similarity(a.v, b.v) >= 0.4),
-edges AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
-r AS (SELECT u AS node, u AS reach FROM edges
-      UNION
-      SELECT r.node, e2.v FROM r JOIN edges e2 ON r.reach = e2.u),
-g AS (SELECT node, min(reach) AS grp FROM r GROUP BY node)
-SELECT e.vec_id, coalesce(g.grp, e.vec_id) AS group_id,
-       coalesce(g.grp, e.vec_id) = e.vec_id AS keep
-FROM e LEFT JOIN g ON e.vec_id = g.node""",
+        _semdedup_cells_sql(cap=500),
         "SemDeDup pair/closure/canonical stages under a deterministic"
-        " argmax quantizer (oracle-backed; train step stays rows-only)",
+        " argmax quantizer with capped recursive cell refinement"
+        " (oracle-backed incl. the refinement; train step stays"
+        " rows-only)",
     ),
     "ann_ivf": QuerySpec(
         q_ann_ivf, None, "IVF coarse-quantizer ANN + nprobe rerank (recall-tested)",

@@ -188,3 +188,53 @@ def test_fixed_cells_variant_matches_brute_force(spark):
         assert r["keep"] == (r["group_id"] == v)
     # sanity: the planted groups actually collapsed (non-trivial test)
     assert sum(1 for r in out.values() if not r["keep"]) == 6
+
+
+def test_cell_cap_refinement_matches_oracle(spark):
+    """r7 VERDICT #2: the capped recursive cell refinement is itself
+    differential-checked — with a cap small enough to TRIGGER splits
+    at sf0.001, Spark's broadcast count + CASE refinement must
+    hash-match the oracle's mirrored count + CASE. (The registry key's
+    cap=500 never triggers at oracle SFs, so this pins the branch.)"""
+    from streamforge_data_pipeline_spark.registry import _semdedup_cells_sql
+    from streamforge_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_fixed_cells,
+    )
+    from streamforge_data_pipeline_spark.session import load
+    from tests.conftest import SF_SMALL
+    from tests.utils import compare, duckdb_connection
+
+    vecs = load(spark, SF_SMALL, "embeddings")
+    # sanity: the cap actually splits at this SF (some cell > 4 docs)
+    from streamforge_data_pipeline_spark.operators.similarity import argmax_cell
+    from pyspark.sql import functions as F
+    top = (
+        vecs.select(argmax_cell("embedding", 8).alias("c"))
+        .groupBy("c").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert top > 4, "fixture too small for the refinement to trigger"
+
+    out = semantic_dedup_fixed_cells(vecs, n_cells=8, tau=0.4, cell_cap=4)
+    con = duckdb_connection(SF_SMALL)
+    try:
+        ok, msg = compare(out, con, _semdedup_cells_sql(cap=4))
+    finally:
+        con.close()
+    assert ok, msg
+
+
+def test_cell_cap_no_trigger_is_identity(spark):
+    """A cap no cell exceeds must leave the answer bit-identical to
+    the uncapped quantizer (the refinement is a pure CASE fallthrough)."""
+    from streamforge_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_fixed_cells,
+    )
+    from streamforge_data_pipeline_spark.session import load
+    from tests.conftest import SF_SMALL
+
+    vecs = load(spark, SF_SMALL, "embeddings")
+    capped = semantic_dedup_fixed_cells(
+        vecs, n_cells=8, tau=0.4, cell_cap=10**9
+    ).collect()
+    plain = semantic_dedup_fixed_cells(vecs, n_cells=8, tau=0.4).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, plain))
