@@ -1058,16 +1058,118 @@ def build_ivf_index_seeded(
         index_table,
         ["cell"],
     )
+    n_indexed = vq.count()
     store.overwrite(
         spark.createDataFrame(
             [
-                (i, [int(v) for v in cents[i]], int(cn2[i]))
+                (i, [int(v) for v in cents[i]], int(cn2[i]), int(n_indexed))
                 for i in range(len(cents))
             ],
-            "cell int, c array<long>, cn2 long",
+            "cell int, c array<long>, cn2 long, trained_on long",
         ),
         centroids_table,
     )
+
+
+def append_ivf_index_seeded(
+    new_vectors: DataFrame,
+    store,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_table: str = "ivf_index",
+    centroids_table: str = "ivf_centroids",
+) -> None:
+    """Incremental maintenance for the :func:`build_ivf_index_seeded`
+    layout (r7 VERDICT #4) — a 100 TB corpus APPENDS; rebuilding the
+    inverted file per batch is an O(corpus) job per append. Instead:
+
+    1. quantize the new vectors and assign them to their nearest cell
+       under the CURRENT centroids (one int64 matmul per Arrow batch),
+       then ``append`` into the existing ``cell=N`` directories — an
+       O(batch) partitioned write, no touch of resident rows;
+    2. on the corpus-DOUBLING schedule (E25's sqrt(N) discipline,
+       semantic_dedup_stream._ensure_centroids): re-seed the quantizer
+       over the full id set, re-cell the whole index with ONE linear
+       pass + one partitioned overwrite — amortized O(log N)
+       occurrences over the corpus lifetime.
+
+    Determinism/parity: the md5-seed rule and the int8 quantization are
+    both functions of the id/vector values alone, and the stored ``q``
+    vectors are parquet-lossless integers — so a retrain over the
+    accumulated index produces the BIT-IDENTICAL index and sidecar a
+    fresh :func:`build_ivf_index_seeded` over the union corpus would
+    (pytest-pinned, tests/test_ivf_partitioned.py). Between doublings
+    the index holds the old quantizer's layout, exactly like any IVF
+    serving appends.
+
+    Crash atomicity (the E25 ordering): the centroids sidecar — whose
+    ``trained_on`` is the doubling guard's clock — commits LAST. A
+    crash between the index overwrite and the sidecar write leaves the
+    OLD trained_on, so the next append re-triggers the deterministic
+    retrain (same ids -> same seeds -> same cells; the overwrite is
+    idempotent) and self-heals.
+    """
+    import numpy as np
+
+    spark = new_vectors.sparkSession
+    cent_rows = sorted(
+        store.read(spark, centroids_table).collect(), key=lambda r: r["cell"]
+    )
+    cents = np.array([r["c"] for r in cent_rows], dtype=np.int64)
+    cn2 = np.array([r["cn2"] for r in cent_rows], dtype=np.int64)
+    trained_on = int(cent_rows[0]["trained_on"]) if cent_rows else 0
+    n_cells = len(cent_rows)
+    b_cents = spark.sparkContext.broadcast((cents, cn2))
+
+    vq = _q8_nn(new_vectors, id_col, vec_col, "vec_id_c").localCheckpoint(
+        eager=True
+    )
+    cells = _int_cell_assign(vq, "vec_id_c", 1, b_cents)
+    store.append_partitioned(
+        vq.join(cells, "vec_id_c").select(
+            F.col("vec_id_c").alias(id_col), "q", F.col("__nn").alias("nn"),
+            "cell",
+        ),
+        index_table,
+        ["cell"],
+    )
+
+    n_total = store.read(spark, index_table).count()
+    if n_total < 2 * max(trained_on, 1):
+        return None
+    # corpus doubled: deterministic re-seed + one O(index) re-cell
+    vq_all = (
+        store.read(spark, index_table)
+        .select(
+            F.col(id_col).alias("vec_id_c"), "q", F.col("nn").alias("__nn")
+        )
+        # materialize BEFORE overwriting our own input path
+        .localCheckpoint(eager=True)
+    )
+    cents2, cn22 = _seed_q8_centroids(vq_all, "vec_id_c", n_cells)
+    b2 = spark.sparkContext.broadcast((cents2, cn22))
+    cells2 = _int_cell_assign(vq_all, "vec_id_c", 1, b2)
+    store.overwrite_partitioned(
+        vq_all.join(cells2, "vec_id_c")
+        .select(
+            F.col("vec_id_c").alias(id_col), "q", F.col("__nn").alias("nn"),
+            "cell",
+        )
+        .localCheckpoint(eager=True),
+        index_table,
+        ["cell"],
+    )
+    store.overwrite(  # sidecar LAST — see crash-atomicity note above
+        spark.createDataFrame(
+            [
+                (i, [int(v) for v in cents2[i]], int(cn22[i]), int(n_total))
+                for i in range(len(cents2))
+            ],
+            "cell int, c array<long>, cn2 long, trained_on long",
+        ),
+        centroids_table,
+    )
+    return None
 
 
 def ann_topk_ivf_seeded_indexed(

@@ -66,3 +66,79 @@ def test_probe_scan_is_partition_pruned(spark, tmp_path):
     # and the in-list is a strict subset of the cells
     n_probed = part_filters.count("= ") + part_filters.count("IN")
     assert n_probed >= 1
+
+
+def test_incremental_append_then_doubling_retrain_matches_fresh_build(
+    spark, tmp_path
+):
+    """r7 VERDICT #4: append new vectors to their cells, retrain at the
+    corpus doubling — after the retrain the index, sidecar, and probe
+    results must be BIT-IDENTICAL to a fresh build over the union
+    corpus (the md5 seed rule and int8 quantization are functions of
+    the data alone; stored q vectors are parquet-lossless)."""
+    vecs = load(spark, SF_MED, "embeddings")
+    first = vecs.filter(F.col("vec_id") % 2 == 0)
+    second = vecs.filter(F.col("vec_id") % 2 == 1)
+
+    inc = TableStore(str(tmp_path / "inc"))
+    similarity.build_ivf_index_seeded(first, inc, n_cells=16)
+    # second half doubles the corpus -> triggers the retrain
+    similarity.append_ivf_index_seeded(second, inc)
+
+    fresh = TableStore(str(tmp_path / "fresh"))
+    similarity.build_ivf_index_seeded(vecs, fresh, n_cells=16)
+
+    # sidecars identical (same seeds, same norms, same clock)
+    inc_c = sorted(map(tuple, spark.read.parquet(inc.path("ivf_centroids")).collect()))
+    fr_c = sorted(map(tuple, spark.read.parquet(fresh.path("ivf_centroids")).collect()))
+    assert inc_c == fr_c
+    # index contents identical (row order irrelevant)
+    inc_i = sorted(map(tuple, inc.read(spark, "ivf_index").collect()))
+    fr_i = sorted(map(tuple, fresh.read(spark, "ivf_index").collect()))
+    assert inc_i == fr_i
+    # probe results identical
+    queries = vecs.filter(F.col("vec_id") < 5)
+    a = similarity.ann_topk_ivf_seeded_indexed(spark, inc, queries, k=10)
+    b = similarity.ann_topk_ivf_seeded_indexed(spark, fresh, queries, k=10)
+    ra = [tuple(r) for r in a.orderBy("q_id", "rank").collect()]
+    rb = [tuple(r) for r in b.orderBy("q_id", "rank").collect()]
+    assert ra == rb and len(ra) > 0
+
+
+def test_incremental_append_below_doubling_serves_new_vectors(
+    spark, tmp_path
+):
+    """A small append (below the doubling threshold) must NOT retrain
+    — the sidecar keeps its clock — but the appended vectors must be
+    findable by the probe immediately (they live in real cell dirs)."""
+    vecs = load(spark, SF_MED, "embeddings")
+    base = vecs.filter(F.col("vec_id") >= 20)
+    extra = vecs.filter(F.col("vec_id") < 20)  # well under 2x
+
+    store = TableStore(str(tmp_path / "store"))
+    similarity.build_ivf_index_seeded(base, store, n_cells=16)
+    before = sorted(
+        map(tuple, spark.read.parquet(store.path("ivf_centroids")).collect())
+    )
+    similarity.append_ivf_index_seeded(extra, store)
+    after = sorted(
+        map(tuple, spark.read.parquet(store.path("ivf_centroids")).collect())
+    )
+    assert before == after  # no retrain below the doubling
+    # the appended ids are indexed and rank as self-nearest candidates
+    queries = vecs.filter(F.col("vec_id") < 3)
+    out = similarity.ann_topk_ivf_seeded_indexed(
+        spark, store, queries, k=10, nprobe=4
+    ).collect()
+    assert {r["q_id"] for r in out} == {0, 1, 2}
+    hit_ids = {r["vec_id"] for r in out}
+    assert hit_ids & set(range(20)), "appended vectors never surfaced"
+    # and the pruned-probe plan shape survives appends
+    plan = (
+        similarity.ann_topk_ivf_seeded_indexed(
+            spark, store, queries, k=5, nprobe=1
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part_filters, plan[:2000]
