@@ -40,6 +40,7 @@ from streamforge_data_pipeline_spark.operators import (
     skew,
     text,
     timeseries,
+    web,
 )
 from streamforge_data_pipeline_spark.operators import embeddings as embeddings_ops
 from streamforge_data_pipeline_spark.operators.multimodal import (
@@ -1973,6 +1974,75 @@ def q_per_source_sample(spark, sf_dir):
     )
 
 
+def _with_urls(docs):
+    """Deterministic messy URL per document (the testdata carries no
+    URL column): scheme/userinfo/WWW./case/port/path variants derived
+    from doc_id so host normalization has real work to do — both
+    engines replay the identical construction (the attach_media
+    pattern), so the NORMALIZATION is what the differential checks."""
+    hb = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.col("source"), F.lit("-cdn"))
+    ).otherwise(F.col("source"))
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://")).otherwise(
+            F.lit("http://")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.upper(hb)).otherwise(hb),
+        F.lit(".example."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+        F.when(F.col("doc_id") % 6 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+# DuckDB twin of _with_urls — shared by both domain oracles
+_URL_CTE = """u AS (SELECT doc_id,
+  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+  || (CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END)
+  || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 0 THEN upper(hb) ELSE hb END)
+  || '.example.' || (['com','org','net'])[CAST(doc_id % 3 AS INTEGER) + 1]
+  || (CASE WHEN doc_id % 6 = 0 THEN ':8080' ELSE '' END)
+  || '/p/' || doc_id AS url
+  FROM (SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0 THEN source || '-cdn' ELSE source END AS hb
+        FROM documents)),
+d AS (SELECT doc_id,
+        regexp_replace(
+          regexp_extract(lower(url),
+            '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1),
+          '^www\\.', '') AS domain
+      FROM u)"""
+
+
+def q_domain_caps(spark, sf_dir):
+    """RefinedWeb/C4-style per-domain document cap: normalize each
+    doc's URL to its registrable host (drop scheme/userinfo/port/www.)
+    and keep at most 20 docs per domain by deterministic (hash, id)
+    rank — the anti-dominance rule web pipelines apply before
+    training. Pure Column expressions + one domain-partitioned window
+    (operators/web.py)."""
+    return web.domain_caps(
+        _with_urls(load(spark, sf_dir, "documents")), url_col="url", k=20
+    )
+
+
+def q_domain_share(spark, sf_dir):
+    """Per-domain share report: (domain, n_docs, share-of-corpus) —
+    the monitoring table that calibrates cap levels. One hash agg
+    bounded by domain cardinality."""
+    return web.domain_share(
+        _with_urls(load(spark, sf_dir, "documents")), url_col="url"
+    )
+
+
 def q_stream_bottomk_sample(spark, sf_dir):
     """Continuous bounded-state uniform sampling drained through the
     engine. Bottom-k is exactly mergeable — bottom-k(A ∪ B) ==
@@ -3110,6 +3180,29 @@ r AS (SELECT source, doc_id, h,
 SELECT source, doc_id, h, rk FROM r WHERE rk <= 20""",
         "balanced subset: exactly k docs per source via within-stratum"
         " bottom-k window rank",
+    ),
+    "domain_caps": QuerySpec(
+        q_domain_caps,
+        f"""WITH {_URL_CTE},
+h AS (SELECT doc_id, domain,
+        {sql_hash60("CAST(doc_id AS VARCHAR)")} AS h FROM d),
+r AS (SELECT doc_id, domain,
+        CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h, doc_id)
+             AS INTEGER) AS rk
+      FROM h)
+SELECT doc_id, domain, rk FROM r WHERE rk <= 20""",
+        "per-domain document cap (C4/RefinedWeb anti-dominance): URL ->"
+        " normalized host -> deterministic within-domain rank <= k;"
+        " oracle replays URL synthesis + normalization + rank",
+    ),
+    "domain_share": QuerySpec(
+        q_domain_share,
+        f"""WITH {_URL_CTE}
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) * 1.0 / (SELECT count(*) FROM documents), 4) AS share
+FROM d GROUP BY domain""",
+        "per-domain share-of-corpus report — the calibration table for"
+        " cap levels; one domain-bounded hash agg",
     ),
     "stream_kmv_distinct": QuerySpec(
         q_stream_kmv_distinct,
