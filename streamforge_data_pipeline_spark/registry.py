@@ -342,6 +342,39 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 # parquet-backed oracle. Lossless columns only (bigint + token string).
 # ---------------------------------------------------------------------------
 
+_EVENTS_STAGE: dict[str, str] = {}
+
+
+def _staged_events(spark: SparkSession, sf_dir: str) -> str:
+    """Session-lifetime staging of the normalized events projection
+    (event_id, ts, user_id, event_type) as rebuilt-timestamp parquet —
+    the drain keys need it because the raw testdata carries
+    TIMESTAMP(NANOS), which a file stream cannot watermark without the
+    batch-side rebuild load() performs. Written ONCE per sf_dir and
+    shared by every streaming-drain key in the session (r7 VERDICT #6
+    — previously each drain rewrote the table into its own scratch
+    dir, a fixed ~1-2 s tax per bench entry); the oracle side's
+    TOKS_CTE staging follows the same stage-once discipline. Consumers
+    select their column subset from the stream — parquet column
+    pruning applies, so narrower keys read only their columns."""
+    tag = os.path.abspath(sf_dir)
+    path = _EVENTS_STAGE.get(tag)
+    if path and os.path.isdir(path):
+        return path
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sfdp_evstage_")
+    path = os.path.join(work, "events")
+    load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    ).write.mode("overwrite").parquet(path)
+    _EVENTS_STAGE[tag] = path
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return path
+
+
 def _csv_stage(spark: SparkSession, sf_dir: str, sub: str, single_file: bool) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
     path = f"/tmp/streamforge_spark/{tag}/{sub}"
@@ -1839,41 +1872,32 @@ def q_stream_session_window(spark, sf_dir):
     gap-merge — the same relational sessionization SQL oracles the
     batch key. Cross-batch fragment merging is pytest-covered
     (tests/test_streaming_windows.py time-sliced drain); the one-batch
-    drain here keeps the answer oracle-exact. Inputs staged through a
-    normalized parquet write (TIMESTAMP(NANOS) source, as for
+    drain here keeps the answer oracle-exact. Inputs come from the
+    shared _staged_events parquet (TIMESTAMP(NANOS) source, as for
     stream_interval_join)."""
-    import shutil
-    import tempfile
     import uuid
 
     from streamforge_data_pipeline_spark.operators.windows import session_counts
     from streamforge_data_pipeline_spark.streaming.event_time import watermarked
 
-    ev = load(spark, sf_dir, "events").select("user_id", "ts")
-    work = tempfile.mkdtemp(prefix="sfdp_ssw_")
-    try:
-        src = os.path.join(work, "events")
-        ev.write.mode("overwrite").parquet(src)
-        schema = spark.read.parquet(src).schema
-        stream = watermarked(
-            spark.readStream.schema(schema).parquet(src), "ts", "10 minutes"
-        )
-        name = "stream_session_window_" + uuid.uuid4().hex[:8]
-        q = (
-            session_counts(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        # memory-sink rows live in the session; safe to localCheckpoint
-        # and drop the staging dir
-        out = spark.table(name).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return out
+    src = _staged_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = watermarked(
+        spark.readStream.schema(schema).parquet(src).select("user_id", "ts"),
+        "ts",
+        "10 minutes",
+    )
+    name = "stream_session_window_" + uuid.uuid4().hex[:8]
+    q = (
+        session_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).localCheckpoint(eager=True)
 
 
 def q_stream_scd2_merge(spark, sf_dir):
@@ -2138,23 +2162,16 @@ def q_stream_interval_join(spark, sf_dir):
     equals the batch range join the SQL oracle expresses. Multi-batch
     semantics (state eviction, late-row drops) are covered by
     tests/test_streaming_joins.py and test_streaming_late_data.py.
-    Inputs are staged through one normalized parquet write because the
+    Inputs come from the session-lifetime _staged_events parquet (the
     raw testdata carries TIMESTAMP(NANOS), which a file stream cannot
-    watermark without the batch-side rebuild load() performs."""
-    import shutil
-    import tempfile
+    watermark without the batch-side rebuild load() performs)."""
     import uuid
 
     from streamforge_data_pipeline_spark.streaming.joins_stream import (
         interval_join,
     )
 
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type"
-    )
-    work = tempfile.mkdtemp(prefix="sfdp_sij_")
-    src = os.path.join(work, "events")
-    ev.write.mode("overwrite").parquet(src)
+    src = _staged_events(spark, sf_dir)
     schema = spark.read.parquet(src).schema
 
     def side(tp):
@@ -2181,9 +2198,7 @@ def q_stream_interval_join(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    res = spark.table(name).localCheckpoint(eager=True)
-    shutil.rmtree(work, ignore_errors=True)
-    return res
+    return spark.table(name).localCheckpoint(eager=True)
 
 
 def q_stream_simhash_dedup(spark, sf_dir):
@@ -2289,59 +2304,48 @@ def q_stream_interval_join_spread_outer(spark, sf_dir):
     30 min) has passed without a match. Younger unmatched errors stay
     undecided — absent — exactly as the native outer mode would hold
     them buffered; the SQL oracle replays both the join and the
-    closure rule."""
-    import shutil
-    import tempfile
-
+    closure rule. Events come from the shared _staged_events parquet."""
     from streamforge_data_pipeline_spark.streaming.joins_stream import (
         drain_interval_join_spread,
     )
 
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type"
-    )
-    work = tempfile.mkdtemp(prefix="sfdp_sijso_")
-    try:
-        src = os.path.join(work, "events")
-        ev.write.mode("overwrite").parquet(src)
-        schema = spark.read.parquet(src).schema
+    src = _staged_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
 
-        def stream_side(tp):
-            return (
-                spark.readStream.schema(schema)
-                .parquet(src)
-                .filter(F.col("event_type") == tp)
-                .select("user_id", "ts", "event_id")
-            )
-
-        def batch_side(tp):
-            return (
-                spark.read.schema(schema)
-                .parquet(src)
-                .filter(F.col("event_type") == tp)
-                .select("user_id", "ts", "event_id")
-            )
-
-        out = drain_interval_join_spread(
-            spark,
-            stream_side("error"),
-            stream_side("purchase"),
-            batch_side("error"),
-            batch_side("purchase"),
-            key="user_id",
-            upper="60 minutes",
-            how="leftOuter",
-        )
+    def stream_side(tp):
         return (
-            out.select(
-                "user_id",
-                F.col("event_id").alias("err_id"),
-                F.col("r_event_id").alias("purchase_id"),
-            )
-            .localCheckpoint(eager=True)
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_type") == tp)
+            .select("user_id", "ts", "event_id")
         )
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+
+    def batch_side(tp):
+        return (
+            spark.read.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_type") == tp)
+            .select("user_id", "ts", "event_id")
+        )
+
+    out = drain_interval_join_spread(
+        spark,
+        stream_side("error"),
+        stream_side("purchase"),
+        batch_side("error"),
+        batch_side("purchase"),
+        key="user_id",
+        upper="60 minutes",
+        how="leftOuter",
+    )
+    return (
+        out.select(
+            "user_id",
+            F.col("event_id").alias("err_id"),
+            F.col("r_event_id").alias("purchase_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
 
 
 def q_canonical_selection(spark, sf_dir):
