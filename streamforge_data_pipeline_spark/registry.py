@@ -2067,6 +2067,66 @@ def q_domain_share(spark, sf_dir):
     )
 
 
+_DOC_URL_STAGE: dict[str, str] = {}
+
+
+def _staged_doc_urls(spark, sf_dir) -> str:
+    """Session-lifetime (doc_id, url) parquet per sf_dir — the
+    _staged_events discipline for the domain-keyed streaming keys."""
+    tag = os.path.abspath(sf_dir)
+    path = _DOC_URL_STAGE.get(tag)
+    if path and os.path.isdir(path):
+        return path
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sfdp_urlstage_")
+    path = os.path.join(work, "doc_urls")
+    _with_urls(load(spark, sf_dir, "documents")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    _DOC_URL_STAGE[tag] = path
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return path
+
+
+def q_stream_domain_caps(spark, sf_dir):
+    """Per-domain admission caps drained as ONE micro-batch
+    (streaming/domain_caps_stream): with an empty store the decision
+    log's cumulative rank is exactly the batch-wide within-domain rank,
+    so the log equals the batch domain_caps ranking with an admitted
+    flag — which the SQL oracle replays. Cross-batch cap invariants
+    (never more than k per domain, first-come admission) are
+    pytest-asserted (tests/test_streaming_domain_caps.py)."""
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from streamforge_data_pipeline_spark.streaming.domain_caps_stream import (
+        LOG_TABLE,
+        start_stream_domain_caps,
+    )
+
+    src = _staged_doc_urls(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="sfdp_sdc_")
+    try:
+        store = TableStore(os.path.join(work, "store"))
+        q = start_stream_domain_caps(
+            spark,
+            src,
+            store,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            schema="doc_id long, url string",
+            k=20,
+            max_files_per_trigger=10_000,  # one batch: deterministic
+        )
+        q.awaitTermination()
+        return store.read(spark, LOG_TABLE).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_stream_bottomk_sample(spark, sf_dir):
     """Continuous bounded-state uniform sampling drained through the
     engine. Bottom-k is exactly mergeable — bottom-k(A ∪ B) ==
@@ -3207,6 +3267,21 @@ SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
 FROM d GROUP BY domain""",
         "per-domain share-of-corpus report — the calibration table for"
         " cap levels; one domain-bounded hash agg",
+    ),
+    "stream_domain_caps": QuerySpec(
+        q_stream_domain_caps,
+        f"""WITH {_URL_CTE},
+h AS (SELECT doc_id, domain,
+        {sql_hash60("CAST(doc_id AS VARCHAR)")} AS h FROM d),
+r AS (SELECT doc_id, domain,
+        CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h, doc_id)
+             AS INTEGER) AS rk
+      FROM h)
+SELECT doc_id, domain, rk, rk <= 20 AS admitted FROM r""",
+        "continuous per-domain admission caps drained: bounded"
+        " per-domain counter state, deterministic within-domain rank,"
+        " one decision row per doc — the one-batch drain equals the"
+        " batch ranking with an admitted flag",
     ),
     "stream_kmv_distinct": QuerySpec(
         q_stream_kmv_distinct,

@@ -1,0 +1,76 @@
+"""Continuous per-domain admission caps: cross-batch invariants the
+one-batch drain oracle cannot see (streaming/domain_caps_stream)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from streamforge_data_pipeline_spark.sources.store import TableStore
+from streamforge_data_pipeline_spark.streaming.domain_caps_stream import (
+    COUNTS_TABLE,
+    LOG_TABLE,
+    _commit_batch,
+)
+
+
+def _docs(spark, ids, dom_of):
+    rows = [(i, f"http://{dom_of(i)}.example.com/p/{i}") for i in ids]
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_cap_holds_across_batches(spark, tmp_path):
+    """3 batches x 30 docs over 3 domains with k=5: admitted never
+    exceeds k per domain, admission is first-come (later batches admit
+    only while the counter has room), counts state stays bounded."""
+    store = TableStore(str(tmp_path / "store"))
+    dom = lambda i: f"dom{i % 3}"  # noqa: E731
+    for b in range(3):
+        batch = _docs(spark, range(b * 30, (b + 1) * 30), dom)
+        _commit_batch(spark, batch, store, 5, "doc_id", "url")
+
+    log = store.read(spark, LOG_TABLE)
+    assert log.count() == 90  # one decision per doc
+    admitted = log.filter("admitted").groupBy("domain").count().collect()
+    assert {r["domain"]: r["count"] for r in admitted} == {
+        f"dom{j}.example.com": 5 for j in range(3)
+    }
+    # first-come: every admitted doc came from batch 0 (30 docs over 3
+    # domains = 10/domain in batch 0, already > k=5)
+    assert log.filter("admitted").agg(F.max("doc_id")).collect()[0][0] < 30
+    # cumulative rank replays the decision: admitted == (rk <= k)
+    assert log.filter(
+        (F.col("rk") <= 5) != F.col("admitted")
+    ).count() == 0
+    # counter state is domain-bounded, not corpus-bounded
+    counts = store.read(spark, COUNTS_TABLE).collect()
+    assert len(counts) == 3
+    assert all(r["n_admitted"] == 5 for r in counts)
+
+
+def test_partially_filled_domain_admits_across_batches(spark, tmp_path):
+    """A domain below its cap keeps admitting in later batches, and
+    ranks continue from the counter (cumulative, not per-batch)."""
+    store = TableStore(str(tmp_path / "store"))
+    _commit_batch(spark, _docs(spark, range(3), lambda i: "solo"),
+                  store, 5, "doc_id", "url")
+    _commit_batch(spark, _docs(spark, range(3, 6), lambda i: "solo"),
+                  store, 5, "doc_id", "url")
+    log = store.read(spark, LOG_TABLE).orderBy("rk").collect()
+    assert [r["rk"] for r in log] == [1, 2, 3, 4, 5, 6]
+    assert [r["admitted"] for r in log] == [True] * 5 + [False]
+
+
+def test_replay_is_idempotent_under_guard(spark, tmp_path):
+    """Re-committing the same batch (at-least-once foreachBatch with
+    no marker identity -> guarded path) must not duplicate decisions
+    or inflate counters."""
+    store = TableStore(str(tmp_path / "store"))
+    batch = _docs(spark, range(10), lambda i: "dom")
+    _commit_batch(spark, batch, store, 5, "doc_id", "url")
+    _commit_batch(spark, batch, store, 5, "doc_id", "url")  # replay
+    log = store.read(spark, LOG_TABLE)
+    assert log.count() == 10
+    counts = store.read(spark, COUNTS_TABLE).collect()
+    assert len(counts) == 1 and counts[0]["n_admitted"] == 5
