@@ -515,6 +515,81 @@ def pagerank_scores(
     return r.select("doc_id", F.col("r").alias("score"))
 
 
+def triangle_counts(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected pair graph — the dup-graph diagnostic that separates
+    TEMPLATE FAMILIES (near-cliques: high clustering, every member
+    pairs with every other) from CHAINS of pairwise-similar drift
+    (low clustering), which tells a dedup pipeline whether min-id /
+    centrality canonical selection is collapsing one document family
+    or accidentally bridging distinct ones. Returns one row per node:
+    (doc_id, degree, n_triangles, clustering) with clustering =
+    round(2T / (d*(d-1)), 4) (0.0 for degree < 2 — exact division of
+    small ints, cross-engine safe).
+
+    Scale shape — the ORIENTED edge-iterator algorithm (node-ordered
+    edges u < v, the MapReduce-era standard): triangles are found by
+    joining the oriented edge list with itself on the middle vertex
+    and probing the closing edge — two equi-joins on edge keys, never
+    an n-wise product; work is bounded by sum-over-edges of
+    min-degree, the edge-iterator bound. Each triangle x<y<z is
+    produced exactly once, then fanned out to its three corners with
+    one explode + partial-agg count. On blocked dup graphs (LSH /
+    SimHash bands) the edge list is answer-scale, so this runs as two
+    broadcast-or-shuffle equi-joins at any corpus size.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # referenced 3x below
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+        .join(
+            e.alias("e3"),
+            (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v")),
+        )
+        .select("x", "y", "z")
+    )
+    per_node_t = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("u").alias("doc_id"))
+        .union(e.select(F.col("v").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    return deg.join(per_node_t, "doc_id", "left").select(
+        "doc_id",
+        F.col("degree").cast("long").alias("degree"),
+        t.alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                (2 * t) / (F.col("degree") * (F.col("degree") - 1)), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
 def pagerank_canonical(
     pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", iters: int = 4
 ) -> DataFrame:

@@ -192,6 +192,33 @@ UNION ALL
 SELECT uk, useg, ubal, eff_ts, CAST(NULL AS TIMESTAMP), TRUE
 FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR changed)"""
 
+# SimHash 4x16-bit-band blocked pair stream as an oracle prelude
+# ending in p(ia, ib) — the scale-shaped pair input shared by the
+# blocked graph-analytics oracles (pagerank_canonical_blocked,
+# triangle_counts). Mirrors dedup.simhash + simhash_near_pairs.
+_SIMHASH_PAIRS_PRELUDE = """toks AS (SELECT doc_id, {toks} AS ts FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) AS h,
+             CAST(concat('0x', substr(md5(t),17,15)) AS BIGINT) AS h2 FROM tok),
+bits AS (SELECT doc_id, h, h2, unnest(range(0,64)) AS bit FROM h),
+signs AS (SELECT doc_id, bit,
+          SUM(CASE WHEN (CASE WHEN bit < 60 THEN (h >> bit) ELSE (h2 >> (bit-60)) END) & 1 = 1
+              THEN 1 ELSE -1 END) AS s
+          FROM bits GROUP BY doc_id, bit),
+sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s <= 0 THEN 0
+                                   WHEN bit = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                                   ELSE (CAST(1 AS BIGINT) << bit) END) AS BIGINT) AS simhash
+        FROM signs GROUP BY doc_id),
+bands AS (SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS band_key
+          FROM sig, (SELECT unnest(range(0,4)) AS band)),
+p AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)""".format(
+    toks=SQL_TOKENS.format(x="text")
+)
+
+
 def _pagerank_sql(prelude: str) -> str:
     """Shared oracle tail for the pagerank_canonical family: given CTE
     definitions ending in a pair relation ``p(ia, ib)``, unroll the
@@ -772,6 +799,24 @@ def q_pagerank_canonical_blocked(spark, sf_dir):
         "doc_a", "doc_b"
     )
     return pagerank_canonical(pairs)
+
+
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangles + clustering coefficient over the BLOCKED
+    dup graph (the SimHash band pair stream, the same scale-shaped
+    input pagerank_canonical_blocked ranks): near-clique template
+    families show clustering ~1, drift chains ~0 — the diagnostic
+    that validates canonical selection. Oriented edge-iterator
+    algorithm (two equi-joins); oracle replays it verbatim."""
+    from streamforge_data_pipeline_spark.operators.dedup import (
+        triangle_counts,
+    )
+
+    sigs = dedup.simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
+    pairs = dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=3).select(
+        "doc_a", "doc_b"
+    )
+    return triangle_counts(pairs)
 
 
 def q_asof_join(spark, sf_dir):
@@ -2972,29 +3017,36 @@ p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
     ),
     "pagerank_canonical_blocked": QuerySpec(
         q_pagerank_canonical_blocked,
-        _pagerank_sql(f"""{TOKS_CTE},
-tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
-h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) AS h,
-             CAST(concat('0x', substr(md5(t),17,15)) AS BIGINT) AS h2 FROM tok),
-bits AS (SELECT doc_id, h, h2, unnest(range(0,64)) AS bit FROM h),
-signs AS (SELECT doc_id, bit,
-          SUM(CASE WHEN (CASE WHEN bit < 60 THEN (h >> bit) ELSE (h2 >> (bit-60)) END) & 1 = 1
-              THEN 1 ELSE -1 END) AS s
-          FROM bits GROUP BY doc_id, bit),
-sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s <= 0 THEN 0
-                                   WHEN bit = 63 THEN CAST(-9223372036854775808 AS BIGINT)
-                                   ELSE (CAST(1 AS BIGINT) << bit) END) AS BIGINT) AS simhash
-        FROM signs GROUP BY doc_id),
-bands AS (SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS band_key
-          FROM sig, (SELECT unnest(range(0,4)) AS band)),
-p AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)"""),
+        _pagerank_sql(_SIMHASH_PAIRS_PRELUDE),
         "the r7 weak-mark fix: the SAME integer PageRank ranking rounds"
         " fed from the BLOCKED pair stream (SimHash 4x16-bit band"
         " candidates, Hamming <= 3) instead of the exact all-pairs"
         " matmul — the 100 TB input shape, edge-linear by construction",
+    ),
+    "triangle_counts": QuerySpec(
+        q_triangle_counts,
+        f"""WITH {_SIMHASH_PAIRS_PRELUDE},
+e AS (SELECT least(ia, ib) AS u, greatest(ia, ib) AS v FROM p
+      WHERE ia <> ib GROUP BY 1, 2),
+tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
+pt AS (SELECT doc_id, count(*) AS n_triangles
+       FROM (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+       GROUP BY doc_id),
+deg AS (SELECT doc_id, count(*) AS degree
+        FROM (SELECT u AS doc_id FROM e UNION ALL SELECT v FROM e)
+        GROUP BY doc_id)
+SELECT deg.doc_id, CAST(deg.degree AS BIGINT) AS degree,
+       CAST(coalesce(pt.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.degree >= 2
+            THEN round(2.0 * coalesce(pt.n_triangles, 0)
+                       / (deg.degree * (deg.degree - 1)), 4)
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN pt ON deg.doc_id = pt.doc_id""",
+        "per-node triangle counts + clustering coefficient over the"
+        " blocked dup graph (oriented edge-iterator, two equi-joins) —"
+        " separates template-family cliques from drift chains",
     ),
     "ann_ivf_indexed": QuerySpec(
         q_ann_ivf_indexed,

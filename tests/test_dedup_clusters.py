@@ -194,3 +194,31 @@ def test_pagerank_deterministic_across_runs(spark):
     a = sorted(map(tuple, pagerank_scores(pairs).collect()))
     b = sorted(map(tuple, pagerank_scores(pairs).collect()))
     assert a == b and len(a) > 0
+
+
+def test_triangle_counts_clique_vs_chain(spark):
+    """Planted 4-clique (every node: 3 triangles, clustering 1.0) vs a
+    4-chain (no triangles, middles clustering 0.0) — the diagnostic
+    contrast the operator exists to expose."""
+    from streamforge_data_pipeline_spark.operators.dedup import triangle_counts
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    pairs = spark.createDataFrame(clique + chain, "doc_a long, doc_b long")
+    out = {r["doc_id"]: r for r in triangle_counts(pairs).collect()}
+    for n in range(4):
+        assert out[n]["degree"] == 3
+        assert out[n]["n_triangles"] == 3
+        assert out[n]["clustering"] == 1.0
+    for n in (11, 12):  # chain middles: degree 2, no closing edge
+        assert out[n]["n_triangles"] == 0 and out[n]["clustering"] == 0.0
+    for n in (10, 13):  # chain ends: degree 1 -> coefficient undefined -> 0
+        assert out[n]["degree"] == 1 and out[n]["clustering"] == 0.0
+    # reversed/duplicated edges don't change anything
+    rev = spark.createDataFrame(
+        [(b, a) for a, b in clique + chain] + clique, "doc_a long, doc_b long"
+    )
+    out2 = {r["doc_id"]: r for r in
+            triangle_counts(pairs.unionAll(rev)).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in out2.items()}
