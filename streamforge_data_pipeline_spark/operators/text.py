@@ -170,6 +170,77 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Data
     )
 
 
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+1 555-\d{4}"
+
+
+def pii_scrub_multi(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Multi-entity PII redaction — the full scrub pass a training
+    pipeline runs before release (emails, IPv4 addresses, phone
+    numbers), extending :func:`pii_scrub`'s email-only rule. Emits per
+    doc the redaction counts and the sha1 of the scrubbed text, so the
+    differential checks the REPLACEMENT result, not just the counts.
+
+    Deterministic synthetic PII is injected first (the testdata corpus
+    carries none): different doc_id residues get an email, an IP, a
+    phone, or combinations — so docs with 0, 1, 2 and 3 entity classes
+    all occur. All three patterns are portable between Java regex
+    (Spark, codegen'd — no UDF) and RE2 (DuckDB): character classes,
+    bounded repeats and word boundaries only. Emails are replaced
+    first so no later pattern can match inside an unreplaced longer
+    entity (and IPs are counted on the email-scrubbed text for the
+    same reason). md5 rather than sha1/sha2 for the scrub digest: the
+    one digest both engines expose identically. One narrow projection;
+    scrubbing 100 TB is a map-only job.
+    """
+    with_pii = F.concat(
+        F.col(text),
+        F.when(
+            F.col(id_col) % 3 == 0,
+            F.concat(
+                F.lit(" mail user"),
+                F.col(id_col).cast("string"),
+                F.lit("@test.org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col(id_col) % 4 == 1,
+            F.concat(
+                F.lit(" ip 10."),
+                (F.col(id_col) % 256).cast("string"),
+                F.lit(".0.9"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col(id_col) % 5 == 2,
+            F.concat(
+                F.lit(" call +1 555-"),
+                F.lpad((F.col(id_col) % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(with_pii, EMAIL_RE, "<EMAIL>"),
+            IPV4_RE,
+            "<IP>",
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(with_pii, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(
+            F.regexp_replace(with_pii, EMAIL_RE, "<EMAIL>"), F.lit(IPV4_RE)
+        ).cast("int").alias("n_ips"),
+        F.regexp_count(with_pii, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("clean_md5"),
+    )
+
+
 def corpus_stats(df: DataFrame, text: str = "text") -> DataFrame:
     """One-row corpus profile: doc count, token total, distinct-text
     count (exact dup rate), mean doc length — the dashboard numbers a

@@ -1631,6 +1631,13 @@ def q_pii_scrub(spark, sf_dir):
     return text.pii_scrub(load(spark, sf_dir, "documents"))
 
 
+def q_pii_scrub_multi(spark, sf_dir):
+    """Multi-entity PII redaction (emails + IPv4 + phones) with the
+    scrubbed text digested, so the oracle checks the replacement
+    output itself, not only counts (operators/text.pii_scrub_multi)."""
+    return text.pii_scrub_multi(load(spark, sf_dir, "documents"))
+
+
 def q_corpus_stats(spark, sf_dir):
     return text.corpus_stats(load(spark, sf_dir, "documents"))
 
@@ -3387,6 +3394,37 @@ FROM p""",
         "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]', 'g')) AS BIGINT) AS chars_removed "
         "FROM documents",
         "email/PII scrubbing pass (regexp_replace)",
+    ),
+    "pii_scrub_multi": QuerySpec(
+        q_pii_scrub_multi,
+        """WITH w AS (SELECT doc_id, text
+  || (CASE WHEN doc_id % 3 = 0
+      THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@test.org' ELSE '' END)
+  || (CASE WHEN doc_id % 4 = 1
+      THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.9' ELSE '' END)
+  || (CASE WHEN doc_id % 5 = 2
+      THEN ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      ELSE '' END) AS s
+  FROM documents),
+e AS (SELECT doc_id, s,
+        regexp_replace(s, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                       '<EMAIL>', 'g') AS s1
+      FROM w),
+f AS (SELECT doc_id, s, s1,
+        regexp_replace(s1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g') AS s2
+      FROM e)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(s, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+       AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(s1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+       AS INTEGER) AS n_ips,
+  CAST(len(regexp_extract_all(s, '\\+1 555-\\d{4}')) AS INTEGER) AS n_phones,
+  md5(regexp_replace(s2, '\\+1 555-\\d{4}', '<PHONE>', 'g')) AS clean_md5
+FROM f""",
+        "multi-entity PII redaction (emails, IPv4, phones) with the"
+        " scrubbed-text digest hash-checked — the pre-release scrub"
+        " pass; patterns portable between Java regex and RE2",
     ),
     "corpus_stats": QuerySpec(
         q_corpus_stats,

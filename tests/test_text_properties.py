@@ -127,3 +127,52 @@ def test_simhash_band_blocking_matches_bruteforce(spark, sigs, flip_sets):
                 truth.add((i, j, bin(a ^ b).count("1")))
     assert got == truth
     assert truth  # the planted flip guarantees at least one true pair
+
+
+def test_pii_scrub_multi_redacts_all_entity_classes(spark):
+    """doc_id 30 hits all three injection residues (30%3==0, id%4==2 no,
+    pick ids to cover combos): entities are counted and the digest is
+    of fully scrubbed text — no raw email/IP/phone survives."""
+    from pyspark.sql import functions as F
+    from streamforge_data_pipeline_spark.operators.text import (
+        EMAIL_RE, IPV4_RE, PHONE_RE, pii_scrub_multi,
+    )
+
+    # ids chosen to cover 0..3 entity classes:
+    #  60 -> %3=0,%4=0,%5=0: email only
+    #  57 -> %3=0,%4=1,%5=2: email + ip + phone
+    #  13 -> %3=1,%4=1,%5=3: ip only
+    #  22 -> %3=1,%4=2,%5=2: phone only
+    #  11 -> none
+    ids = [60, 57, 13, 22, 11]
+    df = spark.createDataFrame([(i, "plain words") for i in ids],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub_multi(df).collect()}
+    assert (out[60]["n_emails"], out[60]["n_ips"], out[60]["n_phones"]) == (1, 0, 0)
+    assert (out[57]["n_emails"], out[57]["n_ips"], out[57]["n_phones"]) == (1, 1, 1)
+    assert (out[13]["n_emails"], out[13]["n_ips"], out[13]["n_phones"]) == (0, 1, 0)
+    assert (out[22]["n_emails"], out[22]["n_ips"], out[22]["n_phones"]) == (0, 0, 1)
+    assert (out[11]["n_emails"], out[11]["n_ips"], out[11]["n_phones"]) == (0, 0, 0)
+    # the digest is of text with NO surviving entity (rebuild the scrub
+    # chain and assert the scrubbed string is entity-free)
+    with_pii = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" mail user"), F.col("doc_id").cast("string"),
+                        F.lit("@test.org"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 1,
+               F.concat(F.lit(" ip 10."), (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".0.9"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 2,
+               F.concat(F.lit(" call +1 555-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+               ).otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(with_pii, EMAIL_RE, "<EMAIL>"),
+                         IPV4_RE, "<IP>"), PHONE_RE, "<PHONE>")
+    rows = df.select("doc_id", scrubbed.alias("s")).collect()
+    for r in rows:
+        assert "@" not in r["s"] or "<EMAIL>" in r["s"]
+        assert "10." not in r["s"]
+        assert "555-" not in r["s"]
