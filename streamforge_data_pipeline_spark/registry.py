@@ -2179,6 +2179,41 @@ def q_stream_domain_caps(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_stream_domain_share(spark, sf_dir):
+    """Continuous domain-share monitoring drained: per-batch domain
+    partials journaled under a batch_id partition (dynamic partition
+    overwrite — replay rewrites its own partition, so at-least-once is
+    absorbed by the LAYOUT, no marker/log); counts are additive, so the
+    drained shares equal the batch domain_share under ANY batch slicing
+    and the key shares its oracle verbatim (the mergeable-state
+    argument of stream_bottomk_sample, simplest possible algebra)."""
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from streamforge_data_pipeline_spark.streaming.domain_share_stream import (
+        read_shares,
+        start_stream_domain_share,
+    )
+
+    src = _staged_doc_urls(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="sfdp_sdsh_")
+    try:
+        store = TableStore(os.path.join(work, "store"))
+        q = start_stream_domain_share(
+            spark,
+            src,
+            store,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            schema="doc_id long, url string",
+            max_files_per_trigger=10_000,
+        )
+        q.awaitTermination()
+        return read_shares(spark, store).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_stream_bottomk_sample(spark, sf_dir):
     """Continuous bounded-state uniform sampling drained through the
     engine. Bottom-k is exactly mergeable — bottom-k(A ∪ B) ==
@@ -3341,6 +3376,17 @@ SELECT doc_id, domain, rk, rk <= 20 AS admitted FROM r""",
         " per-domain counter state, deterministic within-domain rank,"
         " one decision row per doc — the one-batch drain equals the"
         " batch ranking with an admitted flag",
+    ),
+    "stream_domain_share": QuerySpec(
+        q_stream_domain_share,
+        f"""WITH {_URL_CTE}
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) * 1.0 / (SELECT count(*) FROM documents), 4) AS share
+FROM d GROUP BY domain""",
+        "continuous domain-share monitor drained: per-batch additive"
+        " partials journaled under batch_id partitions (dynamic"
+        " partition overwrite = layout-level replay safety); mergeable,"
+        " so the drain shares the batch oracle verbatim",
     ),
     "stream_kmv_distinct": QuerySpec(
         q_stream_kmv_distinct,

@@ -74,3 +74,32 @@ def test_replay_is_idempotent_under_guard(spark, tmp_path):
     assert log.count() == 10
     counts = store.read(spark, COUNTS_TABLE).collect()
     assert len(counts) == 1 and counts[0]["n_admitted"] == 5
+
+
+def test_domain_share_journal_slicing_invariant(spark, tmp_path):
+    """The partial-aggregate journal is additive: shares after 3
+    batches equal the batch operator over the union, and a replayed
+    batch_id overwrites its own partition (no double count)."""
+    from streamforge_data_pipeline_spark.operators.web import domain_share
+    from streamforge_data_pipeline_spark.streaming.domain_share_stream import (
+        _commit_batch as share_commit,
+        read_shares,
+    )
+
+    store = TableStore(str(tmp_path / "store"))
+    dom = lambda i: f"dom{i % 4}"  # noqa: E731
+    full = _docs(spark, range(60), dom)
+    for b in range(3):
+        share_commit(spark, _docs(spark, range(b * 20, (b + 1) * 20), dom),
+                     store, "doc_id", "url", b)
+    streamed = {(r["domain"], r["n_docs"], r["share"])
+                for r in read_shares(spark, store).collect()}
+    batch = {(r["domain"], r["n_docs"], r["share"])
+             for r in domain_share(full, url_col="url").collect()}
+    assert streamed == batch
+    # replay batch 1: dynamic partition overwrite absorbs it
+    share_commit(spark, _docs(spark, range(20, 40), dom),
+                 store, "doc_id", "url", 1)
+    replayed = {(r["domain"], r["n_docs"], r["share"])
+                for r in read_shares(spark, store).collect()}
+    assert replayed == batch
