@@ -118,6 +118,58 @@ def kmv_distinct_estimate(
         .alias("est_distinct"),
     )
 
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Deterministic output sharding + manifest — the final "write the
+    training shards" step: every document lands in shard
+    hash60(id) % n_shards (stable across reruns, cluster layouts and
+    engines — re-exports are bit-reproducible), and the manifest rows
+    a consumer validates against are (shard, n_docs, n_toks,
+    id_checksum) where id_checksum is the exact DECIMAL(38,0) sum of
+    the member ids' 60-bit hashes, emitted as a string. The checksum
+    is ORDER-INDEPENDENT (addition commutes), so any parallel writer
+    that produced the right member set produces the right manifest —
+    corrupted/partial shards fail the count or the checksum.
+
+    One hash partial-agg; output is n_shards rows. Writing the shards
+    themselves is ``store.append_partitioned(..., ["shard"])`` on the
+    same assignment (pytest exercises the write + re-derivation
+    round trip)."""
+    from streamforge_data_pipeline_spark.functions import tokens
+
+    h = hash60(F.col(id_col).cast("string"))
+    base = df.select(
+        (h % n_shards).cast("int").alias("shard"),
+        F.size(tokens(text)).cast("long").alias("n_toks"),
+        h.alias("h"),
+    )
+    return base.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_toks"),
+        F.sum(F.col("h").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("id_checksum"),
+    )
+
+
+def shard_assignment(
+    df: DataFrame, n_shards: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shard) under the :func:`shard_manifest` rule — the column
+    a partitioned shard write keys on."""
+    return df.select(
+        "*",
+        (hash60(F.col(id_col).cast("string")) % n_shards)
+        .cast("int")
+        .alias("shard"),
+    )
+
+
 def per_stratum_bottomk(
     df: DataFrame, stratum: str, k: int = 20, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -980,6 +980,74 @@ def ngram_lm_score(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def quality_retention_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n_steps: int = 9,
+) -> DataFrame:
+    """Threshold-calibration curve for perplexity filtering: for a
+    grid of nll cutoffs spanning the corpus's observed score range,
+    how many documents AND tokens survive "keep docs with
+    bigram-LM nll <= tau"? This is the table a pipeline reads before
+    choosing its quality threshold — the retained-token fraction is
+    the actual training-budget consequence of each candidate cutoff
+    (CCNet/Gopher-style filter tuning). One row per grid step:
+    (step, tau, n_docs_retained, frac_docs, n_toks_retained,
+    frac_toks).
+
+    Determinism: per-doc nll is the already-oracle-checked
+    :func:`ngram_lm_score` value (floored to 1e-4); grid taus are
+    round(lo + step*(hi-lo)/(n_steps+1), 4) over the exact min/max —
+    identical IEEE doubles in both engines, so the <= comparisons
+    agree. Scale shape: the grid is n_steps rows — the retention join
+    is a broadcast nested-loop against a 9-row table, then one partial
+    hash agg; corpus totals ride in on the same broadcast row. Docs
+    with no bigrams (single-token) carry no score and are out of
+    scope, identically in both engines."""
+    scores = ngram_lm_score(df, id_col, text)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(text)).cast("long").alias("n_toks"),
+    )
+    s = scores.join(toks, "doc_id")
+    rng = s.agg(
+        F.min("nll").alias("lo"),
+        F.max("nll").alias("hi"),
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("n_toks").alias("total_toks"),
+    )
+    steps = df.sparkSession.range(1, n_steps + 1).select(
+        F.col("id").cast("int").alias("step")
+    )
+    grid = steps.crossJoin(F.broadcast(rng)).select(
+        "step",
+        F.round(
+            F.col("lo")
+            + F.col("step") * (F.col("hi") - F.col("lo")) / (n_steps + 1),
+            4,
+        ).alias("tau"),
+        "total_docs",
+        "total_toks",
+    )
+    return (
+        s.join(F.broadcast(grid), s["nll"] <= grid["tau"])
+        .groupBy("step", "tau", "total_docs", "total_toks")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("n_toks").alias("__t"),
+        )
+        .select(
+            "step",
+            "tau",
+            F.col("__n").cast("long").alias("n_docs_retained"),
+            F.round(F.col("__n") / F.col("total_docs"), 4).alias("frac_docs"),
+            F.col("__t").cast("long").alias("n_toks_retained"),
+            F.round(F.col("__t") / F.col("total_toks"), 4).alias("frac_toks"),
+        )
+    )
+
+
 def vocab_coverage(df: DataFrame, text: str = "text", k: int = 1000) -> DataFrame:
     """Token-vocabulary coverage curve: the top-``k`` terms by
     occurrence count with each term's rank and the CUMULATIVE fraction

@@ -2179,6 +2179,18 @@ def q_stream_domain_caps(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Deterministic training-shard manifest: hash-assigned shards +
+    order-independent member checksums (sampling.shard_manifest) —
+    what a 100 TB export writes beside its data so consumers can
+    validate every shard."""
+    from streamforge_data_pipeline_spark.operators.sampling import (
+        shard_manifest,
+    )
+
+    return shard_manifest(load(spark, sf_dir, "documents"), n_shards=64)
+
+
 def q_stream_domain_share(spark, sf_dir):
     """Continuous domain-share monitoring drained: per-batch domain
     partials journaled under a batch_id partition (dynamic partition
@@ -2506,6 +2518,13 @@ def q_canonical_selection(spark, sf_dir):
 
 def q_vocab_coverage(spark, sf_dir):
     return text.vocab_coverage(load(spark, sf_dir, "documents"))
+
+
+def q_quality_retention_curve(spark, sf_dir):
+    """Perplexity-filter calibration curve: retained docs/tokens at a
+    9-step nll cutoff grid over the bigram-LM score range — the table
+    that picks the quality threshold (text.quality_retention_curve)."""
+    return text.quality_retention_curve(load(spark, sf_dir, "documents"))
 
 
 def q_stream_exact_dedup(spark, sf_dir):
@@ -3376,6 +3395,22 @@ SELECT doc_id, domain, rk, rk <= 20 AS admitted FROM r""",
         " per-domain counter state, deterministic within-domain rank,"
         " one decision row per doc — the one-batch drain equals the"
         " batch ranking with an admitted flag",
+    ),
+    "shard_manifest": QuerySpec(
+        q_shard_manifest,
+        f"""WITH t AS (SELECT doc_id,
+        {sql_hash60("CAST(doc_id AS VARCHAR)")} AS h,
+        CAST(len({SQL_TOKENS.format(x="text")}) AS BIGINT) AS n_toks
+      FROM documents)
+SELECT CAST(h % 64 AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_toks,
+       CAST(CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+         AS id_checksum
+FROM t GROUP BY 1""",
+        "deterministic training-shard manifest: hash-assigned shards,"
+        " per-shard doc/token counts + order-independent DECIMAL"
+        " member checksum — the export-validation table",
     ),
     "stream_domain_share": QuerySpec(
         q_stream_domain_share,
@@ -4807,6 +4842,34 @@ SELECT b.doc_id, coalesce(text_clean, '') AS text_clean, n_lines,
 FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id""",
         "C4-style corpus-wide duplicate-line removal (short lines <15 "
         "chars exempt), docs reassembled",
+    ),
+    "quality_retention_curve": QuerySpec(
+        q_quality_retention_curve,
+        f"""WITH {TOKS_CTE},
+idx AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts)-1, 0))) AS x FROM toks),
+bg AS (SELECT doc_id, ts[x+1] AS w1, ts[x+2] AS w2 FROM idx),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(ts) AS t FROM toks)),
+nl AS (SELECT doc_id, -ln((c12.c12 + 0.5)/(c1.c1 + 0.5*v.v)) AS nl
+      FROM bg JOIN c12 USING(w1, w2) JOIN c1 USING(w1) CROSS JOIN v),
+q AS (SELECT doc_id, floor(avg(nl)*1e4 + 0.5)/1e4 AS nll FROM nl GROUP BY doc_id),
+tk AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks FROM toks),
+j AS (SELECT q.doc_id, q.nll, tk.n_toks FROM q JOIN tk USING (doc_id)),
+rng AS (SELECT min(nll) AS lo, max(nll) AS hi,
+               count(*) AS total_docs, sum(n_toks) AS total_toks FROM j),
+grid AS (SELECT CAST(i AS INTEGER) AS step,
+                round(lo + i*(hi-lo)/10, 4) AS tau, total_docs, total_toks
+         FROM rng, (SELECT unnest(range(1,10)) AS i))
+SELECT step, tau, CAST(count(*) AS BIGINT) AS n_docs_retained,
+       round(count(*)*1.0/total_docs, 4) AS frac_docs,
+       CAST(sum(j.n_toks) AS BIGINT) AS n_toks_retained,
+       round(sum(j.n_toks)*1.0/total_toks, 4) AS frac_toks
+FROM j JOIN grid ON j.nll <= grid.tau
+GROUP BY step, tau, total_docs, total_toks""",
+        "perplexity-filter calibration: docs/tokens retained at a"
+        " 9-step nll cutoff grid spanning the observed score range —"
+        " the threshold-tuning table (broadcast grid join + one agg)",
     ),
     "ngram_lm_score": QuerySpec(
         q_ngram_lm_score,

@@ -106,3 +106,58 @@ def test_assume_unique_identical_on_pk_input(spark):
     a = [tuple(r) for r in bottomk_sample(docs, k=40).collect()]
     b = [tuple(r) for r in bottomk_sample(docs, k=40, assume_unique=True).collect()]
     assert a == b
+
+
+def test_shard_write_roundtrip_validates_against_manifest(spark, tmp_path):
+    """Write the shards the manifest describes (partitioned by shard),
+    re-derive the manifest from the WRITTEN data, and validate: counts
+    and order-independent checksums match per shard; a corrupted shard
+    (one doc dropped) fails its checksum."""
+    from pyspark.sql import functions as F
+    from streamforge_data_pipeline_spark.operators.sampling import (
+        shard_assignment,
+        shard_manifest,
+    )
+    from streamforge_data_pipeline_spark.functions import hash60
+    from streamforge_data_pipeline_spark.session import load
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    manifest = {r["shard"]: r for r in shard_manifest(docs, n_shards=8).collect()}
+    store = TableStore(str(tmp_path / "store"))
+    store.append_partitioned(shard_assignment(docs, 8), "shards", ["shard"])
+
+    written = spark.read.parquet(store.path("shards"))
+    rederived = {
+        r["shard"]: r
+        for r in written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                hash60(F.col("doc_id").cast("string")).cast("decimal(38,0)")
+            ).cast("decimal(38,0)").cast("string").alias("id_checksum"),
+        )
+        .collect()
+    }
+    assert set(rederived) == set(manifest)
+    for s, m in manifest.items():
+        assert rederived[s]["n_docs"] == m["n_docs"]
+        assert rederived[s]["id_checksum"] == m["id_checksum"]
+
+    # corruption detection: drop one doc from one shard
+    some_shard = min(manifest)
+    victim = written.filter(F.col("shard") == some_shard).limit(1).collect()[0]
+    corrupted = written.filter(
+        ~((F.col("shard") == some_shard) & (F.col("doc_id") == victim["doc_id"]))
+    )
+    bad = (
+        corrupted.filter(F.col("shard") == some_shard)
+        .agg(
+            F.sum(
+                hash60(F.col("doc_id").cast("string")).cast("decimal(38,0)")
+            ).cast("decimal(38,0)").cast("string")
+        )
+        .collect()[0][0]
+    )
+    assert bad != manifest[some_shard]["id_checksum"]
