@@ -89,6 +89,16 @@ HEADLINE = [
     "ann_ivf_indexed",
     "pagerank_canonical",
     "stream_kmv_distinct",
+    # r8: the weak-mark fix (blocked-pair ranking), domain curation
+    # family + its streaming twin, dup-graph triangle census,
+    # multi-entity PII, the capped semantic-dedup quantizer
+    "pagerank_canonical_blocked",
+    "domain_caps",
+    "domain_share",
+    "stream_domain_caps",
+    "triangle_counts",
+    "pii_scrub_multi",
+    "semantic_dedup_cells",
 ]
 
 
