@@ -2191,6 +2191,45 @@ def q_shard_manifest(spark, sf_dir):
     return shard_manifest(load(spark, sf_dir, "documents"), n_shards=64)
 
 
+def q_stream_shard_export(spark, sf_dir):
+    """Continuous shard export drained: shards written per batch, the
+    manifest maintained incrementally via the partial-aggregate
+    journal. ALL manifest columns are additive (the checksum is a sum
+    by construction), so the drained manifest equals the batch
+    shard_manifest under any slicing — shares its oracle verbatim."""
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from streamforge_data_pipeline_spark.streaming.shard_export_stream import (
+        read_manifest,
+        start_stream_shard_export,
+    )
+
+    work = tempfile.mkdtemp(prefix="sfdp_sshx_")
+    try:
+        store = TableStore(os.path.join(work, "store"))
+        table_path = os.path.join(sf_dir, "documents.parquet")
+        if os.path.isdir(table_path):
+            src, glob = table_path, None
+        else:
+            src, glob = sf_dir, "documents.parquet"
+        q = start_stream_shard_export(
+            spark,
+            src,
+            store,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            schema="doc_id long, text string",
+            n_shards=64,
+            max_files_per_trigger=10_000,
+            path_glob_filter=glob,
+        )
+        q.awaitTermination()
+        return read_manifest(spark, store).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_stream_domain_share(spark, sf_dir):
     """Continuous domain-share monitoring drained: per-batch domain
     partials journaled under a batch_id partition (dynamic partition
@@ -3411,6 +3450,23 @@ FROM t GROUP BY 1""",
         "deterministic training-shard manifest: hash-assigned shards,"
         " per-shard doc/token counts + order-independent DECIMAL"
         " member checksum — the export-validation table",
+    ),
+    "stream_shard_export": QuerySpec(
+        q_stream_shard_export,
+        f"""WITH t AS (SELECT doc_id,
+        {sql_hash60("CAST(doc_id AS VARCHAR)")} AS h,
+        CAST(len({SQL_TOKENS.format(x="text")}) AS BIGINT) AS n_toks
+      FROM documents)
+SELECT CAST(h % 64 AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_toks,
+       CAST(CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+         AS id_checksum
+FROM t GROUP BY 1""",
+        "continuous shard export drained: per-batch shard writes +"
+        " journal-maintained manifest; counts, token sums AND the"
+        " DECIMAL checksum are all additive, so the incremental"
+        " manifest shares the batch oracle verbatim",
     ),
     "stream_domain_share": QuerySpec(
         q_stream_domain_share,

@@ -103,3 +103,34 @@ def test_domain_share_journal_slicing_invariant(spark, tmp_path):
     replayed = {(r["domain"], r["n_docs"], r["share"])
                 for r in read_shares(spark, store).collect()}
     assert replayed == batch
+
+
+def test_shard_export_journal_matches_batch_manifest(spark, tmp_path):
+    """Streamed shard export over 3 batches: the journal-maintained
+    manifest (counts, token sums, DECIMAL checksums — all additive)
+    equals the batch shard_manifest over the union; the written shard
+    data validates against it; a replayed batch journal is absorbed."""
+    from streamforge_data_pipeline_spark.operators.sampling import shard_manifest
+    from streamforge_data_pipeline_spark.streaming.shard_export_stream import (
+        SHARDS_TABLE,
+        _commit_batch as shard_commit,
+        read_manifest,
+    )
+
+    rows = [(i, f"tok{i % 7} tok{i % 5} tok{i % 3}") for i in range(90)]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    store = TableStore(str(tmp_path / "store"))
+    for b in range(3):
+        batch = full.filter((F.col("doc_id") >= b * 30) & (F.col("doc_id") < (b + 1) * 30))
+        shard_commit(spark, batch, store, 8, "doc_id", "text", b)
+
+    streamed = {r["shard"]: tuple(r) for r in read_manifest(spark, store).collect()}
+    batch_m = {r["shard"]: tuple(r) for r in shard_manifest(full, n_shards=8).collect()}
+    assert streamed == batch_m
+    # the exported data is complete
+    assert spark.read.parquet(store.path(SHARDS_TABLE)).count() == 90
+    # journal replay of batch 1 (no data rewrite) is absorbed
+    batch1 = full.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60))
+    shard_commit(spark, batch1, store, 8, "doc_id", "text", 1, write_data=False)
+    again = {r["shard"]: tuple(r) for r in read_manifest(spark, store).collect()}
+    assert again == batch_m
