@@ -32,6 +32,62 @@ def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     return it
 
 
+def embedding_norm_outliers(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    z: float = 3.5,
+) -> DataFrame:
+    """Embedding hygiene: flag vectors whose L2 norm is a ROBUST
+    outlier vs the corpus — |norm - median| / (1.4826 * MAD) > z, the
+    median-absolute-deviation rule (Iglewicz & Hoaglin's modified
+    z-score; 1.4826 scales MAD to sigma under normality). Broken
+    encoders produce near-zero or exploded norms; mean/stddev would
+    let a few exploded vectors mask each other, the median/MAD pair
+    does not. Emits (id, norm, robust_z, is_outlier) for every
+    vector.
+
+    Determinism: norms are the sequential-double dot fold (the proven
+    cross-engine recipe); both medians are exact linear-interpolated
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``);
+    robust_z is rounded to 4 dp BEFORE the > z comparison, so the
+    flag is a function of the checked value. The two medians ride on
+    broadcast 1-row scalars.
+
+    Scale note: exact percentile aggregates buffer their group's
+    values — fine for one double per vector well past 10^9 rows on a
+    cluster, but the documented swap-in at extreme scale is the
+    mergeable approx_percentile twin (the value_percentiles /
+    value_percentiles_approx pairing, applied to norms)."""
+    from pyspark.sql import functions as F
+
+    from streamforge_data_pipeline_spark.functions import dot_double
+
+    n = vectors.select(
+        F.col(id_col),
+        F.sqrt(dot_double(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    )
+    med = n.agg(F.percentile("norm", F.lit(0.5)).alias("med"))
+    dev = n.crossJoin(F.broadcast(med)).select(
+        id_col,
+        "norm",
+        "med",
+        F.abs(F.col("norm") - F.col("med")).alias("ad"),
+    )
+    mad = dev.agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
+    out = dev.crossJoin(F.broadcast(mad))
+    rz = F.when(
+        F.col("mad") > 0,
+        F.round(F.col("ad") / (F.lit(1.4826) * F.col("mad")), 4),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col(id_col),
+        F.round("norm", 4).alias("norm"),
+        rz.alias("robust_z"),
+        (rz > z).alias("is_outlier"),
+    )
+
+
 def normalize_embeddings(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -760,6 +760,15 @@ def q_ann_ivf_indexed(spark, sf_dir):
     return out
 
 
+def q_embedding_norm_outliers(spark, sf_dir):
+    """Robust (median/MAD) norm-outlier flags over the embedding
+    corpus — encoder-failure hygiene before any similarity work
+    (embeddings.embedding_norm_outliers)."""
+    return embeddings_ops.embedding_norm_outliers(
+        load(spark, sf_dir, "embeddings")
+    )
+
+
 def q_pagerank_canonical(spark, sf_dir):
     """Importance-ranked canonical selection over the embedding
     near-dup graph (cosine >= 0.4, the embedding_near_dup predicate):
@@ -3122,6 +3131,24 @@ p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
         " fed from the BLOCKED pair stream (SimHash 4x16-bit band"
         " candidates, Hamming <= 3) instead of the exact all-pairs"
         " matmul — the 100 TB input shape, edge-linear by construction",
+    ),
+    "embedding_norm_outliers": QuerySpec(
+        q_embedding_norm_outliers,
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS norm FROM e),
+m AS (SELECT quantile_cont(norm, 0.5) AS med FROM n),
+d AS (SELECT vec_id, norm, med, abs(norm - med) AS ad FROM n, m),
+md AS (SELECT quantile_cont(ad, 0.5) AS mad FROM d),
+s AS (SELECT vec_id, norm, ad,
+        CASE WHEN md.mad > 0 THEN round(ad / (1.4826 * md.mad), 4)
+             ELSE 0.0 END AS robust_z
+      FROM d, md)
+SELECT vec_id, round(norm, 4) AS norm, robust_z,
+       robust_z > 3.5 AS is_outlier
+FROM s""",
+        "embedding hygiene: robust median/MAD norm-outlier flags"
+        " (modified z-score, exact interpolated percentiles both"
+        " engines, rounded before the threshold compare)",
     ),
     "triangle_counts": QuerySpec(
         q_triangle_counts,

@@ -98,3 +98,28 @@ def test_pq_seeded_matches_trained_contract(spark):
     b = pq_topk_seeded(vecs, q, k=5, shortlist=50).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert a and set(a[0].asDict()) == {"q_id", "vec_id", "sim", "rank"}
+
+
+def test_norm_outliers_flag_broken_encoders(spark):
+    """Planted exploded (100x) and near-zero vectors are flagged;
+    well-behaved unit-norm vectors are not; MAD resists masking (the
+    two planted outliers don't shift the median the way they would a
+    mean/stddev rule)."""
+    import numpy as np
+    from streamforge_data_pipeline_spark.operators.embeddings import (
+        embedding_norm_outliers,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):  # healthy: norms ~ U(0.9, 1.1)
+        v = rng.normal(size=8)
+        v = v / np.linalg.norm(v) * rng.uniform(0.9, 1.1)
+        rows.append((i, v.tolist()))
+    rows.append((100, (np.ones(8) * 40.0).tolist()))   # exploded
+    rows.append((101, (np.ones(8) * 1e-6).tolist()))   # collapsed
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in embedding_norm_outliers(df).collect()}
+    assert out[100]["is_outlier"] and out[101]["is_outlier"]
+    flagged = {v for v, r in out.items() if r["is_outlier"]}
+    assert flagged == {100, 101}
