@@ -99,6 +99,12 @@ HEADLINE = [
     "triangle_counts",
     "pii_scrub_multi",
     "semantic_dedup_cells",
+    "stream_domain_share",
+    "shard_manifest",
+    "quality_retention_curve",
+    "stream_shard_export",
+    "embedding_norm_outliers",
+    "curation_funnel",
 ]
 
 

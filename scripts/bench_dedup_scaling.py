@@ -72,6 +72,18 @@ KEYS = [
     "simhash_near_dup_radius6",
     # r8: the weak-mark fix — the ranking over the BLOCKED pair stream
     "pagerank_canonical_blocked",
+    # r8: new families (per-octave rows per the round discipline)
+    "domain_caps",
+    "domain_share",
+    "stream_domain_caps",
+    "stream_domain_share",
+    "triangle_counts",
+    "pii_scrub_multi",
+    "shard_manifest",
+    "stream_shard_export",
+    "quality_retention_curve",
+    "embedding_norm_outliers",
+    "curation_funnel",
 ]
 
 # sf1 MUST be the multi-file layout (sf1mf): the single-file sf1 dir
