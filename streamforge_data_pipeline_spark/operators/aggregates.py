@@ -46,3 +46,51 @@ def latest_per_key(df: DataFrame, key, order) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def decayed_counts(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    max_age_days: int = 40,
+) -> DataFrame:
+    """Recency-weighted activity profile: per key, the exponentially
+    decayed event count with a one-day half-life — the freshness
+    signal a curation pipeline uses to weight recent behavior over
+    stale history without a sliding-window re-scan. Emits
+    (key, n_events, decayed_count).
+
+    Exactness (the determinize-the-risky-stages move for decay):
+    weights are 2^-age, but summing doubles is order-sensitive, so
+    each event contributes the INTEGER 2^(max_age_days - age) (pow of
+    two: exactly representable, CAST exact in both engines), the sum
+    is exact int64 arithmetic (order-independent), and ONE final
+    division by 2^max_age_days — an exact IEEE op — recovers the
+    decayed value, rounded to 6 dp. Events older than
+    ``max_age_days`` contribute 0 (each would add < 2^-40 ~ 1e-12 —
+    a documented truncation, not a float accident). Overflow bound:
+    n_events * 2^max_age_days < 2^63 holds through ~8M events/key at
+    the default; raise awareness, not the exponent, past that (or
+    shard the sum by age bucket).
+
+    Scale shape: one narrow projection (datediff + pow) then one
+    partial-agg hash aggregation — map-side combinable, key-bounded
+    output; the corpus max-date rides in as a broadcast 1-row scalar.
+    """
+    maxd = df.agg(F.max(F.to_date(ts)).alias("__maxd"))
+    age = F.datediff(F.col("__maxd"), F.to_date(ts))
+    w = F.when(
+        (age >= 0) & (age <= max_age_days),
+        F.pow(F.lit(2.0), (F.lit(max_age_days) - age)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        df.crossJoin(F.broadcast(maxd))
+        .select(F.col(key), w.alias("__w"))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum("__w") / F.pow(F.lit(2.0), F.lit(max_age_days)), 6
+            ).alias("decayed_count"),
+        )
+    )

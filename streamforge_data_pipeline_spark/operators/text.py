@@ -752,6 +752,60 @@ def corpus_mixture(df: DataFrame, budgets: dict[str, int],
     )
 
 
+def source_mixture_weights(
+    df: DataFrame,
+    stratum: str = "source",
+    text: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based multinomial sampling weights per source — the
+    XLM-R / mT5 mixing rule: sample source i with probability
+    proportional to n_i^alpha (alpha < 1 upsamples the tail so small
+    sources aren't drowned; alpha=1 is natural sampling, alpha=0
+    uniform). Emits per source the token count, the natural share,
+    the alpha-tempered share, and the upsampling factor
+    (tempered/natural) a sampler applies.
+
+    Determinism: n^alpha at the default alpha=0.5 is sqrt — correctly
+    rounded IEEE, identical in both engines — ROUNDED TO 4 DP before
+    the normalizing sum, which runs in DECIMAL(28,4) (exact,
+    order-independent); the final shares divide two
+    identically-derived values and round to 4. Output is
+    source-cardinality rows from one hash agg."""
+    counts = (
+        df.select(F.col(stratum), F.size(tokens(text)).cast("long").alias("__nt"))
+        .groupBy(stratum)
+        .agg(F.sum("__nt").alias("n_tokens"))
+    )
+    # sqrt (not pow(x, .5)) at the default: sqrt is correctly-rounded
+    # IEEE in BOTH engines; libm pow(x, 0.5) may differ by an ulp
+    raw = (
+        F.sqrt(F.col("n_tokens").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    )
+    w = F.round(raw, 4)
+    weighted = counts.select(
+        stratum, "n_tokens", w.cast("decimal(28,4)").alias("__w")
+    )
+    tot = weighted.agg(
+        F.sum("n_tokens").alias("__tn"), F.sum("__w").alias("__tw")
+    )
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        stratum,
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__tn"), 4).alias("natural_share"),
+        F.round(
+            F.col("__w").cast("double") / F.col("__tw").cast("double"), 4
+        ).alias("tempered_share"),
+        F.round(
+            (F.col("__w").cast("double") / F.col("__tw").cast("double"))
+            / (F.col("n_tokens") / F.col("__tn")),
+            4,
+        ).alias("upsample_factor"),
+    )
+
+
 def corpus_shuffle(df: DataFrame, id_col: str = "doc_id",
                    n_shards: int = 8, salt: str = "shuf1") -> DataFrame:
     """Deterministic global shuffle for training order: every document

@@ -2188,6 +2188,20 @@ def q_stream_domain_caps(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_decayed_event_counts(spark, sf_dir):
+    """Recency-weighted (1-day half-life) event profile — integer
+    2^(A-age) weights summed exactly, one final exact division
+    (aggregates.decayed_counts)."""
+    return aggregates.decayed_counts(load(spark, sf_dir, "events"))
+
+
+def q_source_mixture_weights(spark, sf_dir):
+    """XLM-R/mT5 temperature sampling weights per source (alpha=0.5):
+    natural vs tempered share + the upsampling factor a mixer applies
+    (text.source_mixture_weights)."""
+    return text.source_mixture_weights(load(spark, sf_dir, "documents"))
+
+
 def q_curation_funnel(spark, sf_dir):
     """The curation pipeline end-to-end in ONE plan with funnel
     accounting: raw -> exact dedup -> length gate -> repetition gate
@@ -3473,6 +3487,41 @@ SELECT doc_id, domain, rk, rk <= 20 AS admitted FROM r""",
         " per-domain counter state, deterministic within-domain rank,"
         " one decision row per doc — the one-batch drain equals the"
         " batch ranking with an admitted flag",
+    ),
+    "decayed_event_counts": QuerySpec(
+        q_decayed_event_counts,
+        """WITH m AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+w AS (SELECT event_type,
+        CASE WHEN date_diff('day', CAST(ts AS DATE), m.maxd) BETWEEN 0 AND 40
+             THEN CAST(pow(2, 40 - date_diff('day', CAST(ts AS DATE), m.maxd))
+                       AS BIGINT)
+             ELSE 0 END AS w
+      FROM events, m)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(w) / pow(2, 40), 6) AS decayed_count
+FROM w GROUP BY event_type""",
+        "recency-decayed counts, 1-day half-life: integer power-of-two"
+        " weights summed exactly (order-independent), one final exact"
+        " division — decay without float-summation nondeterminism",
+    ),
+    "source_mixture_weights": QuerySpec(
+        q_source_mixture_weights,
+        f"""WITH c AS (SELECT source,
+        CAST(SUM(len({SQL_TOKENS.format(x="text")})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+w AS (SELECT source, n_tokens,
+        CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 4) AS DECIMAL(28,4)) AS w
+      FROM c),
+t AS (SELECT sum(n_tokens) AS tn, sum(w) AS tw FROM w)
+SELECT source, n_tokens,
+       round(n_tokens*1.0/tn, 4) AS natural_share,
+       round(CAST(w AS DOUBLE)/CAST(tw AS DOUBLE), 4) AS tempered_share,
+       round((CAST(w AS DOUBLE)/CAST(tw AS DOUBLE)) / (n_tokens*1.0/tn), 4)
+         AS upsample_factor
+FROM w, t""",
+        "temperature (alpha=0.5) multinomial source-mixing weights:"
+        " sqrt-tempered shares, DECIMAL-exact normalizer, upsample"
+        " factors — the multilingual/source mixing rule",
     ),
     "curation_funnel": QuerySpec(
         q_curation_funnel,

@@ -110,3 +110,46 @@ def test_curation_funnel_monotone_and_consistent(spark):
         assert rows[i]["n_tokens"] <= rows[i - 1]["n_tokens"]
     assert rows[4]["n_docs"] > 0
     assert rows[0]["n_docs"] == docs.count()
+
+
+def test_decayed_counts_halving_semantics(spark):
+    """Hand-checkable decay: events on the max day weigh 1, the day
+    before 1/2, etc.; order/partitioning can't move the result (the
+    integer-weight sum is exact)."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from streamforge_data_pipeline_spark.operators.aggregates import (
+        decayed_counts,
+    )
+
+    base = dt.datetime(2024, 3, 10, 12, 0, 0)
+    rows = []
+    for age, n in [(0, 4), (1, 2), (2, 1)]:  # 4*1 + 2*.5 + 1*.25 = 5.25
+        for i in range(n):
+            rows.append((f"e{age}{i}", "click", base - dt.timedelta(days=age)))
+    rows.append(("old", "click", base - dt.timedelta(days=100)))  # 0 weight
+    df = spark.createDataFrame(rows, "event_id string, event_type string, ts timestamp")
+    out = decayed_counts(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 8
+    assert out[0]["decayed_count"] == 5.25
+    # repartitioned input: identical result (exact integer sum)
+    out2 = decayed_counts(df.repartition(7)).collect()
+    assert out2[0]["decayed_count"] == 5.25
+
+
+def test_source_mixture_weights_upsample_the_tail(spark):
+    """A small source's tempered share exceeds its natural share
+    (upsample_factor > 1) and a dominant source's is compressed; the
+    tempered shares still sum to ~1."""
+    from streamforge_data_pipeline_spark.operators.text import (
+        source_mixture_weights,
+    )
+
+    rows = [(i, "w " * 100, "big") for i in range(90)]
+    rows += [(1000 + i, "w " * 100, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in source_mixture_weights(df).collect()}
+    assert out["small"]["upsample_factor"] > 1.0
+    assert out["big"]["upsample_factor"] < 1.0
+    assert abs(out["big"]["tempered_share"] + out["small"]["tempered_share"] - 1.0) < 1e-3
