@@ -105,6 +105,8 @@ HEADLINE = [
     "stream_shard_export",
     "embedding_norm_outliers",
     "curation_funnel",
+    "decayed_event_counts",
+    "source_mixture_weights",
 ]
 
 
