@@ -2202,6 +2202,40 @@ def q_source_mixture_weights(spark, sf_dir):
     return text.source_mixture_weights(load(spark, sf_dir, "documents"))
 
 
+def q_stream_decayed_counts(spark, sf_dir):
+    """Continuous recency-decayed counts drained: per-batch (key, day)
+    count partials in the additive journal (decay is a READ-time
+    re-weighting against the current max day, so advancing time never
+    rewrites state); mergeable, so the drain equals the batch
+    decayed_counts under any slicing — shares its oracle verbatim."""
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from streamforge_data_pipeline_spark.streaming.domain_share_stream import (
+        read_decayed_counts,
+        start_stream_decayed_counts,
+    )
+
+    src = _staged_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    work = tempfile.mkdtemp(prefix="sfdp_sdecay_")
+    try:
+        store = TableStore(os.path.join(work, "store"))
+        q = start_stream_decayed_counts(
+            spark,
+            src,
+            store,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            schema=schema,
+            max_files_per_trigger=10_000,
+        )
+        q.awaitTermination()
+        return read_decayed_counts(spark, store).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_curation_funnel(spark, sf_dir):
     """The curation pipeline end-to-end in ONE plan with funnel
     accounting: raw -> exact dedup -> length gate -> repetition gate
@@ -3503,6 +3537,22 @@ FROM w GROUP BY event_type""",
         "recency-decayed counts, 1-day half-life: integer power-of-two"
         " weights summed exactly (order-independent), one final exact"
         " division — decay without float-summation nondeterminism",
+    ),
+    "stream_decayed_counts": QuerySpec(
+        q_stream_decayed_counts,
+        """WITH m AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+w AS (SELECT event_type,
+        CASE WHEN date_diff('day', CAST(ts AS DATE), m.maxd) BETWEEN 0 AND 40
+             THEN CAST(pow(2, 40 - date_diff('day', CAST(ts AS DATE), m.maxd))
+                       AS BIGINT)
+             ELSE 0 END AS w
+      FROM events, m)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(w) / pow(2, 40), 6) AS decayed_count
+FROM w GROUP BY event_type""",
+        "continuous decayed counts drained: (key, day) additive journal"
+        " + read-time re-weighting — decay without stateful rescaling;"
+        " mergeable, so the drain shares the batch oracle",
     ),
     "source_mixture_weights": QuerySpec(
         q_source_mixture_weights,

@@ -108,3 +108,101 @@ def read_shares(spark: SparkSession, store: TableStore) -> DataFrame:
         F.col("n_docs").cast("long").alias("n_docs"),
         F.round(F.col("n_docs") / F.col("__t"), 4).alias("share"),
     )
+
+
+# --- decayed-counts twin: the journal algebra with a TIME-keyed bucket ---
+#
+# Exponential decay looks stateful (every tick rescales every
+# counter), but bucketing by event DAY makes the state additive and
+# clock-free: the journal holds exact per-(key, day) counts (additive
+# -> replay-safe via the same dynamic partition overwrite, mergeable
+# -> slicing-invariant), and the decay weights are applied AT READ
+# TIME against the current max day. Advancing time never rewrites
+# state — the read just re-weights; the drain equals the batch
+# operator (aggregates.decayed_counts) and shares its oracle.
+
+DECAY_JOURNAL_TABLE = "decayed_counts_journal"
+
+
+def _commit_decay_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    store: TableStore,
+    key: str,
+    ts: str,
+    batch_id: int,
+) -> None:
+    partial = (
+        batch_df.select(F.col(key), F.to_date(ts).alias("day"))
+        .groupBy(key, "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
+    (
+        partial.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store.path(DECAY_JOURNAL_TABLE))
+    )
+
+
+def read_decayed_counts(
+    spark: SparkSession,
+    store: TableStore,
+    key: str = "event_type",
+    max_age_days: int = 40,
+) -> DataFrame:
+    """(key, n_events, decayed_count) over everything ever ingested —
+    the aggregates.decayed_counts formula over the journal's exact
+    per-day counts: integer 2^(A-age) weights, exact int64 sum, one
+    final exact division."""
+    j = store.read(spark, DECAY_JOURNAL_TABLE)
+    maxd = j.agg(F.max("day").alias("__maxd"))
+    age = F.datediff(F.col("__maxd"), F.col("day"))
+    w = F.when(
+        (age >= 0) & (age <= max_age_days),
+        F.pow(F.lit(2.0), (F.lit(max_age_days) - age)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        j.crossJoin(F.broadcast(maxd))
+        .select(F.col(key), (F.col("n") * w).alias("__w"), "n")
+        .groupBy(key)
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(
+                F.sum("__w") / F.pow(F.lit(2.0), F.lit(max_age_days)), 6
+            ).alias("decayed_count"),
+        )
+    )
+
+
+def start_stream_decayed_counts(
+    spark: SparkSession,
+    input_dir: str,
+    store: TableStore,
+    checkpoint_dir: str,
+    schema: str,
+    key: str = "event_type",
+    ts: str = "ts",
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Tail ``input_dir`` for event parquet and journal per-batch
+    (key, day) count partials; decay is applied at read time."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        _commit_decay_batch(
+            batch_df.sparkSession, batch_df, store, key, ts, batch_id
+        )
+
+    writer = stream.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -134,3 +134,42 @@ def test_shard_export_journal_matches_batch_manifest(spark, tmp_path):
     shard_commit(spark, batch1, store, 8, "doc_id", "text", 1, write_data=False)
     again = {r["shard"]: tuple(r) for r in read_manifest(spark, store).collect()}
     assert again == batch_m
+
+
+def test_decayed_counts_journal_slicing_invariant(spark, tmp_path):
+    """Decay via the day-bucketed journal: 3-batch ingestion equals
+    the batch decayed_counts, and advancing the clock (a later-day
+    batch) re-weights existing state at read time without rewriting
+    the journal's earlier partitions."""
+    import datetime as dt
+    from streamforge_data_pipeline_spark.operators.aggregates import (
+        decayed_counts,
+    )
+    from streamforge_data_pipeline_spark.streaming.domain_share_stream import (
+        _commit_decay_batch,
+        read_decayed_counts,
+    )
+
+    base = dt.datetime(2024, 5, 1, 8, 0, 0)
+    rows = [(i, "click" if i % 2 else "view", base + dt.timedelta(days=i % 5))
+            for i in range(60)]
+    full = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    store = TableStore(str(tmp_path / "store"))
+    for b in range(3):
+        batch = full.filter((F.col("event_id") % 3) == b)
+        _commit_decay_batch(spark, batch, store, "event_type", "ts", b)
+    streamed = {r["event_type"]: tuple(r)
+                for r in read_decayed_counts(spark, store).collect()}
+    batch_ref = {r["event_type"]: tuple(r)
+                 for r in decayed_counts(full).collect()}
+    assert streamed == batch_ref
+    # clock advance: one new event 2 days later halves old weights
+    late = spark.createDataFrame(
+        [(999, "view", base + dt.timedelta(days=6))],
+        "event_id long, event_type string, ts timestamp")
+    _commit_decay_batch(spark, late, store, "event_type", "ts", 3)
+    streamed2 = {r["event_type"]: tuple(r)
+                 for r in read_decayed_counts(spark, store).collect()}
+    batch2 = {r["event_type"]: tuple(r)
+              for r in decayed_counts(full.unionByName(late)).collect()}
+    assert streamed2 == batch2
