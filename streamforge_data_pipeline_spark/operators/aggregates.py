@@ -94,3 +94,67 @@ def decayed_counts(
             ).alias("decayed_count"),
         )
     )
+
+
+def column_stats(df: DataFrame, numeric_round: int = 4) -> DataFrame:
+    """ANALYZE-style per-column statistics — the table the cost-based
+    optimizer (and any curation dashboard) reads: one row per column
+    with (n_rows, n_nulls, null_frac, ndv, min/max). Numeric columns
+    report min/max as rounded doubles; date/timestamp columns as
+    ISO dates; other columns as strings — min_num/max_num and
+    min_str/max_str are disjoint, so the output schema is fixed
+    regardless of the input schema.
+
+    ndv is EXACT count(distinct) — this is the oracle-checked
+    reference; the 100 TB ANALYZE pass swaps in the mergeable
+    KMV/HLL estimators this repo already carries (kmv_distinct,
+    approx_count_distinct) per the established exact/approx pairing.
+    Each column is one aggregate over a single-column projection
+    (column-pruned scan); columns are independent jobs, so a wide
+    table fans out trivially."""
+    from pyspark.sql import types as T
+
+    out = None
+    for f in df.schema.fields:
+        c = F.col("__c")
+        numeric = isinstance(
+            f.dataType,
+            (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+             T.DoubleType, T.FloatType, T.DecimalType),
+        )
+        temporal = isinstance(
+            f.dataType, (T.DateType, T.TimestampType, T.TimestampNTZType)
+        )
+        if numeric:
+            mn = F.round(F.min(c).cast("double"), numeric_round)
+            mx = F.round(F.max(c).cast("double"), numeric_round)
+            mns, mxs = F.lit(None).cast("string"), F.lit(None).cast("string")
+        elif temporal:
+            mn, mx = F.lit(None).cast("double"), F.lit(None).cast("double")
+            mns = F.min(F.to_date(c)).cast("string")
+            mxs = F.max(F.to_date(c)).cast("string")
+        else:
+            mn, mx = F.lit(None).cast("double"), F.lit(None).cast("double")
+            mns = F.min(c.cast("string"))
+            mxs = F.max(c.cast("string"))
+        nulls = F.sum(F.when(c.isNull(), 1).otherwise(0))
+        row = (
+            df.select(F.col(f.name).alias("__c"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                nulls.cast("long").alias("n_nulls"),
+                F.round(nulls / F.count(F.lit(1)), 4).alias("null_frac"),
+                F.countDistinct("__c").cast("long").alias("ndv"),
+                mn.alias("min_num"),
+                mx.alias("max_num"),
+                mns.alias("min_str"),
+                mxs.alias("max_str"),
+            )
+            .select(
+                F.lit(f.name).alias("column"),
+                "n_rows", "n_nulls", "null_frac", "ndv",
+                "min_num", "max_num", "min_str", "max_str",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

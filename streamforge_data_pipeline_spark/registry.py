@@ -2188,6 +2188,43 @@ def q_stream_domain_caps(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _column_stats_sql(table: str, cols: list[tuple[str, str]]) -> str:
+    """ANALYZE-oracle builder: one UNION ALL branch per column with
+    the kind-specific min/max rendering ('num', 'date', 'str')."""
+    parts = []
+    for name, kind in cols:
+        nn = f"sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END)"
+        if kind == "num":
+            mn = f"round(CAST(min({name}) AS DOUBLE), 4)"
+            mx = f"round(CAST(max({name}) AS DOUBLE), 4)"
+            mns = mxs = "CAST(NULL AS VARCHAR)"
+        elif kind == "date":
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            mns = f"CAST(min(CAST({name} AS DATE)) AS VARCHAR)"
+            mxs = f"CAST(max(CAST({name} AS DATE)) AS VARCHAR)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            mns = f"min(CAST({name} AS VARCHAR))"
+            mxs = f"max(CAST({name} AS VARCHAR))"
+        parts.append(
+            f"SELECT '{name}' AS \"column\","
+            f" CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST({nn} AS BIGINT) AS n_nulls,"
+            f" round({nn}*1.0/count(*), 4) AS null_frac,"
+            f" CAST(count(DISTINCT {name}) AS BIGINT) AS ndv,"
+            f" {mn} AS min_num, {mx} AS max_num,"
+            f" {mns} AS min_str, {mxs} AS max_str FROM {table}"
+        )
+    return "\nUNION ALL ".join(parts)
+
+
+def q_column_stats(spark, sf_dir):
+    """ANALYZE-style per-column table statistics over events — the
+    CBO/curation stats table (aggregates.column_stats): counts, null
+    fractions, exact ndv, kind-dispatched min/max."""
+    return aggregates.column_stats(load(spark, sf_dir, "events"))
+
+
 def q_decayed_event_counts(spark, sf_dir):
     """Recency-weighted (1-day half-life) event profile — integer
     2^(A-age) weights summed exactly, one final exact division
@@ -3521,6 +3558,24 @@ SELECT doc_id, domain, rk, rk <= 20 AS admitted FROM r""",
         " per-domain counter state, deterministic within-domain rank,"
         " one decision row per doc — the one-batch drain equals the"
         " batch ranking with an admitted flag",
+    ),
+    "column_stats": QuerySpec(
+        q_column_stats,
+        _column_stats_sql(
+            "events",
+            [
+                ("event_id", "num"),
+                ("ts", "date"),
+                ("user_id", "num"),
+                ("event_type", "str"),
+                ("value", "num"),
+                ("props", "str"),
+            ],
+        ),
+        "ANALYZE-style per-column stats (n_rows, nulls, exact ndv,"
+        " kind-dispatched min/max) — the CBO statistics table; the"
+        " 100 TB pass swaps exact ndv for the repo's KMV/HLL"
+        " estimators per the established pairing",
     ),
     "decayed_event_counts": QuerySpec(
         q_decayed_event_counts,
