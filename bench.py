@@ -107,6 +107,8 @@ HEADLINE = [
     "curation_funnel",
     "decayed_event_counts",
     "source_mixture_weights",
+    "stream_decayed_counts",
+    "column_stats",
 ]
 
 
