@@ -84,6 +84,10 @@ KEYS = [
     "quality_retention_curve",
     "embedding_norm_outliers",
     "curation_funnel",
+    "decayed_event_counts",
+    "source_mixture_weights",
+    "stream_decayed_counts",
+    "column_stats",
 ]
 
 # sf1 MUST be the multi-file layout (sf1mf): the single-file sf1 dir
