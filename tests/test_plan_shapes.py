@@ -257,3 +257,43 @@ def test_simhash_radius6_band_equijoin(spark):
     plan = _plan(spark, "simhash_near_dup_radius6")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "hamming" in plan  # verifier present before the distinct
+
+
+def test_domain_caps_is_jvm_only_single_window(spark):
+    """The cap is one domain-partitioned window over a narrow regexp
+    projection — no Python UDFs anywhere, exactly one window node."""
+    plan = _plan(spark, "domain_caps")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("RunningWindowFunction") + plan.count("Window") >= 1
+
+
+def test_shard_manifest_has_partial_aggregation(spark):
+    """The manifest agg must map-side combine (HashAggregate partial ->
+    final), so a hot shard never concentrates raw rows on a reducer."""
+    plan = _plan(spark, "shard_manifest")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_retention_curve_grid_join_is_broadcast(spark):
+    """The 9-row threshold grid joins via broadcast (nested-loop on
+    the <= condition) — the corpus is never shuffled for the grid."""
+    plan = _plan(spark, "quality_retention_curve")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan.split("BroadcastNestedLoopJoin")[1][:500]
+
+
+def test_triangle_counts_joins_stay_on_edge_keys(spark):
+    """Triangle enumeration is equi-joins on edge endpoints — no
+    cartesian product may appear in the plan."""
+    plan = _plan(spark, "triangle_counts")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_scrub_multi_is_pure_projection(spark):
+    """The scrub is a map-only projection: no shuffle (Exchange) except
+    the scan-side none, no UDFs — the shape that scrubs 100 TB."""
+    plan = _plan(spark, "pii_scrub_multi")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
