@@ -170,6 +170,44 @@ def shard_assignment(
     )
 
 
+def eval_split_assign(
+    df: DataFrame,
+    stratum: str = "source",
+    id_col: str = "doc_id",
+    k_val: int = 50,
+    k_test: int = 50,
+) -> DataFrame:
+    """Deterministic held-out split construction with EXACT per-stratum
+    quotas: within each stratum, rank docs by (hash60(id), id) — the
+    samplers' order — and assign rank <= k_val to 'val', the next
+    k_test to 'test', the rest to 'train'. Exact-size val/test sets
+    per source (a Bernoulli split only hits quotas in expectation),
+    stable under reruns, cluster layouts, and engines; adding documents
+    to OTHER strata never moves an existing stratum's split.
+
+    One window pass (the per_stratum_bottomk shape); emits
+    (id, stratum, split). The per-(stratum, split) manifest a release
+    publishes is one groupBy over this."""
+    from pyspark.sql import Window
+
+    h = hash60(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum).orderBy("h", id_col)
+    rk = F.row_number().over(w)
+    return (
+        df.select(stratum, id_col, h.alias("h"))
+        .dropDuplicates([stratum, id_col])
+        .withColumn("__rk", rk)
+        .select(
+            id_col,
+            stratum,
+            F.when(F.col("__rk") <= k_val, "val")
+            .when(F.col("__rk") <= k_val + k_test, "test")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )
+
+
 def per_stratum_bottomk(
     df: DataFrame, stratum: str, k: int = 20, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -2046,6 +2046,17 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct_estimate(ev, k=256, id_col="user_id")
 
 
+def q_eval_split(spark, sf_dir):
+    """Deterministic train/val/test assignment with EXACT per-source
+    quotas (50 val + 50 test per source, rest train) — held-out split
+    construction a release pins (sampling.eval_split_assign)."""
+    from streamforge_data_pipeline_spark.operators.sampling import (
+        eval_split_assign,
+    )
+
+    return eval_split_assign(load(spark, sf_dir, "documents"))
+
+
 def q_per_source_sample(spark, sf_dir):
     """Balanced subset: exactly 20 docs from EVERY source regardless of
     source skew — the window form of bottom-k (rank by hash within
@@ -3507,6 +3518,23 @@ FROM toks""",
         "continuous bounded-state uniform sampling drained: bottom-k is"
         " exactly mergeable, so the multi-batch state equals the batch"
         " operator under any slicing — same oracle as bottomk_sample",
+    ),
+    "eval_split": QuerySpec(
+        q_eval_split,
+        f"""WITH d AS (SELECT DISTINCT source, doc_id,
+        {sql_hash60("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+r AS (SELECT source, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+      FROM d)
+SELECT doc_id, source,
+       CASE WHEN rk <= 50 THEN 'val'
+            WHEN rk <= 100 THEN 'test'
+            ELSE 'train' END AS split
+FROM r""",
+        "deterministic train/val/test construction: exact per-source"
+        " quotas via the within-stratum hash rank (Bernoulli splits"
+        " only hit quotas in expectation)",
     ),
     "per_source_sample": QuerySpec(
         q_per_source_sample,

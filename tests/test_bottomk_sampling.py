@@ -161,3 +161,29 @@ def test_shard_write_roundtrip_validates_against_manifest(spark, tmp_path):
         .collect()[0][0]
     )
     assert bad != manifest[some_shard]["id_checksum"]
+
+
+def test_eval_split_exact_quotas_and_stability(spark):
+    """Exact per-stratum quotas (never 'in expectation'), and adding
+    docs to another stratum does not move an existing stratum's
+    assignments — the property Bernoulli splits lack."""
+    from streamforge_data_pipeline_spark.operators.sampling import (
+        eval_split_assign,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a" if i < 200 else "b") for i in range(350)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = eval_split_assign(df, k_val=20, k_test=30)
+    counts = {(r["source"], r["split"]): r["n"] for r in
+              out.groupBy("source", "split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts[("a", "val")] == 20 and counts[("a", "test")] == 30
+    assert counts[("a", "train")] == 150
+    assert counts[("b", "val")] == 20 and counts[("b", "test")] == 30
+    # stability: add docs to stratum b only; stratum a unchanged
+    more = spark.createDataFrame([(1000 + i, "b") for i in range(100)],
+                                 "doc_id long, source string")
+    out2 = eval_split_assign(df.unionByName(more), k_val=20, k_test=30)
+    a1 = {(r["doc_id"], r["split"]) for r in out.filter("source='a'").collect()}
+    a2 = {(r["doc_id"], r["split"]) for r in out2.filter("source='a'").collect()}
+    assert a1 == a2
