@@ -109,6 +109,7 @@ HEADLINE = [
     "source_mixture_weights",
     "stream_decayed_counts",
     "column_stats",
+    "eval_split",
 ]
 
 

@@ -88,6 +88,7 @@ KEYS = [
     "source_mixture_weights",
     "stream_decayed_counts",
     "column_stats",
+    "eval_split",
 ]
 
 # sf1 MUST be the multi-file layout (sf1mf): the single-file sf1 dir
