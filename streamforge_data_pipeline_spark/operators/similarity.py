@@ -560,18 +560,21 @@ def semantic_dedup_fixed_cells(
     ``cell_cap`` (r7 VERDICT #2) bounds the within-cell quadratic
     term: any level-1 cell whose population exceeds the cap is
     DETERMINISTICALLY split into ``n_cells`` subcells by the argmax
-    quantizer over the NEXT ``n_cells`` dimensions — recursive
-    sub-quantization, still fully SQL-expressible (the oracle mirrors
-    the population count + CASE refinement), so oversized cells' pair
-    volume drops ~n_cells^2-fold instead of growing with the square of
-    corpus size. Documented recall effect: a duplicate pair whose
-    members land in different subcells of a refined cell is missed —
-    the standard SemDeDup trade (its cells also grow with the corpus);
-    tau-groups are near-parallel vectors, so same-level-2-argmax is
-    the common case. The cell-count table is n_cells rows — the
-    refinement join broadcasts. One level of refinement bounds the
-    per-cell population to corpus/n_cells^2; the scale path for
-    further growth is the trained sqrt(N) quantizer (E25)."""
+    quantizer over the NEXT ``n_cells`` dimensions, and (r8.2
+    follow-up) any subcell STILL over the cap splits once more over
+    the dims after those — TWO levels of recursive sub-quantization,
+    fully SQL-expressible (the oracle mirrors both population counts
+    + the 3-way CASE), so an oversized region's pair volume drops up
+    to n_cells^4-fold instead of growing with the square of corpus
+    size. Cell ids are disjoint by construction: level-0 in
+    [0, n), level-1 in [n, n + n^2), level-2 from n + n^2 upward.
+    Documented recall effect: a duplicate pair whose members land in
+    different subcells of a refined cell is missed — the standard
+    SemDeDup trade (its cells also grow with the corpus); tau-groups
+    are near-parallel vectors, so same-argmax-everywhere is the
+    common case. Both count tables are tiny (n, n^2 rows) — the
+    refinement joins broadcast. The scale path beyond two levels is
+    the trained sqrt(N) quantizer (E25)."""
     c1 = argmax_cell(vec_col, n_cells)
     if cell_cap is None:
         assigned = vectors.select(F.col(id_col), c1.alias("cell"))
@@ -580,17 +583,31 @@ def semantic_dedup_fixed_cells(
             F.col(id_col),
             c1.alias("c1"),
             argmax_cell(vec_col, n_cells, offset=n_cells).alias("c2"),
+            argmax_cell(vec_col, n_cells, offset=2 * n_cells).alias("c3"),
         )
-        counts = lvl.groupBy("c1").agg(F.count(F.lit(1)).alias("__cn"))
-        assigned = lvl.join(F.broadcast(counts), "c1").select(
-            F.col(id_col),
-            F.when(
-                F.col("__cn") > cell_cap,
-                F.lit(n_cells) + F.col("c1") * n_cells + F.col("c2"),
+        n1 = lvl.groupBy("c1").agg(F.count(F.lit(1)).alias("__n1"))
+        n2 = lvl.groupBy("c1", "c2").agg(F.count(F.lit(1)).alias("__n2"))
+        base2 = n_cells + n_cells * n_cells
+        assigned = (
+            lvl.join(F.broadcast(n1), "c1")
+            .join(F.broadcast(n2), ["c1", "c2"])
+            .select(
+                F.col(id_col),
+                F.when(
+                    (F.col("__n1") > cell_cap) & (F.col("__n2") > cell_cap),
+                    F.lit(base2)
+                    + F.col("c1") * n_cells * n_cells
+                    + F.col("c2") * n_cells
+                    + F.col("c3"),
+                )
+                .when(
+                    F.col("__n1") > cell_cap,
+                    F.lit(n_cells) + F.col("c1") * n_cells + F.col("c2"),
+                )
+                .otherwise(F.col("c1"))
+                .cast("int")
+                .alias("cell"),
             )
-            .otherwise(F.col("c1"))
-            .cast("int")
-            .alias("cell"),
         )
     return _dedup_within_cells(vectors, assigned, tau, id_col, vec_col)
 

@@ -258,25 +258,33 @@ FROM r4 JOIN g ON r4.doc_id = g.node"""
 def _semdedup_cells_sql(cap: int | None = None, n_cells: int = 8) -> str:
     """Oracle for semantic_dedup_fixed_cells: argmax-|component| cells,
     within-cell cosine>=tau pairs, recursive closure, min-id canonical.
-    With ``cap``, mirrors the deterministic cell refinement: level-1
-    cells whose population exceeds the cap split into n_cells subcells
-    by the argmax over the NEXT n_cells dims (r7 VERDICT #2 — bounds
-    the within-cell quadratic term; the CASE + count mirror the Spark
-    broadcast-join refinement exactly)."""
+    With ``cap``, mirrors the deterministic TWO-LEVEL cell refinement:
+    level-1 cells over the cap split into n_cells subcells by the
+    argmax over the next n_cells dims, and subcells still over the cap
+    split once more over the dims after those (r7 VERDICT #2 + r8.2
+    follow-up — bounds the within-cell quadratic term; both counts +
+    the 3-way CASE mirror the Spark broadcast-join refinement)."""
     lo, hi = n_cells + 1, 2 * n_cells
+    lo3, hi3 = 2 * n_cells + 1, 3 * n_cells
     am1 = (f"list_position(list_transform(v[1:{n_cells}], x -> abs(x)),"
            f" list_max(list_transform(v[1:{n_cells}], x -> abs(x)))) - 1")
     am2 = (f"list_position(list_transform(v[{lo}:{hi}], x -> abs(x)),"
            f" list_max(list_transform(v[{lo}:{hi}], x -> abs(x)))) - 1")
+    am3 = (f"list_position(list_transform(v[{lo3}:{hi3}], x -> abs(x)),"
+           f" list_max(list_transform(v[{lo3}:{hi3}], x -> abs(x)))) - 1")
+    base2 = n_cells + n_cells * n_cells
     if cap is None:
         cells = f"c AS (SELECT vec_id, v, {am1} AS cell FROM e)"
     else:
-        cells = f"""c0 AS (SELECT vec_id, v, {am1} AS c1, {am2} AS c2 FROM e),
-cnt AS (SELECT c1, count(*) AS n FROM c0 GROUP BY c1),
+        cells = f"""c0 AS (SELECT vec_id, v, {am1} AS c1, {am2} AS c2, {am3} AS c3 FROM e),
+cnt1 AS (SELECT c1, count(*) AS n1 FROM c0 GROUP BY c1),
+cnt2 AS (SELECT c1, c2, count(*) AS n2 FROM c0 GROUP BY c1, c2),
 c AS (SELECT vec_id, v,
-        CASE WHEN cnt.n > {cap} THEN {n_cells} + c1 * {n_cells} + c2
+        CASE WHEN cnt1.n1 > {cap} AND cnt2.n2 > {cap}
+               THEN {base2} + c1 * {n_cells * n_cells} + c2 * {n_cells} + c3
+             WHEN cnt1.n1 > {cap} THEN {n_cells} + c1 * {n_cells} + c2
              ELSE c1 END AS cell
-      FROM c0 JOIN cnt USING (c1))"""
+      FROM c0 JOIN cnt1 USING (c1) JOIN cnt2 USING (c1, c2))"""
     return f"""WITH RECURSIVE e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 {cells},

@@ -238,3 +238,38 @@ def test_cell_cap_no_trigger_is_identity(spark):
     ).collect()
     plain = semantic_dedup_fixed_cells(vecs, n_cells=8, tau=0.4).collect()
     assert sorted(map(tuple, capped)) == sorted(map(tuple, plain))
+
+
+def test_cell_cap_second_level_splits_oversized_subcells(spark):
+    """Vectors engineered to share BOTH argmax dims 1-8 and 9-16 but
+    differ on 17-24: with a tiny cap the level-1 split alone cannot
+    shrink the cell, so the level-2 split must engage — assignments
+    land in >= 2 distinct level-2 cells, and the refinement is still
+    oracle-mirrored (checked by construction against a NumPy replay
+    of the two-level rule)."""
+    import numpy as np
+    from streamforge_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_fixed_cells,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(24):
+        v = rng.normal(scale=0.05, size=32)
+        v[0] = 5.0          # argmax dims 1-8  -> c1 = 0 for everyone
+        v[8] = 4.0          # argmax dims 9-16 -> c2 = 0 for everyone
+        v[16 + (i % 4)] = 3.0   # argmax dims 17-24 spreads c3 over 4 values
+        rows.append((i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # replay the rule: n1(c1=0)=24 > 5 and n2(0,0)=24 > 5 -> level 2,
+    # so pairs can only form WITHIN the 4 level-2 cells (same i%4
+    # residue) — at tau=0.5 every same-residue pair qualifies (shared
+    # dominant dims), so without the level-2 split all 24 would merge
+    # into one group and the residue check below would fail.
+    low = semantic_dedup_fixed_cells(df, n_cells=8, tau=0.5, cell_cap=5)
+    groups = {}
+    for r in low.collect():
+        groups.setdefault(r["group_id"], []).append(r["vec_id"])
+    for members in groups.values():
+        assert len({m % 4 for m in members}) == 1, (
+            "a dup group crossed level-2 cells — level-2 split not applied")
