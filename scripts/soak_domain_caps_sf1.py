@@ -61,7 +61,7 @@ def main() -> None:
         batch = docs.filter(F.col("doc_id") % n_batches == b)
         t0 = time.monotonic()
         domain_caps_stream._commit_batch(
-            spark, batch, store, K, "doc_id", "url"
+            spark, batch, store, K, "doc_id", "url", b
         )
         domain_share_stream._commit_batch(
             spark, batch, store, "doc_id", "url", b

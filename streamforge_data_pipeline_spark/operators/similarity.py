@@ -1119,12 +1119,22 @@ def append_ivf_index_seeded(
     the index holds the old quantizer's layout, exactly like any IVF
     serving appends.
 
-    Crash atomicity (the E25 ordering): the centroids sidecar — whose
-    ``trained_on`` is the doubling guard's clock — commits LAST. A
-    crash between the index overwrite and the sidecar write leaves the
-    OLD trained_on, so the next append re-triggers the deterministic
-    retrain (same ids -> same seeds -> same cells; the overwrite is
-    idempotent) and self-heals.
+    Crash atomicity (r8 ADVICE hardening): the re-celled index is
+    staged to a sibling directory and RENAME-swapped in
+    (:meth:`TableStore.overwrite_partitioned_atomic`), so a crash
+    mid-rewrite leaves either the complete old or the complete new
+    index — never nothing. The centroids sidecar — whose
+    ``trained_on`` is the doubling guard's clock — commits LAST: a
+    crash between the index swap and the sidecar write leaves the OLD
+    trained_on, so the next append re-triggers the deterministic
+    retrain (same ids -> same seeds -> same cells; the swap is
+    idempotent) and self-heals. STALE-READ WINDOW (documented, not
+    closed): between those two commits a concurrent reader would pair
+    NEW cell assignments with OLD centroids and probe the wrong
+    cells; this maintenance op follows the compact_partitioned
+    contract — run it quiesced. Readers that must overlap can detect
+    the window: the sidecar's ``trained_on`` (its generation) being
+    less than half the index row count marks a pending retrain.
     """
     import numpy as np
 
@@ -1166,13 +1176,11 @@ def append_ivf_index_seeded(
     cents2, cn22 = _seed_q8_centroids(vq_all, "vec_id_c", n_cells)
     b2 = spark.sparkContext.broadcast((cents2, cn22))
     cells2 = _int_cell_assign(vq_all, "vec_id_c", 1, b2)
-    store.overwrite_partitioned(
-        vq_all.join(cells2, "vec_id_c")
-        .select(
+    store.overwrite_partitioned_atomic(
+        vq_all.join(cells2, "vec_id_c").select(
             F.col("vec_id_c").alias(id_col), "q", F.col("__nn").alias("nn"),
             "cell",
-        )
-        .localCheckpoint(eager=True),
+        ),
         index_table,
         ["cell"],
     )

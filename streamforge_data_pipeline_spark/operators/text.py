@@ -180,7 +180,7 @@ def pii_scrub_multi(
     """Multi-entity PII redaction — the full scrub pass a training
     pipeline runs before release (emails, IPv4 addresses, phone
     numbers), extending :func:`pii_scrub`'s email-only rule. Emits per
-    doc the redaction counts and the sha1 of the scrubbed text, so the
+    doc the redaction counts and the md5 of the scrubbed text, so the
     differential checks the REPLACEMENT result, not just the counts.
 
     Deterministic synthetic PII is injected first (the testdata corpus

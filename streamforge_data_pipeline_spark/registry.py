@@ -82,6 +82,21 @@ idx AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts)-2, 0))) AS x FROM to
 sh AS (SELECT DISTINCT doc_id, ts[x+1] || ' ' || ts[x+2] || ' ' || ts[x+3] AS sh FROM idx)"""
 )
 
+# Boilerplate df-cap mirror (operators.minhash.auto_boilerplate_max_df
+# -> drop_boilerplate_shingles, r8 VERDICT #1): the cap engages iff
+# some shingle's doc frequency exceeds max(20, floor(0.01 * n_docs)),
+# and then drops shingles with df above that same threshold. The
+# arithmetic is IEEE-double in both engines (0.01 is cast explicitly),
+# and n_docs counts docs WITH at least one shingle, exactly like the
+# Python sketch. `she` is the capped EVIDENCE relation; sizes /
+# verification stay on the full `sh`.
+_BOILERPLATE_CAP_CTES = """dfv AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+capq AS (SELECT CASE WHEN max(df) > t THEN t END AS cap
+         FROM dfv, (SELECT greatest(20, CAST(floor(CAST(0.01 AS DOUBLE) * count(DISTINCT doc_id)) AS BIGINT)) AS t FROM sh)
+         GROUP BY t),
+she AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfv USING (sh) CROSS JOIN capq
+        WHERE capq.cap IS NULL OR dfv.df <= capq.cap)"""
+
 _JACCARD_TAIL = """
 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id {cand_join}
@@ -2202,7 +2217,13 @@ def q_stream_domain_caps(spark, sf_dir):
             max_files_per_trigger=10_000,  # one batch: deterministic
         )
         q.awaitTermination()
-        return store.read(spark, LOG_TABLE).localCheckpoint(eager=True)
+        return (
+            store.read(spark, LOG_TABLE)
+            # batch_id is the journal partition key, not part of the
+            # decision contract the oracle replays
+            .select("doc_id", "domain", "rk", "admitted")
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2975,8 +2996,9 @@ FROM s WHERE event_type <> 'view' GROUP BY event_type""",
     "fuzzy_dedup": QuerySpec(
         q_fuzzy_dedup,
         f"""WITH {SHINGLE_CTES},
+{_BOILERPLATE_CAP_CTES},
 cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         FROM she a JOIN she b ON a.sh = b.sh AND a.doc_id < b.doc_id
          GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
 t AS (SELECT doc_id, text, length(text) AS len FROM documents),
 lev AS (SELECT doc_a, doc_b, levenshtein(ta.text, tb.text) AS d,
@@ -5104,8 +5126,9 @@ WHERE dot/(na.nrm*nb.nrm) >= 0.85 - 1e-9""",
     "containment_dedup": QuerySpec(
         q_containment_dedup,
         f"""WITH {SHINGLE_CTES},
+{_BOILERPLATE_CAP_CTES},
 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM she a JOIN she b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
 s AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 j AS (SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb

@@ -72,6 +72,34 @@ class TableStore:
             self.path(table)
         )
 
+    def overwrite_partitioned_atomic(
+        self, df: DataFrame, table: str, partition_cols: list[str]
+    ) -> None:
+        """Partitioned overwrite via STAGE + RENAME SWAP (the
+        compact_partitioned discipline): the new layout is fully
+        written to a sibling ``__stage`` directory first, then swapped
+        in with two directory renames — a crash at any point leaves
+        either the complete old table or the complete new one on the
+        final path, never a half-written directory (r8 ADVICE: the
+        static overwrite whose only source was a memory-only
+        localCheckpoint could lose the table outright). Because the
+        write targets the stage path, the source may lazily READ the
+        table being replaced without the materialize-first caveat.
+        Not concurrent-reader-safe across the swap instant — the
+        standard OPTIMIZE-style maintenance contract."""
+        import shutil
+
+        final = self.path(table)
+        stage = final + "__stage"
+        old = final + "__replaced"
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(stage)
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(stage, final)
+        shutil.rmtree(old, ignore_errors=True)
+
     def write_json(self, df: DataFrame, table: str) -> None:
         """JSON sink (interchange format for downstream consumers)."""
         df.write.mode("overwrite").json(self.path(table) + "_json")

@@ -3,36 +3,48 @@ operators.web.domain_caps — the C4/RefinedWeb anti-dominance rule
 applied AT INGESTION TIME, so a crawl that suddenly floods one domain
 is capped as it arrives instead of in a later batch sweep.
 
-Contract (the r7 streaming-dedup-matrix shape — resolve/probe/admit/
-log): per micro-batch (foreachBatch, blocking, per-batch atomic):
+State algebra (r9 rework, closing the r8 ADVICE non-atomic-commit
+finding): the module now runs ENTIRELY on the partial-aggregate
+JOURNAL pattern (domain_share_stream) — both outputs are keyed by
+``batch_id`` and committed with dynamic partition overwrite, so a
+replayed batch rewrites exactly its own partitions with identical
+rows and NO window between two writes can strand state:
 
 1. normalize each new doc's URL to its domain (pure Column exprs);
 2. rank the batch's docs WITHIN domain by (hash60(id), id) — the
    deterministic order every sampler in this repo uses;
-3. probe the bounded per-domain counter state: a doc admits iff
-   prior_admitted + batch_rank <= k;
-4. append one decision row per doc (doc_id, domain, rk, admitted) to
-   the log — rk is the doc's cumulative rank within its domain, so
-   the log REPLAYS the cap decision (admitted == rk <= k always);
-5. overwrite the counter state with prior + newly admitted.
+3. probe the per-domain counters derived from the journal RESTRICTED
+   TO EARLIER BATCHES (batch_id < current): a doc admits iff
+   prior_admitted + batch_rank <= k, and its journal rank is
+   rk = prior_seen + batch_rank — the doc's TRUE cumulative arrival
+   rank within its domain (r8 ADVICE #2: n_seen, not n_admitted,
+   feeds rk, so rk values never repeat across batches);
+4. write the decision log partition (doc_id, domain, rk, admitted)
+   under batch_id=N — idempotent by layout;
+5. write the per-batch counter partial (domain, n_seen, n_admitted)
+   under batch_id=N — same idempotence; current counters are one sum
+   over the journal (batches x domains rows, domain-bounded).
 
-State: one row per domain (domain, n_admitted) — bounded by domain
-cardinality (~10^7 for a 10^10-page crawl), broadcastable to the
-probe join; never corpus-sized. The decision log is append-only,
-guarded by the exact_dedup_stream lineage marker (at-least-once
-foreachBatch: a replayed batch would re-append decisions; the marker
-gates a log anti-join to exactly the replay/fresh-lineage cases).
+A crash between (4) and (5) — the r8 ADVICE scenario that silently
+lost the admitted-counter update forever — is now repaired by
+CONSTRUCTION: the replayed batch recomputes both partitions from the
+same deterministic inputs (priors exclude the current batch_id), so
+the log and the counters can never disagree. No marker table, no
+log anti-join, no read-modify-write counter state.
+
+Invariant (pytest-asserted across batches, oracle-checked on the
+one-batch drain): ``admitted == (rk <= k)``. Proof sketch: a domain
+only ever rejects once it holds k admissions, so any ADMITTED doc saw
+prior_seen == prior_admitted, making rk = prior_admitted +
+batch_rank <= k; conversely rk <= k forces batch_rank <=
+k - prior_seen <= k - prior_admitted.
 
 Drain semantics: with an empty store and one batch, rk is exactly the
 batch-wide within-domain rank, so the decision log equals the batch
 domain_caps ranking with an admitted flag — SQL-oracle-checkable.
-Cross-batch cap invariants (never more than k admitted per domain,
-first-come admission across batches) are pytest-asserted.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -40,13 +52,38 @@ from pyspark.sql.streaming import StreamingQuery
 from streamforge_data_pipeline_spark.functions import hash60
 from streamforge_data_pipeline_spark.operators.web import normalized_host
 from streamforge_data_pipeline_spark.sources.store import TableStore
-from streamforge_data_pipeline_spark.streaming.exact_dedup_stream import (
-    _replay_guard_decision,
-)
 
 LOG_TABLE = "domain_cap_log"
-COUNTS_TABLE = "domain_cap_counts"
-MARKER_TABLE = "domain_cap_marker"
+JOURNAL_TABLE = "domain_cap_journal"
+
+
+def _write_partition(df: DataFrame, store: TableStore, table: str) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store.path(table))
+    )
+
+
+def read_counts(spark: SparkSession, store: TableStore) -> DataFrame:
+    """Current per-domain counters — one sum over the journal; the
+    additive algebra makes this equal the batch ranking's tallies over
+    everything ever ingested."""
+    import os
+
+    if not os.path.exists(store.path(JOURNAL_TABLE)):
+        return spark.createDataFrame(
+            [], "domain string, n_seen long, n_admitted long"
+        )
+    return (
+        store.read(spark, JOURNAL_TABLE)
+        .groupBy("domain")
+        .agg(
+            F.sum("n_seen").alias("n_seen"),
+            F.sum("n_admitted").alias("n_admitted"),
+        )
+    )
 
 
 def _commit_batch(
@@ -56,23 +93,28 @@ def _commit_batch(
     k: int,
     id_col: str,
     url_col: str,
-    batch_id: int | None = None,
-    run_id: str | None = None,
+    batch_id: int,
 ) -> None:
+    import os
+
     from pyspark.sql import Window
 
-    log_exists = os.path.exists(store.path(LOG_TABLE))
-    guard, owns = _replay_guard_decision(
-        spark, store, MARKER_TABLE, log_exists, batch_id, run_id
-    )
-    if batch_id is not None and run_id is not None:
-        # marker BEFORE any append: crash mid-commit -> guarded re-run
-        store.overwrite(
-            spark.createDataFrame(
-                [(run_id, batch_id, owns)],
-                "run_id string, batch_id long, owns_store boolean",
-            ),
-            MARKER_TABLE,
+    if os.path.exists(store.path(JOURNAL_TABLE)):
+        prior = (
+            store.read(spark, JOURNAL_TABLE)
+            # priors must exclude the current batch so a REPLAY of
+            # batch N derives the identical decisions it wrote the
+            # first time (its own journal partition must not feed it)
+            .filter(F.col("batch_id") < batch_id)
+            .groupBy("domain")
+            .agg(
+                F.sum("n_seen").alias("__seen"),
+                F.sum("n_admitted").alias("__adm"),
+            )
+        )
+    else:
+        prior = spark.createDataFrame(
+            [], "domain string, __seen long, __adm long"
         )
 
     d = (
@@ -83,16 +125,6 @@ def _commit_batch(
         )
         .dropDuplicates(["doc_id"])
     )
-    if guard and log_exists:
-        seen = store.read(spark, LOG_TABLE).select("doc_id").distinct()
-        d = d.join(seen, "doc_id", "left_anti")
-
-    counts_exist = os.path.exists(store.path(COUNTS_TABLE))
-    if counts_exist:
-        prior = store.read(spark, COUNTS_TABLE)
-    else:
-        prior = spark.createDataFrame([], "domain string, n_admitted long")
-
     w = Window.partitionBy("domain").orderBy("h", "doc_id")
     decided = (
         d.withColumn("__rkb", F.row_number().over(w))
@@ -100,29 +132,22 @@ def _commit_batch(
         .select(
             "doc_id",
             "domain",
-            (F.coalesce(F.col("n_admitted"), F.lit(0)) + F.col("__rkb"))
+            (F.coalesce(F.col("__seen"), F.lit(0)) + F.col("__rkb"))
             .cast("int")
             .alias("rk"),
-        )
-        .withColumn("admitted", F.col("rk") <= k)
-        .localCheckpoint(eager=True)  # decisions feed log AND counts
-    )
-    store.append(decided.select("doc_id", "domain", "rk", "admitted"), LOG_TABLE)
-    new_counts = (
-        decided.filter("admitted")
-        .groupBy("domain")
-        .agg(F.count(F.lit(1)).alias("__new"))
-        .join(prior, "domain", "full")
-        .select(
-            "domain",
             (
-                F.coalesce(F.col("n_admitted"), F.lit(0))
-                + F.coalesce(F.col("__new"), F.lit(0))
-            ).alias("n_admitted"),
+                F.coalesce(F.col("__adm"), F.lit(0)) + F.col("__rkb") <= k
+            ).alias("admitted"),
         )
-        .localCheckpoint(eager=True)  # we overwrite our own input path
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .localCheckpoint(eager=True)  # decisions feed log AND journal
     )
-    store.overwrite(new_counts, COUNTS_TABLE)
+    _write_partition(decided, store, LOG_TABLE)
+    partial = decided.groupBy("domain", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum(F.col("admitted").cast("long")).alias("n_admitted"),
+    )
+    _write_partition(partial, store, JOURNAL_TABLE)
 
 
 def start_stream_domain_caps(
@@ -156,7 +181,6 @@ def start_stream_domain_caps(
             id_col,
             url_col,
             batch_id=batch_id,
-            run_id=checkpoint_dir,
         )
 
     writer = stream.writeStream.foreachBatch(commit).option(

@@ -1,0 +1,182 @@
+"""The r9 candidate-stage rework for the exact verifiers (r8 VERDICT
+#1/#2): shingle-PAIR blocking must be output-identical to the
+inverted-index scheme, the boilerplate df cap must engage exactly like
+its DuckDB oracle mirror, and the degree-aware heavy-doc path must be
+exact under forced routing."""
+
+from __future__ import annotations
+
+import itertools
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from streamforge_data_pipeline_spark.operators.minhash import (
+    _blocked_intersections,
+    _single_shingle_pairs,
+    auto_boilerplate_max_df,
+    containment_pairs,
+    fuzzy_dedup,
+    shingles,
+)
+from streamforge_data_pipeline_spark.registry import REGISTRY
+
+
+def _adversarial_docs(spark):
+    """Singles, exact twins, subset/superset, a boilerplate band and
+    short degenerate docs — every edge the pair scheme special-cases."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    # 1-shingle docs (3 tokens): identical pair + one contained in a
+    # larger doc
+    rows.append((1, "alpha beta gamma"))
+    rows.append((2, "alpha beta gamma"))
+    rows.append((3, "alpha beta gamma delta epsilon"))
+    # 2-shingle doc fully inside a big one
+    rows.append((4, "beta gamma delta epsilon"))
+    # near-identical longer docs (one word differs)
+    rows.append((5, base))
+    rows.append((6, base.replace("kappa", "lambda")))
+    # scattered-overlap docs sharing exactly 2 shingles
+    rows.append((7, "alpha beta gamma xx yy zz delta epsilon zeta"))
+    # zero-shingle doc (under 3 tokens)
+    rows.append((8, "mu nu"))
+    # clones with shared boilerplate tail
+    for i in range(9, 29):
+        rows.append((i, f"unique{i} token{i} word{i} common suffix line"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute_intersections(rows):
+    import re
+
+    sets = {}
+    for doc_id, text in rows:
+        ts = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        sets[doc_id] = {
+            " ".join(ts[i : i + 3]) for i in range(len(ts) - 2)
+        }
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            out[(a, b)] = inter
+    return out
+
+
+@pytest.mark.parametrize("heavy_threshold", [512, 4, 1])
+def test_blocked_intersections_exact(spark, heavy_threshold):
+    """inter from C(inter,2) arithmetic + heavy-path halving match the
+    brute-force intersection counts at every routing split (threshold
+    1 forces EVERYTHING through the heavy inverted path; 4 mixes)."""
+    docs = _adversarial_docs(spark)
+    sh = shingles(docs).persist()
+    got = {
+        (r["doc_a"], r["doc_b"]): r["inter"]
+        for r in _blocked_intersections(sh, heavy_threshold).collect()
+    }
+    sh.unpersist()
+    want = {
+        k: v
+        for k, v in _brute_intersections(
+            [(r["doc_id"], r["text"]) for r in docs.collect()]
+        ).items()
+        if v >= 2
+    }
+    assert got == want
+
+
+def test_single_shingle_pairs_cover_inter1(spark):
+    docs = _adversarial_docs(spark)
+    sh = shingles(docs).persist()
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in _single_shingle_pairs(sh).collect()
+    }
+    sh.unpersist()
+    brute = _brute_intersections(
+        [(r["doc_id"], r["text"]) for r in docs.collect()]
+    )
+    import re
+
+    sizes = {}
+    for r in docs.collect():
+        ts = [t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
+        sizes[r["doc_id"]] = len({" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)})
+    want = {
+        (a, b)
+        for (a, b), v in brute.items()
+        if v == 1 and (sizes[a] == 1 or sizes[b] == 1)
+    }
+    # every na=1/nb=1 inter-1 pair is present; no inter>=2 pair leaks in
+    assert want <= got
+    assert all(brute[(a, b)] == 1 for (a, b) in got)
+
+
+@pytest.mark.parametrize("key,fn_kwargs", [
+    ("containment_dedup", {}),
+    ("fuzzy_dedup", {}),
+])
+def test_capped_oracle_parity_on_boilerplate_corpus(spark, key, fn_kwargs):
+    """Plant real boilerplate skew (a shared license header on >1% of
+    3000 docs) so auto_boilerplate_max_df ENGAGES, then check Spark
+    output against the registry oracle's cap-mirror CTEs running on
+    the same corpus in DuckDB — the lockstep the r8 verdict asked for
+    ('mirror the cap in both oracles')."""
+    header = "standard license header applies to this document body"
+    rows = []
+    for i in range(3000):
+        rows.append((i, f"{header} payload{i % 800} item{i % 797} unit{i} end"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(docs).persist()
+    cap = auto_boilerplate_max_df(sh)
+    sh.unpersist()
+    assert cap is not None, "corpus must engage the cap for this test"
+
+    if key == "containment_dedup":
+        out = containment_pairs(docs, **fn_kwargs)
+    else:
+        out = fuzzy_dedup(docs, **fn_kwargs)
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    from tests.utils import compare
+
+    ok, msg = compare(out, con, REGISTRY[key].oracle)
+    con.close()
+    assert ok, msg
+
+
+def test_pair_scheme_guards(spark):
+    docs = _adversarial_docs(spark)
+    with pytest.raises(ValueError):
+        containment_pairs(docs, tau=0.4, scheme="pair")
+    with pytest.raises(ValueError):
+        fuzzy_dedup(docs, min_shared=1, scheme="pair")
+    # auto routing stays complete below the pair scheme's validity
+    low = containment_pairs(docs, tau=0.5, scheme="auto", max_df=None)
+    inv = containment_pairs(docs, tau=0.5, scheme="inverted", max_df=None)
+    assert sorted(map(tuple, low.collect())) == sorted(map(tuple, inv.collect()))
+
+
+def test_capped_containment_is_subset_with_lowerbound_values(spark):
+    """With the cap forced on, emitted pairs are a subset of the
+    uncapped output restricted to capped evidence, and every value is
+    <= its uncapped counterpart (the documented lower-bound
+    semantics)."""
+    header = "standard license header applies to this document body"
+    rows = [(i, f"{header} filler{i % 5} a b c d e f g") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["doc_sub"], r["doc_sup"]): r["containment"]
+        for r in containment_pairs(docs, max_df=5).collect()
+    }
+    full = {
+        (r["doc_sub"], r["doc_sup"]): r["containment"]
+        for r in containment_pairs(docs, max_df=None).collect()
+    }
+    for pair, c in capped.items():
+        assert pair in full
+        assert c <= full[pair] + 1e-9

@@ -9,9 +9,10 @@ from pyspark.sql import functions as F
 
 from streamforge_data_pipeline_spark.sources.store import TableStore
 from streamforge_data_pipeline_spark.streaming.domain_caps_stream import (
-    COUNTS_TABLE,
+    JOURNAL_TABLE,
     LOG_TABLE,
     _commit_batch,
+    read_counts,
 )
 
 
@@ -28,7 +29,7 @@ def test_cap_holds_across_batches(spark, tmp_path):
     dom = lambda i: f"dom{i % 3}"  # noqa: E731
     for b in range(3):
         batch = _docs(spark, range(b * 30, (b + 1) * 30), dom)
-        _commit_batch(spark, batch, store, 5, "doc_id", "url")
+        _commit_batch(spark, batch, store, 5, "doc_id", "url", b)
 
     log = store.read(spark, LOG_TABLE)
     assert log.count() == 90  # one decision per doc
@@ -44,36 +45,75 @@ def test_cap_holds_across_batches(spark, tmp_path):
         (F.col("rk") <= 5) != F.col("admitted")
     ).count() == 0
     # counter state is domain-bounded, not corpus-bounded
-    counts = store.read(spark, COUNTS_TABLE).collect()
+    counts = read_counts(spark, store).collect()
     assert len(counts) == 3
     assert all(r["n_admitted"] == 5 for r in counts)
+    assert all(r["n_seen"] == 30 for r in counts)
 
 
 def test_partially_filled_domain_admits_across_batches(spark, tmp_path):
     """A domain below its cap keeps admitting in later batches, and
-    ranks continue from the counter (cumulative, not per-batch)."""
+    ranks continue cumulatively (n_seen-based, never repeating)."""
     store = TableStore(str(tmp_path / "store"))
     _commit_batch(spark, _docs(spark, range(3), lambda i: "solo"),
-                  store, 5, "doc_id", "url")
+                  store, 5, "doc_id", "url", 0)
     _commit_batch(spark, _docs(spark, range(3, 6), lambda i: "solo"),
-                  store, 5, "doc_id", "url")
+                  store, 5, "doc_id", "url", 1)
     log = store.read(spark, LOG_TABLE).orderBy("rk").collect()
     assert [r["rk"] for r in log] == [1, 2, 3, 4, 5, 6]
     assert [r["admitted"] for r in log] == [True] * 5 + [False]
 
 
-def test_replay_is_idempotent_under_guard(spark, tmp_path):
-    """Re-committing the same batch (at-least-once foreachBatch with
-    no marker identity -> guarded path) must not duplicate decisions
-    or inflate counters."""
+def test_ranks_never_repeat_after_rejections(spark, tmp_path):
+    """The r8 ADVICE rk defect: once a batch has rejections, later
+    batches must NOT reuse rk values (n_seen feeds rk, not
+    n_admitted) — and admitted == (rk <= k) still replays the cap."""
+    store = TableStore(str(tmp_path / "store"))
+    _commit_batch(spark, _docs(spark, range(8), lambda i: "dom"),
+                  store, 5, "doc_id", "url", 0)  # 3 rejections
+    _commit_batch(spark, _docs(spark, range(8, 12), lambda i: "dom"),
+                  store, 5, "doc_id", "url", 1)
+    log = store.read(spark, LOG_TABLE).collect()
+    rks = sorted(r["rk"] for r in log)
+    assert rks == list(range(1, 13))  # cumulative arrival rank, no dups
+    assert all((r["rk"] <= 5) == r["admitted"] for r in log)
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """Re-committing the same batch_id (at-least-once foreachBatch)
+    overwrites its own log/journal partitions with identical rows —
+    no duplicate decisions, no inflated counters."""
     store = TableStore(str(tmp_path / "store"))
     batch = _docs(spark, range(10), lambda i: "dom")
-    _commit_batch(spark, batch, store, 5, "doc_id", "url")
-    _commit_batch(spark, batch, store, 5, "doc_id", "url")  # replay
+    _commit_batch(spark, batch, store, 5, "doc_id", "url", 0)
+    _commit_batch(spark, batch, store, 5, "doc_id", "url", 0)  # replay
     log = store.read(spark, LOG_TABLE)
     assert log.count() == 10
-    counts = store.read(spark, COUNTS_TABLE).collect()
+    counts = read_counts(spark, store).collect()
     assert len(counts) == 1 and counts[0]["n_admitted"] == 5
+
+
+def test_crash_between_log_and_journal_is_repaired(spark, tmp_path):
+    """The r8 ADVICE crash window: log partition written, journal
+    partial lost. The replayed batch must repair the counters (and a
+    later batch must not over-admit)."""
+    import shutil
+
+    store = TableStore(str(tmp_path / "store"))
+    batch = _docs(spark, range(10), lambda i: "dom")
+    _commit_batch(spark, batch, store, 5, "doc_id", "url", 0)
+    # simulate the crash: journal partition for batch 0 vanishes
+    shutil.rmtree(store.path(JOURNAL_TABLE))
+    # foreachBatch redelivers batch 0
+    _commit_batch(spark, batch, store, 5, "doc_id", "url", 0)
+    counts = read_counts(spark, store).collect()
+    assert len(counts) == 1 and counts[0]["n_admitted"] == 5
+    # a later batch sees full counters: nothing more admitted
+    _commit_batch(spark, _docs(spark, range(10, 20), lambda i: "dom"),
+                  store, 5, "doc_id", "url", 1)
+    log = store.read(spark, LOG_TABLE)
+    assert log.filter("admitted").count() == 5
+    assert log.count() == 20
 
 
 def test_domain_share_journal_slicing_invariant(spark, tmp_path):
