@@ -68,6 +68,7 @@ HEADLINE = [
     "pq_adc_seeded",
     "simhash_near_dup",
     "fuzzy_dedup",
+    "fuzzy_dedup_lsh",
     "ann_lsh_seeded",
     # r7: the seeded trained-quantizer drain + spread-outer drain,
     # the Manku radius dial, and the sketch-calibration key

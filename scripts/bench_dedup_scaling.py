@@ -57,6 +57,7 @@ KEYS = [
     # r6 late additions
     "simhash_near_dup",
     "fuzzy_dedup",
+    "fuzzy_dedup_lsh",
     "snapshot_diff",
     # r7 (r6 brief #8): the 2026-era keys that lacked per-octave rows
     "asof_join_tolerance",

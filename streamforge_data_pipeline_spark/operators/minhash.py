@@ -64,8 +64,8 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataF
     return shingles_raw(df, id_col, text).distinct()
 
 
-def signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, m0..m{NUM_PERMS-1}) — the full signature in ONE shuffle.
+def signatures(sh: DataFrame, n_perms: int = NUM_PERMS) -> DataFrame:
+    """(doc_id, m0..m{n_perms-1}) — the full signature in ONE shuffle.
 
     All NUM_PERMS permutations are evaluated as independent ``min``
     aggregates over the same shingle-hash column, so the shingle
@@ -89,26 +89,39 @@ def signatures(sh: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(
         *[
             F.min(minhash_perm(F.col("h"), F.lit(j))).alias(f"m{j}")
-            for j in range(NUM_PERMS)
+            for j in range(n_perms)
         ]
     )
 
 
-def band_keys(sigs: DataFrame) -> DataFrame:
+def band_keys(
+    sigs: DataFrame,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
     """(doc_id, band, band_sig): each band's minhashes joined with '-'.
 
-    A pure projection (posexplode of BANDS precomputed strings) — the
-    old long-format implementation needed a second shuffle with
-    collect_list + sort per (doc, band)."""
+    A pure projection (posexplode of ``bands`` precomputed strings) —
+    the old long-format implementation needed a second shuffle with
+    collect_list + sort per (doc, band). ``bands x rows_per_band``
+    must tile the signature width; more bands raise recall at a given
+    true similarity, more rows per band raise precision against the
+    corpus's random-pair similarity floor — the fuzzy twin runs 16x4
+    over 64 perms where the Jaccard keys run 4x4 over 16."""
+    width = bands * rows_per_band
+    if f"m{width - 1}" not in sigs.columns:
+        raise ValueError(
+            f"bands x rows_per_band = {width} exceeds the signature width"
+        )
     band_cols = [
         F.concat_ws(
             "-",
             *[
-                F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
-                for r in range(ROWS_PER_BAND)
+                F.col(f"m{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
             ],
         )
-        for b in range(BANDS)
+        for b in range(bands)
     ]
     return sigs.select(
         "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "band_sig")
@@ -1416,12 +1429,29 @@ def fuzzy_dedup(
         if scheme == "pair"
         else _shared_counts(sh_ev)
     ).filter(F.col("inter") >= min_shared)
+    out = _edit_distance_verify(df, cand, id_col, text, max_rel_ed, banded)
+    return finalize_released(out, sh)
+
+
+def _edit_distance_verify(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text: str,
+    max_rel_ed: float,
+    banded: bool = True,
+) -> DataFrame:
+    """The shared fuzzy verifier: length-gap lower bound, then the
+    thresholded (banded) Levenshtein DP over candidate (doc_a, doc_b)
+    pairs — single-sourced so the exact shingle-blocked key and the
+    LSH-banded twin verify identically (only their candidate stages
+    differ)."""
     texts = df.select(
         F.col(id_col).alias("__id"),
         F.col(text).alias("__t"),
         F.length(text).alias("__len"),
     )
-    out = (
+    return (
         cand.join(
             texts.select(
                 F.col("__id").alias("doc_a"),
@@ -1472,4 +1502,53 @@ def fuzzy_dedup(
             F.round(F.col("edit_dist") / F.col("__max_len"), 4).alias("rel_ed"),
         )
     )
+
+
+def fuzzy_dedup_lsh(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_rel_ed: float = 0.2,
+    char_n: int = 9,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """The 100 TB path for edit-distance dedup (r8 VERDICT #2):
+    char-``char_n``-gram MinHash signatures banded 16x4 over 64
+    permutations as the candidate stage, then the same banded
+    Levenshtein verifier as :func:`fuzzy_dedup` — every EMITTED pair
+    is exactly verified (rel_ed <= ``max_rel_ed``); what the banding
+    trades is RECALL, stated, not hidden.
+
+    Why this scales where the exact key cannot: the exact key's
+    candidate set {pairs sharing >= 2 shingles} is a property of the
+    corpus (21M length-compatible pairs at sf2 on the saturated driver
+    vocabulary — measured r9 — each owed a DP), while LSH candidates
+    price by TRUE char-gram similarity.
+
+    Parameter provenance (measured r9 on the driver corpus, not
+    guessed): with 5-grams the RANDOM-pair gram Jaccard is 0.165
+    (p90 0.22 — the ~30-word vocabulary makes every doc share most
+    5-grams), so ANY banding either floods candidates (8x2: P(0.165)
+    = 20%, measured 122 s at sf0.1) or loses the dup band; 9-grams
+    push the random floor to J = 0.026 while scattered edits at rate
+    r keep (1-r)^9 of grams (r=0.02 -> J~0.72). The 16x4 curve
+    P = 1-(1-J^4)^16 then separates: J=0.72 -> 99.3%; J~0.46
+    (r=0.05) -> 52%; random floor -> 7e-6 (tens of K candidates at
+    sf2, not tens of M). The planted-OCR property test pins the
+    r~0.02 regime at full recall.
+
+    Fully SQL-expressible (md5-derived hash60 + the affine
+    permutations), so the DuckDB oracle replays candidate generation
+    AND verification end-to-end — same discipline as
+    minhash_lsh_dedup."""
+    sh = char_shingles(df, id_col, text, n=char_n).persist()
+    cand = candidate_pairs(
+        band_keys(
+            signatures(sh, n_perms=bands * rows_per_band),
+            bands=bands,
+            rows_per_band=rows_per_band,
+        )
+    )
+    out = _edit_distance_verify(df, cand, id_col, text, max_rel_ed, banded=True)
     return finalize_released(out, sh)

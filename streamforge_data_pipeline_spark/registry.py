@@ -385,6 +385,27 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)"""
 )
 
+# char-9-gram LSH candidates for the fuzzy twin (operators.minhash.
+# fuzzy_dedup_lsh): same md5-derived hash60 + affine permutations as
+# the token LSH, 64 perms banded 16x4 (the measured precision/recall
+# tiling — see the operator docstring's parameter provenance).
+_FUZZY_LSH_CAND_CTES = (
+    """cpos AS (SELECT doc_id, t, unnest(range(1, greatest(length(t) - 8, 1) + 1)) AS x
+        FROM (SELECT doc_id, lower(text) AS t FROM documents)),
+csh AS (SELECT DISTINCT doc_id, substr(t, CAST(x AS INTEGER), 9) AS sh FROM cpos),
+chashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) AS h FROM csh),
+cexpd AS (SELECT doc_id, h, unnest(range(0,64)) AS perm_id FROM chashed),
+csigs AS (SELECT doc_id, perm_id,
+           MIN({perm}) AS minhash
+         FROM cexpd GROUP BY doc_id, perm_id),
+cbands AS (SELECT doc_id, CAST(perm_id // 4 AS INTEGER) AS band,
+            string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm_id) AS band_sig
+          FROM csigs GROUP BY doc_id, CAST(perm_id // 4 AS INTEGER)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM cbands a JOIN cbands b
+           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)"""
+).format(perm=sql_minhash_perm("h", "perm_id"))
+
 
 # ---------------------------------------------------------------------------
 # CSV round-trip staging (S1/S2): deterministic CSV written once per
@@ -687,6 +708,13 @@ def q_fuzzy_dedup(spark, sf_dir):
     """Character-level near-dup: shared-shingle blocking + length-gap
     lower bound + Levenshtein verifier (rel_ed <= 0.2)."""
     return minhash.fuzzy_dedup(load(spark, sf_dir, "documents"))
+
+
+def q_fuzzy_dedup_lsh(spark, sf_dir):
+    """The fuzzy twin's 100 TB path: char-5-gram MinHash banded 8x2 as
+    the candidate stage, same banded-Levenshtein verifier; candidate
+    generation AND verification replayed by the DuckDB oracle."""
+    return minhash.fuzzy_dedup_lsh(load(spark, sf_dir, "documents"))
 
 
 def q_near_dup_clusters(spark, sf_dir):
@@ -3010,6 +3038,21 @@ FROM lev WHERE d <= 0.2 * ml""",
         "E30: character-level fuzzy dedup — shared-shingle blocking +"
         " length-gap lower bound + Levenshtein verifier (rel_ed <= 0.2) —"
         " the verifier family that catches in-token corruption",
+    ),
+    "fuzzy_dedup_lsh": QuerySpec(
+        q_fuzzy_dedup_lsh,
+        f"""WITH {_FUZZY_LSH_CAND_CTES},
+t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+lev AS (SELECT doc_a, doc_b, levenshtein(ta.text, tb.text) AS d,
+               greatest(ta.len, tb.len) AS ml
+        FROM cand JOIN t ta ON doc_a = ta.doc_id JOIN t tb ON doc_b = tb.doc_id
+        WHERE abs(ta.len - tb.len) <= 0.2 * greatest(ta.len, tb.len))
+SELECT doc_a, doc_b, CAST(d AS INTEGER) AS edit_dist, round(d / ml, 4) AS rel_ed
+FROM lev WHERE d <= 0.2 * ml""",
+        "E30': LSH-banded fuzzy dedup — char-9-gram MinHash, 64 perms"
+        " banded 16x4, feeding the same banded-Levenshtein verifier;"
+        " the 100 TB path where the exact key's candidate set is"
+        " corpus-quadratic",
     ),
     "minhash_lsh_dedup": QuerySpec(
         q_minhash_lsh_dedup,

@@ -159,3 +159,34 @@ def test_prefix_join_is_smaller_than_naive(spark):
 
     full, pref = join_rows(sh), join_rows(prefix)
     assert pref < full / 2, (pref, full)
+
+
+def test_fuzzy_lsh_full_recall_on_planted_ocr(spark):
+    """The LSH fuzzy twin's recall contract at realistic corruption
+    (r~0.02, the planted-OCR case): every pair the exact verifier
+    emits must also come out of the 8x2-banded candidate stage, with
+    identical verified values (the banding curve puts r=0.02 at ~100%
+    — the operator docstring's stated regime)."""
+    import random
+
+    rng = random.Random(9)
+    docs = []
+    for c in range(12):
+        base_tokens = [f"w{c}{i:03d}" for i in range(60)]
+        base = " ".join(base_tokens)
+        chars = list(base)
+        # ~2% of characters corrupted, never spaces
+        for _ in range(max(1, len(chars) // 50)):
+            j = rng.randrange(len(chars))
+            if chars[j] != " ":
+                chars[j] = "z"
+        docs.append((2 * c, base))
+        docs.append((2 * c + 1, "".join(chars)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        tuple(r) for r in M.fuzzy_dedup(df, max_df=None).collect()
+    }
+    lsh = {tuple(r) for r in M.fuzzy_dedup_lsh(df).collect()}
+    planted = {(2 * c, 2 * c + 1) for c in range(12)}
+    assert planted <= {(a, b) for (a, b, *_ ) in lsh}
+    assert exact <= lsh  # full recall here; verified values identical
