@@ -52,6 +52,8 @@ HEADLINE = [
     "source_overlap",
     "bm25_topk",
     "multimodal_meta",
+    "media_decode_seeded",
+    "media_frames_seeded",
     "tumbling_window",
     "session_window",
     "rollup_sales",

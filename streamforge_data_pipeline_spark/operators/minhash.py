@@ -501,24 +501,106 @@ def shared_shingle_jaccard(
     return _shared_shingle_from_sh(shingles(df, id_col, text).persist(), tau)
 
 
-def _shared_counts(sh: DataFrame) -> DataFrame:
+def _shared_counts(sh: DataFrame, salt: int | str | None = None) -> DataFrame:
     """(doc_a, doc_b, inter): shared-shingle count for every
     co-shingled doc pair (doc_a < doc_b) — THE inverted-index
     candidate join, single-sourced for every consumer
-    (:func:`_pair_intersections`, :func:`fuzzy_dedup`) so a future
-    df cap or skew fix lands everywhere at once."""
-    return (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    (:func:`_pair_intersections`, :func:`fuzzy_dedup`) so the df cap
+    and the skew split land everywhere at once.
+
+    ``salt`` (r8 VERDICT #7 — the E23 profiler rule applied to
+    shingle document frequencies): a hot shingle with df=d puts its
+    whole C(d,2) pair explosion into ONE reducer of the self-join.
+    ``"auto"`` profiles the df distribution (one map-side-combined
+    agg: max_df, sum_df2) and, when one key's work exceeds ~2x a fair
+    partition share (max_df^2 > 2*sum_df2/P), splits HOT posting
+    lists over R = ceil(max_df^2 * P / sum_df2) salt buckets — the
+    probe side bucketed by a deterministic doc hash, the build side
+    replicated xR (the salted_join recipe, self-join form: each
+    unordered pair meets exactly once, in the LEFT doc's bucket).
+    Cold shingles join plain and the partial counts add in the final
+    pair aggregation, so output is bit-identical (pytest). Pass an
+    int to force R, None/"off" to keep the plain join."""
+    if salt == "auto":
+        import math
+
+        prof = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                F.max("df").alias("mx"),
+                F.sum(F.col("df") * F.col("df")).alias("s2"),
+            )
+            .collect()[0]
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        mx, s2 = prof["mx"] or 0, float(prof["s2"] or 0)
+        p = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # R must BOTH split the hottest key's work below a fair share
+        # (mx^2*p/s2 buckets) AND be >> the partition count, or
+        # balls-into-bins variance re-concentrates buckets (measured:
+        # R=P=32 -> balance 4.0; R=16P -> ~1.3)
+        if s2 and mx * mx > 2 * s2 / p:
+            r_need = min(4096, max(math.ceil(mx * mx * p / s2), 16 * p))
+            # replication overhead bound: the build side grows by
+            # R * |hot posting list|; keep that under ~25% of the hot
+            # pair volume (mx^2/2), i.e. R <= mx/4 — below it the
+            # spread costs more than the straggler it removes
+            salt = r_need if mx >= 4 * r_need else None
+        else:
+            salt = None
+    if not salt or salt == "off" or int(salt) <= 1:
+        return (
+            sh.alias("a")
+            .join(
+                sh.alias("b"),
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    r = int(salt)
+    # hot = keys whose solo work exceeds a fair partition share
+    dfv = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    p = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    s2_row = dfv.agg(F.sum(F.col("__df") * F.col("__df")).alias("s2")).collect()[0]
+    import math
+
+    df_hot = max(2, int(math.sqrt(float(s2_row["s2"] or 1) / p)))
+    hot = dfv.filter(F.col("__df") > df_hot).select("sh")
+    sh_hot = sh.join(F.broadcast(hot), "sh", "left_semi")
+    sh_cold = sh.join(F.broadcast(hot), "sh", "left_anti")
+    cold = sh_cold.alias("a").join(
+        sh_cold.alias("b"),
+        (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
+    probe = sh_hot.withColumn("__salt", F.pmod(F.xxhash64("doc_id"), F.lit(r)))
+    build = sh_hot.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(r - 1)))
+    )
+    hot_j = probe.alias("a").join(
+        build.alias("b"),
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.__salt") == F.col("b.__salt"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    pairs = cold.select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    ).unionAll(
+        hot_j.select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    return pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))
 
 
-def _pair_intersections(sh: DataFrame, sh_ev: DataFrame | None = None) -> DataFrame:
+def _pair_intersections(
+    sh: DataFrame,
+    sh_ev: DataFrame | None = None,
+    salt: int | str | None = None,
+) -> DataFrame:
     """(doc_a, doc_b, inter, na, nb) for every co-shingled doc pair
     (doc_a < doc_b) over a (persisted) distinct-shingle relation — the
     candidate/intersection machinery shared by the naive Jaccard
@@ -529,8 +611,9 @@ def _pair_intersections(sh: DataFrame, sh_ev: DataFrame | None = None) -> DataFr
     subset from :func:`drop_boilerplate_shingles`) — intersections are
     counted over it while sizes stay on the full ``sh``, making every
     downstream ratio a lower bound over capped evidence (r8 VERDICT
-    #1)."""
-    inter = _shared_counts(sh_ev if sh_ev is not None else sh)
+    #1). ``salt`` forwards to :func:`_shared_counts`'s hot-key
+    split."""
+    inter = _shared_counts(sh_ev if sh_ev is not None else sh, salt=salt)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return inter.join(
         sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
@@ -1197,7 +1280,8 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
                       text: str = "text", tau: float = 0.8,
                       max_df: int | None | str = "auto",
                       scheme: str = "auto",
-                      heavy_threshold: int = 512) -> DataFrame:
+                      heavy_threshold: int = 512,
+                      salt: int | str | None = "auto") -> DataFrame:
     """Directional Jaccard-CONTAINMENT near-dup pairs: emit
     (doc_sub, doc_sup, containment) whenever c(A->B) = |A∩B| / |A|
     >= ``tau`` over token-3-gram sets — the subset-duplicate detector
@@ -1263,7 +1347,7 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
             "doc_b",
         )
     else:
-        both = _pair_intersections(sh, sh_ev=sh_ev)
+        both = _pair_intersections(sh, sh_ev=sh_ev, salt=salt)
     # both directions via ONE explode instead of a self-union — a
     # union would reference the candidate subtree twice, and relying
     # on exchange reuse to dedup it is fragile under AQE (measured 2x
@@ -1337,6 +1421,7 @@ def fuzzy_dedup(
     max_df: int | None | str = "auto",
     scheme: str = "auto",
     heavy_threshold: int = 512,
+    salt: int | str | None = "auto",
 ) -> DataFrame:
     """CHARACTER-level near-dup pairs: Levenshtein edit distance over
     shared-shingle candidates; keep (doc_a, doc_b) with
@@ -1427,7 +1512,7 @@ def fuzzy_dedup(
     cand = (
         _blocked_intersections(sh_ev, heavy_threshold)
         if scheme == "pair"
-        else _shared_counts(sh_ev)
+        else _shared_counts(sh_ev, salt=salt)
     ).filter(F.col("inter") >= min_shared)
     out = _edit_distance_verify(df, cand, id_col, text, max_rel_ed, banded)
     return finalize_released(out, sh)

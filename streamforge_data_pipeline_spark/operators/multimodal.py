@@ -360,3 +360,130 @@ def media_summary(media: DataFrame) -> DataFrame:
         media.select("doc_id", "meta.modality", "meta.n_bytes", "meta.width")
         .filter(F.col("modality") != "text")
     )
+
+
+# --- seeded, hash-checkable media keys (r8 VERDICT #4) ----------------------
+#
+# The media family was the only operator family with no oracle-checked
+# twin. The PPM codec is bit-deterministic, so a SYNTHETIC corpus whose
+# pixel values are a closed-form function of doc_id makes the real
+# decode/resize/frame-split paths end-to-end DuckDB-checkable: the
+# oracle recomputes the expected pixel arithmetic from doc_id alone,
+# while the Spark side round-trips real bytes through the real parser.
+# A mis-read header, wrong row-major offset, or off-by-one in the
+# nearest-neighbor gather all surface as px_sum mismatches.
+
+def _synth_pixels(doc_id: int, n: int, offset: int = 0):
+    import numpy as np
+
+    idx = np.arange(n, dtype=np.int64)
+    return ((doc_id * 31 + offset + idx * 7) % 256).astype("uint8")
+
+
+def synth_ppm_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): one binary-PPM image per doc — dims
+    w = 4 + id%5, h = 3 + id%4, pixel[i] = (id*31 + i*7) % 256."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                arr = _synth_pixels(d, w * h * 3).reshape(h, w, 3)
+                payloads.append(_ppm_encode(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _batches, "doc_id long, payload binary"
+    )
+
+
+def synth_ppm_streams(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): a concatenation of 1 + id%3 PPM frames —
+    frame f has w = 3 + (id+f)%4, h = 2 + (id+2f)%3 and pixel
+    arithmetic offset by 13*f, so each frame's expected stats are
+    closed-form."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                buf = b""
+                for f in range(1 + d % 3):
+                    w, h = 3 + (d + f) % 4, 2 + (d + 2 * f) % 3
+                    arr = _synth_pixels(d, w * h * 3, offset=13 * f).reshape(h, w, 3)
+                    buf += _ppm_encode(arr)
+                payloads.append(buf)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _batches, "doc_id long, payload binary"
+    )
+
+
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+        T.StructField("n_px", T.LongType(), False),
+    ]
+)
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """REAL decode -> integer-exact per-image statistics: dims from
+    the parsed header (not metadata), px_sum over the decoded array.
+    Raises on undecodable payloads — this is the hash-checked path,
+    a silent fake would defeat its purpose."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {"doc_id": [], "width": [], "height": [], "px_sum": [], "n_px": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = _decode_any(b)
+                if arr is None:
+                    raise NotImplementedError(
+                        "payload is not PPM and no capable codec is installed"
+                    )
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(arr.shape[1])
+                rows["height"].append(arr.shape[0])
+                rows["px_sum"].append(int(arr.astype(np.int64).sum()))
+                rows["n_px"].append(int(arr.size))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _batches, DECODE_STATS_SCHEMA
+    )
+
+
+def frame_decode_stats(frames: DataFrame) -> DataFrame:
+    """Per-frame decode stats for the frame-sampling twin:
+    (doc_id, frame_idx, width, height, px_sum)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {"doc_id": [], "frame_idx": [], "width": [], "height": [], "px_sum": []}
+            for doc_id, idx, b in zip(pdf["doc_id"], pdf["frame_idx"], pdf["frame"]):
+                arr = _decode_any(b)
+                if arr is None:
+                    raise NotImplementedError("frame is not PPM")
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(idx)
+                rows["width"].append(arr.shape[1])
+                rows["height"].append(arr.shape[0])
+                rows["px_sum"].append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(rows)
+
+    return frames.mapInPandas(
+        _batches,
+        "doc_id long, frame_idx int, width int, height int, px_sum long",
+    )

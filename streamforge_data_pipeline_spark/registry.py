@@ -2853,6 +2853,66 @@ def q_media_features(spark, sf_dir):
     return decode_features(media)
 
 
+def _seeded_media_meta(media, modality):
+    return media.withColumn(
+        "meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def q_media_decode_seeded(spark, sf_dir):
+    """E28 hash-check (r8 VERDICT #4): a synthetic PPM corpus whose
+    pixels are a closed-form function of doc_id round-trips through
+    the REAL encoder + parser; the oracle recomputes dims and the
+    pixel sum arithmetically, so a mis-read header or wrong row-major
+    offset breaks the hash."""
+    from streamforge_data_pipeline_spark.operators.multimodal import (
+        decode_stats,
+        synth_ppm_images,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return decode_stats(synth_ppm_images(docs))
+
+
+def q_media_resize_seeded(spark, sf_dir):
+    """E28 hash-check for the REAL resize path: encode -> nearest-
+    neighbor gather to 6x4 -> re-encode -> re-decode; the oracle
+    replays the exact gather indices ((y*h)//th, (x*w)//tw)."""
+    from streamforge_data_pipeline_spark.operators.multimodal import (
+        decode_stats,
+        resize_images,
+        synth_ppm_images,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = _seeded_media_meta(synth_ppm_images(docs), "image")
+    resized = resize_images(media, target_w=6, target_h=4, real_codecs=True)
+    return decode_stats(resized.select("doc_id", "payload"))
+
+
+def q_media_frames_seeded(spark, sf_dir):
+    """E28 hash-check for the REAL frame splitter: concatenated PPM
+    frames (1 + id%3 per doc, per-frame dims and pixel offsets all
+    closed-form) split by actual header parsing; per-frame stats
+    checked against the arithmetic."""
+    from streamforge_data_pipeline_spark.operators.multimodal import (
+        frame_decode_stats,
+        sample_frames,
+        synth_ppm_streams,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = _seeded_media_meta(synth_ppm_streams(docs), "video")
+    frames = sample_frames(media, max_frames=8, real_codecs=True)
+    return frame_decode_stats(frames)
+
+
 # ---------------------------------------------------------------------------
 
 def _iq(sql: str) -> str:
@@ -3474,11 +3534,48 @@ WHERE rank <= 10""",
     ),
     "media_resize": QuerySpec(
         q_media_resize, None, "image resize plumbing via mapInPandas (stub codec)",
-        twin="multimodal_meta",
+        twin="media_resize_seeded",
     ),
     "media_frames": QuerySpec(
         q_media_frames, None, "video frame-sampling plumbing (1->N mapInPandas)",
-        twin="multimodal_meta",
+        twin="media_frames_seeded",
+    ),
+    "media_decode_seeded": QuerySpec(
+        q_media_decode_seeded,
+        """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+px AS (SELECT doc_id, w, h, unnest(range(0, w*h*3)) AS i FROM dims)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(sum((doc_id*31 + i*7) % 256) AS BIGINT) AS px_sum,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM px GROUP BY doc_id, w, h""",
+        "E28': REAL PPM encode->parse round trip, pixel-sum hash-checked"
+        " against closed-form arithmetic (r9)",
+    ),
+    "media_resize_seeded": QuerySpec(
+        q_media_resize_seeded,
+        """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+j AS (SELECT doc_id, w, h, unnest(range(0, 72)) AS j FROM dims),
+m AS (SELECT doc_id,
+        ((((j // 18) * h) // 4) * w + (((j % 18) // 3) * w) // 6) * 3 + (j % 3) AS i
+      FROM j)
+SELECT doc_id, CAST(6 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(sum((doc_id*31 + i*7) % 256) AS BIGINT) AS px_sum,
+       CAST(72 AS BIGINT) AS n_px
+FROM m GROUP BY doc_id""",
+        "E28': REAL nearest-neighbor resize to 6x4, gather indices"
+        " replayed arithmetically by the oracle (r9)",
+    ),
+    "media_frames_seeded": QuerySpec(
+        q_media_frames_seeded,
+        """WITH k AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS f FROM documents),
+d AS (SELECT doc_id, f, 3 + (doc_id + f) % 4 AS w, 2 + (doc_id + 2*f) % 3 AS h FROM k),
+px AS (SELECT doc_id, f, w, h, unnest(range(0, w*h*3)) AS i FROM d)
+SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(sum((doc_id*31 + 13*f + i*7) % 256) AS BIGINT) AS px_sum
+FROM px GROUP BY doc_id, f, w, h""",
+        "E28': REAL concatenated-PPM frame split by header parsing,"
+        " per-frame pixel sums hash-checked (r9)",
     ),
     "term_counts": QuerySpec(
         q_term_counts,
@@ -3913,7 +4010,7 @@ WHERE (['image','audio','video','text'])[CAST(doc_id % 4 AS INTEGER) + 1] <> 'te
     ),
     "media_features": QuerySpec(
         q_media_features, None, "E5: Arrow-batched decode/feature plumbing (stub codec)",
-        twin="multimodal_meta",
+        twin="media_decode_seeded",
     ),
     # --- analytic/relational extensions ---
     "sql_endpoint": QuerySpec(
