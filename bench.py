@@ -108,6 +108,7 @@ HEADLINE = [
     "stream_shard_export",
     "embedding_norm_outliers",
     "curation_funnel",
+    "stream_curation_funnel",
     "decayed_event_counts",
     "source_mixture_weights",
     "stream_decayed_counts",

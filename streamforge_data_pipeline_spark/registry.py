@@ -2214,6 +2214,65 @@ def _staged_doc_urls(spark, sf_dir) -> str:
     return path
 
 
+_DOC_TEXT_URL_STAGE: dict[str, str] = {}
+
+
+def _staged_doc_text_urls(spark, sf_dir) -> str:
+    """Session-lifetime (doc_id, text, url) parquet per sf_dir — the
+    funnel stream's input staging."""
+    tag = os.path.abspath(sf_dir)
+    path = _DOC_TEXT_URL_STAGE.get(tag)
+    if path and os.path.isdir(path):
+        return path
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sfdp_txturlstage_")
+    path = os.path.join(work, "doc_text_urls")
+    docs = load(spark, sf_dir, "documents")
+    _with_urls(docs).join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "text", "url"
+    ).write.mode("overwrite").parquet(path)
+    _DOC_TEXT_URL_STAGE[tag] = path
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return path
+
+
+def q_stream_curation_funnel(spark, sf_dir):
+    """The composed ingestion-time funnel drained as ONE micro-batch
+    (streaming/curation_funnel_stream): with an empty store every
+    cross-batch state (seen-content index, domain counters) is empty,
+    so the journaled report equals the batch curation_funnel row for
+    row and shares its chained oracle. Cross-batch invariants
+    (first-arrival dedup, never >k per domain, monotone stages) are
+    pytest-asserted (tests/test_streaming_curation_funnel.py)."""
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from streamforge_data_pipeline_spark.streaming.curation_funnel_stream import (
+        read_funnel,
+        start_stream_curation_funnel,
+    )
+
+    src = _staged_doc_text_urls(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="sfdp_scf_")
+    try:
+        store = TableStore(os.path.join(work, "store"))
+        q = start_stream_curation_funnel(
+            spark,
+            src,
+            store,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            max_files_per_trigger=10_000,  # one batch: deterministic
+        )
+        q.awaitTermination()
+        return read_funnel(spark, store).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_stream_domain_caps(spark, sf_dir):
     """Per-domain admission caps drained as ONE micro-batch
     (streaming/domain_caps_stream): with an empty store the decision
@@ -2918,6 +2977,39 @@ def q_media_frames_seeded(spark, sf_dir):
 def _iq(sql: str) -> str:
     """Oracle over the derived-intake CTEs."""
     return f"WITH {INTAKE_CTES.strip()}\n{sql}"
+
+
+# Shared verbatim by curation_funnel (batch) and
+# stream_curation_funnel (one-batch drain of the composed
+# ingestion-time funnel, r9): same stage rules, same report rows.
+_CURATION_FUNNEL_SQL = f"""WITH {_URL_CTE},
+t0 AS (SELECT dd.doc_id, dd.text,
+         CAST(len({SQL_TOKENS.format(x="dd.text")}) AS BIGINT) AS nt
+       FROM documents dd),
+k1 AS (SELECT min(doc_id) AS doc_id FROM t0 GROUP BY text),
+s1 AS (SELECT t0.* FROM t0 JOIN k1 USING (doc_id)),
+s2 AS (SELECT * FROM s1 WHERE nt >= 10),
+ts2 AS (SELECT doc_id, {SQL_TOKENS.format(x="text")} AS ts FROM s2),
+idx AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts)-1, 0))) AS x FROM ts2),
+bgr AS (SELECT doc_id, ts[x+1] || ' ' || ts[x+2] AS bg FROM idx),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgr GROUP BY doc_id, bg),
+bp AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total_c FROM bc GROUP BY doc_id),
+s3 AS (SELECT s2.* FROM s2 JOIN bp USING (doc_id)
+       WHERE NOT (top_c*1.0/total_c > 0.18)),
+dh AS (SELECT s3.doc_id, s3.nt, d.domain,
+         {sql_hash60("CAST(s3.doc_id AS VARCHAR)")} AS h
+       FROM s3 JOIN d ON s3.doc_id = d.doc_id),
+rk AS (SELECT doc_id, nt,
+         ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rk
+       FROM dh),
+s4 AS (SELECT doc_id, nt FROM rk WHERE rk <= 20)
+SELECT CAST(0 AS INTEGER) AS stage, 'raw' AS stage_name,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens FROM t0
+UNION ALL SELECT 1, 'exact_dedup', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM s1
+UNION ALL SELECT 2, 'length_gate', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM s2
+UNION ALL SELECT 3, 'repetition_gate', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM s3
+UNION ALL SELECT 4, 'domain_cap', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM s4"""
 
 
 REGISTRY: dict[str, QuerySpec] = {
@@ -3828,38 +3920,19 @@ FROM w, t""",
     ),
     "curation_funnel": QuerySpec(
         q_curation_funnel,
-        f"""WITH {_URL_CTE},
-t0 AS (SELECT dd.doc_id, dd.text,
-         CAST(len({SQL_TOKENS.format(x="dd.text")}) AS BIGINT) AS nt
-       FROM documents dd),
-k1 AS (SELECT min(doc_id) AS doc_id FROM t0 GROUP BY text),
-s1 AS (SELECT t0.* FROM t0 JOIN k1 USING (doc_id)),
-s2 AS (SELECT * FROM s1 WHERE nt >= 10),
-ts2 AS (SELECT doc_id, {SQL_TOKENS.format(x="text")} AS ts FROM s2),
-idx AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts)-1, 0))) AS x FROM ts2),
-bgr AS (SELECT doc_id, ts[x+1] || ' ' || ts[x+2] AS bg FROM idx),
-bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgr GROUP BY doc_id, bg),
-bp AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total_c FROM bc GROUP BY doc_id),
-s3 AS (SELECT s2.* FROM s2 JOIN bp USING (doc_id)
-       WHERE NOT (top_c*1.0/total_c > 0.18)),
-dh AS (SELECT s3.doc_id, s3.nt, d.domain,
-         {sql_hash60("CAST(s3.doc_id AS VARCHAR)")} AS h
-       FROM s3 JOIN d ON s3.doc_id = d.doc_id),
-rk AS (SELECT doc_id, nt,
-         ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rk
-       FROM dh),
-s4 AS (SELECT doc_id, nt FROM rk WHERE rk <= 20)
-SELECT CAST(0 AS INTEGER) AS stage, 'raw' AS stage_name,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens FROM t0
-UNION ALL SELECT 1, 'exact_dedup', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM s1
-UNION ALL SELECT 2, 'length_gate', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM s2
-UNION ALL SELECT 3, 'repetition_gate', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM s3
-UNION ALL SELECT 4, 'domain_cap', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM s4""",
+        _CURATION_FUNNEL_SQL,
         "end-to-end curation funnel: exact dedup -> length gate ->"
         " repetition gate -> domain cap in one plan, docs+tokens"
         " surviving each stage — the composition proof the operators"
         " stack",
+    ),
+    "stream_curation_funnel": QuerySpec(
+        q_stream_curation_funnel,
+        _CURATION_FUNNEL_SQL,
+        "the composed funnel AT INGESTION (streaming/curation_funnel_"
+        "stream): per-batch journaled per-stage accounting, cross-batch"
+        " dedup + domain-cap state; one-batch drain equals the batch"
+        " funnel so it shares its chained oracle verbatim (r9)",
     ),
     "shard_manifest": QuerySpec(
         q_shard_manifest,
