@@ -297,3 +297,50 @@ def test_pii_scrub_multi_is_pure_projection(spark):
     plan = _plan(spark, "pii_scrub_multi")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+# --- the registry-wide quadratic-join-shape gate (r8 VERDICT #6) -----------
+
+# Keys whose physical plan legitimately contains a
+# BroadcastNestedLoopJoin: every one is the documented 1-row broadcast
+# scalar idiom (a corpus-total/threshold aggregate crossJoin'd into the
+# projection — the CORRECT plan for a scalar subquery, and bounded by
+# construction). Anything NEW that plans a BNLJ or a CartesianProduct
+# fails this gate until reviewed and either re-planned or allowlisted
+# here with its reason.
+BNLJ_ALLOWLIST = {
+    "bm25_topk",              # corpus stats (N, avgdl) 1-row broadcast
+    "decayed_event_counts",   # max-day clock 1-row broadcast
+    "domain_share",           # corpus total 1-row broadcast
+    "embedding_norm_outliers",  # mean/std moments 1-row broadcast
+    "hard_negatives",         # few-queries crossJoin (similarity.py idiom)
+    "heavy_hitters",          # total-count 1-row broadcast
+    "heavy_hitters_sketch",   # total-count 1-row broadcast
+    "idle_rich_customers",    # scalar threshold subquery
+    "ngram_lm_score",         # corpus LM totals 1-row broadcast
+    "quality_retention_curve",  # corpus total 1-row broadcast
+    "scalar_subquery",        # the scalar-subquery key itself
+    "source_mixture_weights",  # temperature normalizer 1-row broadcast
+    "topk_cosine",            # few-queries crossJoin (similarity.py:36)
+    "vocab_coverage",         # token total 1-row broadcast
+}
+
+
+def test_registry_wide_no_quadratic_join_shapes(spark):
+    """Sweep EVERY registry key's executed plan at sf0.001: no
+    CartesianProduct ever; BroadcastNestedLoopJoin only on the
+    reviewed 1-row-broadcast allowlist. Streaming drain keys surface
+    their batch-side read plan (their per-batch plans are pinned by
+    their own module tests); the gate still catches any key whose
+    COMPOSED output plan goes quadratic."""
+    offenders = {}
+    for key in sorted(REGISTRY):
+        plan = _plan(spark, key)
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and key not in BNLJ_ALLOWLIST:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[key] = bad
+    assert not offenders, offenders
