@@ -522,33 +522,27 @@ def _shared_counts(sh: DataFrame, salt: int | str | None = None) -> DataFrame:
     pair aggregation, so output is bit-identical (pytest). Pass an
     int to force R, None/"off" to keep the plain join."""
     if salt == "auto":
+        # R must BOTH split the hottest key's work below a fair share
+        # AND be >> the partition count, or balls-into-bins variance
+        # re-concentrates buckets (measured: R=P=32 -> balance 4.0;
+        # R=16P -> ~1.3); the replication bound R <= mx/4 lives in
+        # _salt_from_profile
+        p = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        salt = _salt_from_profile(_stage_profile(sh), p)
+    if isinstance(salt, int) and salt > 1:
+        # explicit R: derive the hot threshold from the df distribution
         import math
 
-        prof = (
+        s2_row = (
             sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .agg(
-                F.max("df").alias("mx"),
-                F.sum(F.col("df") * F.col("df")).alias("s2"),
-            )
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .agg(F.sum(F.col("__df") * F.col("__df")).alias("s2"))
             .collect()[0]
         )
-        mx, s2 = prof["mx"] or 0, float(prof["s2"] or 0)
         p = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        # R must BOTH split the hottest key's work below a fair share
-        # (mx^2*p/s2 buckets) AND be >> the partition count, or
-        # balls-into-bins variance re-concentrates buckets (measured:
-        # R=P=32 -> balance 4.0; R=16P -> ~1.3)
-        if s2 and mx * mx > 2 * s2 / p:
-            r_need = min(4096, max(math.ceil(mx * mx * p / s2), 16 * p))
-            # replication overhead bound: the build side grows by
-            # R * |hot posting list|; keep that under ~25% of the hot
-            # pair volume (mx^2/2), i.e. R <= mx/4 — below it the
-            # spread costs more than the straggler it removes
-            salt = r_need if mx >= 4 * r_need else None
-        else:
-            salt = None
-    if not salt or salt == "off" or int(salt) <= 1:
+        salt = (salt, max(2, int(math.sqrt(float(s2_row["s2"] or 1) / p))))
+    # any int still here is <= 1 (R > 1 became a (R, df_hot) tuple)
+    if not salt or salt == "off" or isinstance(salt, int):
         return (
             sh.alias("a")
             .join(
@@ -561,14 +555,9 @@ def _shared_counts(sh: DataFrame, salt: int | str | None = None) -> DataFrame:
             )
             .agg(F.count(F.lit(1)).alias("inter"))
         )
-    r = int(salt)
+    r, df_hot = salt
     # hot = keys whose solo work exceeds a fair partition share
     dfv = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-    p = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    s2_row = dfv.agg(F.sum(F.col("__df") * F.col("__df")).alias("s2")).collect()[0]
-    import math
-
-    df_hot = max(2, int(math.sqrt(float(s2_row["s2"] or 1) / p)))
     hot = dfv.filter(F.col("__df") > df_hot).select("sh")
     sh_hot = sh.join(F.broadcast(hot), "sh", "left_semi")
     sh_cold = sh.join(F.broadcast(hot), "sh", "left_anti")
@@ -624,42 +613,72 @@ def _pair_intersections(
     )
 
 
-def _pair_scheme_cheaper(sh: DataFrame, beta: float = 6.0) -> bool:
-    """Candidate-scheme router for the exact intersection machinery —
-    a measured COST MODEL, not a heuristic flag:
+def _stage_profile(sh: DataFrame) -> dict:
+    """The candidate stage's THREE runtime decisions (boilerplate cap,
+    scheme routing, hot-key salting) all read the same two df/size
+    distributions — computed here ONCE per call in two
+    map-side-combined aggregations instead of the five jobs the
+    separate sketches cost (r9.11: ~3 s/key at sf0.1 was pure
+    re-profiling). Keys: mx (max shingle df), s2 (sum df^2), docs
+    (docs with >= 1 shingle), n2 (sum C(n_doc, 2)).
 
-    - inverted-index self-join cost ~ sum(df^2) over shingle types
-      (its pre-agg join volume). On a saturated vocabulary this grows
-      ~4x per corpus doubling (measured r9 on the driver corpus:
-      261M at sf1 -> 1.04e9 at sf2, 27.8k types under 100k docs).
-    - shingle-PAIR blocking cost ~ N2 = sum(C(n_doc, 2)) (its probe
-      relation). Linear in corpus at bounded doc length (measured:
-      85.7M -> 171.5M, exactly 2x), but each N2 row is ~``beta``x
-      more expensive than an inverted-join row (two extra exchanges +
-      sorts + a count agg; beta=6 calibrated from sf1 wall times:
-      16.6s/261M inverted vs ~35s/85.7M pair).
-
-    Route to the pair scheme iff sum(df^2) > beta * N2 — the measured
-    crossover lands at ~sf2 on the driver corpus, and beyond it the
-    inverted join is the only quadratic term left in the operator.
-    Both schemes are exact, so a routing 'mistake' costs only time,
-    never output rows. Two map-side-combined aggregations.
-    """
-    df2 = (
+    The scheme router reads s2 vs n2 as a COST MODEL: the inverted
+    self-join prices ~s2 rows (4x per corpus doubling once the
+    vocabulary saturates — measured 261M -> 1.04e9 sf1 -> sf2), the
+    pair scheme ~n2 rows (linear at bounded doc length: 85.7M ->
+    171.5M) at ~6x the per-row price (two extra exchanges + sorts + a
+    count agg; calibrated from sf1 walls 16.6s/261M vs ~35s/85.7M) —
+    so pair wins iff s2 > 6*n2, a crossover measured AT sf2 on the
+    driver corpus. Both schemes are exact; a routing 'mistake' costs
+    time, never rows."""
+    r1 = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
-        .agg(F.sum(F.col("df") * F.col("df")).alias("v"))
-        .collect()[0]["v"]
-        or 0
+        .agg(
+            F.max("df").alias("mx"),
+            F.sum(F.col("df") * F.col("df")).alias("s2"),
+        )
+        .collect()[0]
     )
-    n2 = (
+    r2 = (
         sh.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("v"))
-        .collect()[0]["v"]
-        or 0
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("n2"),
+        )
+        .collect()[0]
     )
-    return df2 > beta * n2
+    return {
+        "mx": r1["mx"] or 0,
+        "s2": float(r1["s2"] or 0),
+        "docs": r2["docs"] or 0,
+        "n2": float(r2["n2"] or 0),
+    }
+
+
+def _auto_cap_from_profile(prof: dict, df_ratio: float = 0.01, floor: int = 20) -> int | None:
+    """auto_boilerplate_max_df's decision rule over a precomputed
+    profile — identical arithmetic (and identical to the oracles'
+    cap-mirror CTEs): engage iff max df exceeds max(floor,
+    int(df_ratio * docs)); the cap IS that threshold."""
+    threshold = max(floor, int(df_ratio * prof["docs"]))
+    return threshold if prof["mx"] > threshold else None
+
+
+def _salt_from_profile(prof: dict, p: int) -> tuple[int, int] | None:
+    """_shared_counts' salt="auto" rule over a precomputed profile:
+    (R, df_hot) when one key's pair block exceeds ~2x a fair
+    partition share, else None."""
+    import math
+
+    mx, s2 = prof["mx"], prof["s2"]
+    if not s2 or mx * mx <= 2 * s2 / p:
+        return None
+    r_need = min(4096, max(math.ceil(mx * mx * p / s2), 16 * p))
+    if mx < 4 * r_need:
+        return None
+    return r_need, max(2, int(math.sqrt(s2 / p)))
 
 
 def _blocked_intersections(
@@ -669,7 +688,7 @@ def _blocked_intersections(
     doc pair sharing >= 2 shingles, computed by SHINGLE-PAIR blocking
     instead of the single-shingle inverted-index self-join.
 
-    Why: on a saturated vocabulary (see :func:`_pair_scheme_cheaper`)
+    Why: on a saturated vocabulary (the :func:`_stage_profile` cost model)
     every single shingle is hot (avg df ~190 at sf2) and
     :func:`_shared_counts` puts sum(df^2) ~ 1e9 rows through the
     candidate join. Shingle PAIRS are the cheapest joint evidence: a
@@ -1327,12 +1346,27 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
         # only covers na = 1, so it is complete only above 0.5
         raise ValueError("scheme='pair' requires tau > 0.5")
     sh = shingles(df, id_col, text).persist()
+    # ONE profile pass feeds all three runtime decisions (r9.11)
+    prof = (
+        _stage_profile(sh)
+        if "auto" in (max_df, scheme, salt)
+        else None
+    )
     if max_df == "auto":
-        max_df = auto_boilerplate_max_df(sh)
+        max_df = _auto_cap_from_profile(prof)
     sh_ev = drop_boilerplate_shingles(sh, max_df) if max_df else sh
+    if max_df and prof is not None:
+        prof = _stage_profile(sh_ev)  # capped relation: re-profile
     if scheme == "auto":
         scheme = (
-            "pair" if tau > 0.5 and _pair_scheme_cheaper(sh_ev) else "inverted"
+            "pair"
+            if tau > 0.5 and prof["s2"] > 6.0 * prof["n2"]
+            else "inverted"
+        )
+    if salt == "auto":
+        salt = _salt_from_profile(
+            prof,
+            int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions")),
         )
     if scheme == "pair":
         inter = _blocked_intersections(sh_ev, heavy_threshold).unionByName(
@@ -1474,7 +1508,7 @@ def fuzzy_dedup(
       registry oracle; off on the driver corpora (max df 0.25% of
       docs at sf2).
     - ``scheme`` ``"auto"``/``"pair"``/``"inverted"``: on saturated
-      vocabularies (:func:`_pair_scheme_cheaper` cost model) candidates come from
+      vocabularies (the :func:`_stage_profile` cost model) candidates come from
       shingle-PAIR blocking (:func:`_blocked_intersections`) — for
       ``min_shared >= 2`` the candidate set {pairs sharing >=
       min_shared shingles} is IDENTICAL, generated from 65M instead
@@ -1498,14 +1532,26 @@ def fuzzy_dedup(
         if blocking == "token"
         else char_shingles(df, id_col, text, n=char_n)
     ).persist()
+    prof = (
+        _stage_profile(sh)
+        if "auto" in (max_df, scheme, salt)
+        else None
+    )
     if max_df == "auto":
-        max_df = auto_boilerplate_max_df(sh)
+        max_df = _auto_cap_from_profile(prof)
     sh_ev = drop_boilerplate_shingles(sh, max_df) if max_df else sh
+    if max_df and prof is not None:
+        prof = _stage_profile(sh_ev)  # capped relation: re-profile
     if scheme == "auto":
         scheme = (
             "pair"
-            if min_shared >= 2 and _pair_scheme_cheaper(sh_ev)
+            if min_shared >= 2 and prof["s2"] > 6.0 * prof["n2"]
             else "inverted"
+        )
+    if salt == "auto":
+        salt = _salt_from_profile(
+            prof,
+            int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions")),
         )
     if scheme == "pair" and min_shared < 2:
         raise ValueError("scheme='pair' requires min_shared >= 2")
