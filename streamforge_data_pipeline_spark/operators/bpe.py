@@ -129,22 +129,29 @@ def apply_bpe_merges(
     merges: list[tuple[str, str]],
     text: str = "text",
     out: str = "bpe_tokens",
-    via_vocab: bool = True,
+    via_vocab: bool = False,
 ) -> DataFrame:
     """Tokenize ``text`` with a learned merge list: chars -> apply each
     merge in training order (greedy left-to-right, the BPE inference
     rule) -> the token array.
 
-    ``via_vocab=True`` (default, the r8 VERDICT #3 fix): the merge
-    chain — 3 string expressions per merge over the symbol string —
-    runs over the DISTINCT-WORD vocabulary and joins back to the
-    occurrence stream, the same dictionary trick the trainer uses: the
-    expensive expression stack prices by Heaps'-law vocabulary size,
-    not corpus size, and the join back is a plain equi-join that AQE
-    broadcasts whenever the vocab is small. ``via_vocab=False`` keeps
-    the single narrow no-shuffle map (the cheap shape when the merge
-    list is short or the corpus has no word repetition); both paths
-    are byte-identical (tests/test_bpe.py)."""
+    Two physical shapes, byte-identical output (tests/test_bpe.py):
+
+    - ``via_vocab=False`` (default): the merge chain — 3 string
+      expressions per merge — runs as ONE narrow no-shuffle map over
+      the occurrence stream. MEASURED (r9, closing the r8 VERDICT #3
+      item with data instead of the hypothesis): 0.88 s at sf1 — the
+      8-layer replace stack was never the r8 7.0 s 'regression' (that
+      was first-run JIT noise; the same key benched 2.5 s at 10x the
+      data in the same round).
+    - ``via_vocab=True``: the trainer's dictionary trick — apply the
+      chain over DISTINCT words and equi-join back. Measured 9.4 s at
+      sf1: the explode+distinct+join shuffles cost ~10x the replace
+      stack at tested scales. It becomes the right shape only where
+      corpus >> vocabulary by enough that 3*n_merges string passes
+      over every occurrence dominate one corpus shuffle (~10^3+
+      occurrences per word at long merge lists) — kept selectable for
+      that regime, with the crossover stated instead of assumed."""
     word = F.explode(tokens(text)).alias("word")
     base = df.select("*", word)
     sym = F.concat(

@@ -1425,21 +1425,28 @@ def char_shingles(
     survives any edit-free window of ``n`` characters, and scattered
     edits at rate r leave ~(1-r)^n of them intact (r=0.05, n=5: ~77%).
 
-    Pure column pipeline: positions via sequence, grams via
-    Column.substr with per-row positions, one array_distinct before
-    the explode — so set semantics are established BEFORE the shuffle.
+    Pure column pipeline, whole-stage-codegen shaped (r9): explode the
+    position sequence, then one Column.substr per row — the previous
+    transform-lambda built the gram array interpreted (HOFs fall out
+    of codegen, the shingles_raw lesson) and measured 5.4 s for 1.4M
+    grams at sf0.1; set semantics via distinct after the explode.
     Volume note: ~L grams/doc vs ~L/6 token shingles; pair candidate
     generation should df-cap hot grams on templated corpora
     (:func:`drop_boilerplate_shingles` takes this relation as-is).
     """
     t = F.lower(F.col(text))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
-        lambda i: t.substr(i, F.lit(n)),
-    )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(grams)).alias("sh"),
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            t.alias("__t"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+            ).alias("__x"),
+        )
+        .select(
+            "doc_id", F.col("__t").substr(F.col("__x"), F.lit(n)).alias("sh")
+        )
+        .distinct()
     )
 
 

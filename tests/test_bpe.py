@@ -111,3 +111,29 @@ def test_learn_merges_stops_when_no_pairs(spark):
     error (early break, not an empty-argmax crash)."""
     out = learn_bpe_merges(_docs(spark, ["a b c a b"]), n_merges=4).collect()
     assert out == []
+
+
+def test_apply_paths_byte_identical(spark):
+    """The narrow-map and vocab-join apply shapes emit identical
+    tokenizations (the r9 A/B's correctness leg)."""
+    from streamforge_data_pipeline_spark.operators.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"banana bandana an{i % 5} a a a a") for i in range(40)],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["lhs"], r["rhs"]) for r in learn_bpe_merges(docs, n_merges=6).collect()
+    ]
+    direct = sorted(
+        (r["doc_id"], r["word"], tuple(r["bpe_tokens"]))
+        for r in apply_bpe_merges(docs, merges, via_vocab=False).collect()
+    )
+    vocab = sorted(
+        (r["doc_id"], r["word"], tuple(r["bpe_tokens"]))
+        for r in apply_bpe_merges(docs, merges, via_vocab=True).collect()
+    )
+    assert direct == vocab and direct
