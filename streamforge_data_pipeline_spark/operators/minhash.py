@@ -852,6 +852,42 @@ def _single_shingle_pairs(sh: DataFrame) -> DataFrame:
     )
 
 
+def _pair_blocked_jaccard_from_sh(
+    sh: DataFrame, tau: float, heavy_threshold: int = 512
+) -> DataFrame:
+    """Exact Jaccard >= tau via shingle-PAIR blocking — the saturated-
+    vocabulary scheme (r9): candidates + exact intersections from
+    :func:`_blocked_intersections` (C(inter,2) arithmetic), inter=1
+    pairs from the single-shingle side path. EXACT for tau > 1/3: an
+    inter=1 pair with both sets >= 2 has J = 1/(na+nb-1) <= 1/3 and
+    can never pass, so only single-shingle docs' pairs need the side
+    path. Why it exists: the naive join's pair aggregation carries
+    EVERY co-shingled pair (465M groups at sf2, measured) while this
+    one carries only inter>=2 pairs (47M) — same output, ~10x less
+    aggregation state once the vocabulary saturates."""
+    inter = _blocked_intersections(sh, heavy_threshold).unionByName(
+        _single_shingle_pairs(sh)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+    )
+    out = j.filter(F.col("jaccard") >= tau).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+    return finalize_released(out, sh)
+
+
 def _shared_shingle_from_sh(sh: DataFrame, tau: float) -> DataFrame:
     """Naive scheme body over a (persisted) shingle relation — split
     out so exact_jaccard_pairs can reuse the cache its sketch pass
@@ -970,11 +1006,25 @@ def exact_jaccard_pairs(
         scheme, _ = choose_exact_jaccard_scheme(sh)
         if scheme == "allpairs":
             return _allpairs_from_sh(sh, tau)
+        # naive regime = saturated/uniform df. Within it, the cost
+        # model (_stage_profile docstring) picks shingle-PAIR blocking
+        # once the inverted join's sum(df^2) dwarfs the pair relation
+        # — exact only for tau > 1/3 (see _pair_blocked_jaccard_from_sh)
+        if tau >= 0.34:
+            prof = _stage_profile(sh)
+            if prof["s2"] > 6.0 * prof["n2"]:
+                return _pair_blocked_jaccard_from_sh(sh, tau)
         return _shared_shingle_from_sh(sh, tau)
     if scheme == "allpairs":
         return allpairs_jaccard(df, id_col, text, tau)
     if scheme == "naive":
         return shared_shingle_jaccard(df, id_col, text, tau)
+    if scheme == "pair":
+        if tau < 0.34:
+            raise ValueError("scheme='pair' requires tau > 1/3")
+        return _pair_blocked_jaccard_from_sh(
+            shingles(df, id_col, text).persist(), tau
+        )
     raise ValueError(f"unknown exact-Jaccard scheme: {scheme!r}")
 
 

@@ -180,3 +180,26 @@ def test_capped_containment_is_subset_with_lowerbound_values(spark):
     for pair, c in capped.items():
         assert pair in full
         assert c <= full[pair] + 1e-9
+
+
+def test_pair_blocked_jaccard_equals_naive(spark):
+    """The third exact-Jaccard scheme: pair-blocked output must be
+    byte-identical to the naive inverted-index join, including
+    single-shingle docs (the only inter=1 pairs tau > 1/3 can pass)."""
+    from streamforge_data_pipeline_spark.operators.minhash import (
+        exact_jaccard_pairs,
+    )
+
+    docs = _adversarial_docs(spark)
+    naive = sorted(
+        map(tuple, exact_jaccard_pairs(docs, scheme="naive").collect())
+    )
+    pair = sorted(
+        map(tuple, exact_jaccard_pairs(docs, scheme="pair").collect())
+    )
+    assert naive == pair and naive
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_jaccard_pairs(docs, tau=0.3, scheme="pair")
