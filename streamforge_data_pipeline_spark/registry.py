@@ -108,18 +108,25 @@ WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.5"""
 
 # MinHash signature + banding CTEs (signatures are per-document, so the
 # same relations serve self-join dedup AND the incremental probe).
-_LSH_BANDS_CTES = """hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) AS h FROM sh),
-expd AS (SELECT doc_id, h, unnest(range(0,16)) AS perm_id FROM hashed),
+def _lsh_bands_sql(n_perms: int, rows_per_band: int, src: str = "sh") -> str:
+    """hashed/expd/sigs/bands CTE chain over ``src`` — the SQL
+    rendering of operators.minhash signatures() + band_keys() for any
+    (perms, rows-per-band) tiling; single-sources the affine
+    permutation with the Spark side via functions.sql_minhash_perm."""
+    return """hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) AS h FROM {src}),
+expd AS (SELECT doc_id, h, unnest(range(0,{n})) AS perm_id FROM hashed),
 sigs AS (SELECT doc_id, perm_id,
            MIN({perm}) AS minhash
          FROM expd GROUP BY doc_id, perm_id),
-bands AS (SELECT doc_id, CAST(perm_id // 4 AS INTEGER) AS band,
+bands AS (SELECT doc_id, CAST(perm_id // {r} AS INTEGER) AS band,
             string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm_id) AS band_sig
-          FROM sigs GROUP BY doc_id, CAST(perm_id // 4 AS INTEGER))""".format(
-    # single-source the affine permutation with the Spark-side
-    # minhash_perm (functions.sql_minhash_perm is its SQL rendering)
-    perm=sql_minhash_perm("h", "perm_id")
-)
+          FROM sigs GROUP BY doc_id, CAST(perm_id // {r} AS INTEGER))""".format(
+        src=src, n=n_perms, r=rows_per_band,
+        perm=sql_minhash_perm("h", "perm_id"),
+    )
+
+
+_LSH_BANDS_CTES = _lsh_bands_sql(16, 4)
 
 # Bottom-k sample oracle — shared verbatim by bottomk_sample (batch)
 # and stream_bottomk_sample (mergeable-sketch drain, any slicing).
@@ -439,7 +446,7 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     work = tempfile.mkdtemp(prefix="sfdp_evstage_")
     path = os.path.join(work, "events")
     load(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type"
+        "event_id", "ts", "user_id", "event_type", "value", "props"
     ).write.mode("overwrite").parquet(path)
     _EVENTS_STAGE[tag] = path
     atexit.register(shutil.rmtree, work, ignore_errors=True)
@@ -711,9 +718,10 @@ def q_fuzzy_dedup(spark, sf_dir):
 
 
 def q_fuzzy_dedup_lsh(spark, sf_dir):
-    """The fuzzy twin's 100 TB path: char-5-gram MinHash banded 8x2 as
-    the candidate stage, same banded-Levenshtein verifier; candidate
-    generation AND verification replayed by the DuckDB oracle."""
+    """The fuzzy twin's 100 TB path: char-9-gram MinHash (64 perms,
+    banded 16x4) as the candidate stage, same banded-Levenshtein
+    verifier; candidate generation AND verification replayed by the
+    DuckDB oracle."""
     return minhash.fuzzy_dedup_lsh(load(spark, sf_dir, "documents"))
 
 
@@ -2097,6 +2105,21 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct_estimate(ev, k=256, id_col="user_id")
 
 
+# Shared verbatim by eval_split (batch) and stream_eval_split (journal
+# drain) — one string, one truth.
+_EVAL_SPLIT_SQL = f"""WITH d AS (SELECT DISTINCT source, doc_id,
+        {sql_hash60("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+r AS (SELECT source, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+      FROM d)
+SELECT doc_id, source,
+       CASE WHEN rk <= 50 THEN 'val'
+            WHEN rk <= 100 THEN 'test'
+            ELSE 'train' END AS split
+FROM r"""
+
+
 def q_eval_split(spark, sf_dir):
     """Deterministic train/val/test assignment with EXACT per-source
     quotas (50 val + 50 test per source, rest train) — held-out split
@@ -2345,6 +2368,22 @@ def _column_stats_sql(table: str, cols: list[tuple[str, str]]) -> str:
     return "\nUNION ALL ".join(parts)
 
 
+# Shared verbatim by column_stats (batch) and stream_column_stats
+# (journal drain) — the proof obligation is that the merged partials
+# equal one ANALYZE pass, so the oracle must be ONE string.
+_COLUMN_STATS_EVENTS_SQL = _column_stats_sql(
+    "events",
+    [
+        ("event_id", "num"),
+        ("ts", "date"),
+        ("user_id", "num"),
+        ("event_type", "str"),
+        ("value", "num"),
+        ("props", "str"),
+    ],
+)
+
+
 def q_column_stats(spark, sf_dir):
     """ANALYZE-style per-column table statistics over events — the
     CBO/curation stats table (aggregates.column_stats): counts, null
@@ -2459,6 +2498,79 @@ def q_stream_shard_export(spark, sf_dir):
         )
         q.awaitTermination()
         return read_manifest(spark, store).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_stream_eval_split(spark, sf_dir):
+    """Continuous eval-split maintenance drained: per-batch bottom-K
+    frontier journal + membership log, re-ranked at read (E50's
+    streaming twin, r10). The frontier is a mergeable per-stratum
+    bottom-K sketch and assignments are monotone-demoting, so the
+    drained view equals batch eval_split_assign under any slicing —
+    shares its oracle verbatim."""
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from streamforge_data_pipeline_spark.streaming.eval_split_stream import (
+        read_assignments,
+        start_stream_eval_split,
+    )
+
+    work = tempfile.mkdtemp(prefix="sfdp_sevs_")
+    try:
+        store = TableStore(os.path.join(work, "store"))
+        table_path = os.path.join(sf_dir, "documents.parquet")
+        if os.path.isdir(table_path):
+            src, glob = table_path, None
+        else:
+            src, glob = sf_dir, "documents.parquet"
+        q = start_stream_eval_split(
+            spark,
+            src,
+            store,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            schema="doc_id long, text string, lang string, source string, n_chars long",
+            max_files_per_trigger=10_000,
+            path_glob_filter=glob,
+        )
+        q.awaitTermination()
+        return read_assignments(spark, store).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_stream_column_stats(spark, sf_dir):
+    """Continuous ANALYZE drained: per-batch mergeable partials
+    (sums/min/max, presentation transforms deferred to read) + the
+    exact-ndv value log (E49's streaming twin, r10) — equals batch
+    column_stats under any slicing, shares its oracle verbatim."""
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from streamforge_data_pipeline_spark.streaming.column_stats_stream import (
+        read_column_stats,
+        start_stream_column_stats,
+    )
+
+    work = tempfile.mkdtemp(prefix="sfdp_scst_")
+    try:
+        store = TableStore(os.path.join(work, "store"))
+        q = start_stream_column_stats(
+            spark,
+            _staged_events(spark, sf_dir),
+            store,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            schema=(
+                "event_id long, ts timestamp_ntz, user_id long,"
+                " event_type string, value double, props string"
+            ),
+            max_files_per_trigger=10_000,
+        )
+        q.awaitTermination()
+        return read_column_stats(spark, store).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2889,6 +3001,20 @@ def q_containment_dedup(spark, sf_dir):
     return containment_pairs(load(spark, sf_dir, "documents"))
 
 
+def q_containment_dedup_lsh(spark, sf_dir):
+    """The containment twin's 100 TB path: MinHash 64 perms banded
+    32x2 over token-3-grams as the candidate stage (tuned to the
+    subset-aware Jaccard bound J >= tau/(1+rho-tau), not to tau), same
+    exact directional verifier and emit as containment_dedup;
+    candidate generation AND verification replayed by the DuckDB
+    oracle."""
+    from streamforge_data_pipeline_spark.operators.minhash import (
+        containment_lsh_pairs,
+    )
+
+    return containment_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
 def q_corpus_shuffle(spark, sf_dir):
     return text.corpus_shuffle(load(spark, sf_dir, "documents"))
 
@@ -2937,6 +3063,22 @@ def q_media_decode_seeded(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return decode_stats(synth_ppm_images(docs))
+
+
+def q_media_decode_digest(spark, sf_dir):
+    """E28 byte-exact golden differential (r10, r9 VERDICT #3): the
+    seeded PPM corpus decoded via the REAL codec dispatch, checked by
+    md5 over the decoded byte stream — order-sensitive, so axis/
+    channel/stride mistakes that preserve the r9 key's pixel SUM still
+    break this hash. The oracle rebuilds the hex byte stream from the
+    closed-form pixel rule and md5s it."""
+    from streamforge_data_pipeline_spark.operators.multimodal import (
+        decode_digest,
+        synth_ppm_images,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return decode_digest(synth_ppm_images(docs))
 
 
 def q_media_resize_seeded(spark, sf_dir):
@@ -3643,6 +3785,18 @@ FROM px GROUP BY doc_id, w, h""",
         "E28': REAL PPM encode->parse round trip, pixel-sum hash-checked"
         " against closed-form arithmetic (r9)",
     ),
+    "media_decode_digest": QuerySpec(
+        q_media_decode_digest,
+        """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+px AS (SELECT doc_id, w, h, unnest(range(0, w*h*3)) AS i FROM dims),
+b AS (SELECT doc_id, w, h, i, (doc_id*31 + i*7) % 256 AS v FROM px)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       md5(string_agg(lpad(to_hex(v), 2, '0'), '' ORDER BY i)) AS px_md5
+FROM b GROUP BY doc_id, w, h""",
+        "E28'': byte-exact golden decode differential — md5 over the"
+        " decoded RGB byte stream (order-sensitive; catches axis/"
+        "channel/stride bugs the r9 pixel sum cannot) (r10)",
+    ),
     "media_resize_seeded": QuerySpec(
         q_media_resize_seeded,
         """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
@@ -3783,20 +3937,18 @@ FROM toks""",
     ),
     "eval_split": QuerySpec(
         q_eval_split,
-        f"""WITH d AS (SELECT DISTINCT source, doc_id,
-        {sql_hash60("CAST(doc_id AS VARCHAR)")} AS h
-      FROM documents),
-r AS (SELECT source, doc_id,
-        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
-      FROM d)
-SELECT doc_id, source,
-       CASE WHEN rk <= 50 THEN 'val'
-            WHEN rk <= 100 THEN 'test'
-            ELSE 'train' END AS split
-FROM r""",
+        _EVAL_SPLIT_SQL,
         "deterministic train/val/test construction: exact per-source"
         " quotas via the within-stratum hash rank (Bernoulli splits"
         " only hit quotas in expectation)",
+    ),
+    "stream_eval_split": QuerySpec(
+        q_stream_eval_split,
+        _EVAL_SPLIT_SQL,
+        "E50': continuous eval-split maintenance — per-batch bottom-K"
+        " frontier journal (mergeable sketch) + membership log,"
+        " re-ranked at read; monotone-demoting assignments; drained"
+        " view shares the batch oracle verbatim (r10)",
     ),
     "per_source_sample": QuerySpec(
         q_per_source_sample,
@@ -3851,21 +4003,19 @@ SELECT doc_id, domain, rk, rk <= 20 AS admitted FROM r""",
     ),
     "column_stats": QuerySpec(
         q_column_stats,
-        _column_stats_sql(
-            "events",
-            [
-                ("event_id", "num"),
-                ("ts", "date"),
-                ("user_id", "num"),
-                ("event_type", "str"),
-                ("value", "num"),
-                ("props", "str"),
-            ],
-        ),
+        _COLUMN_STATS_EVENTS_SQL,
         "ANALYZE-style per-column stats (n_rows, nulls, exact ndv,"
         " kind-dispatched min/max) — the CBO statistics table; the"
         " 100 TB pass swaps exact ndv for the repo's KMV/HLL"
         " estimators per the established pairing",
+    ),
+    "stream_column_stats": QuerySpec(
+        q_stream_column_stats,
+        _COLUMN_STATS_EVENTS_SQL,
+        "E49': continuous ANALYZE — mergeable per-batch partials"
+        " (sums/raw min-max, monotone presentation transforms at read)"
+        " + exact-ndv value log; drained table shares the batch oracle"
+        " verbatim (r10)",
     ),
     "decayed_event_counts": QuerySpec(
         q_decayed_event_counts,
@@ -4082,8 +4232,28 @@ WHERE (['image','audio','video','text'])[CAST(doc_id % 4 AS INTEGER) + 1] <> 'te
         "E5: binary payload + typed metadata struct; payload-pruned scan",
     ),
     "media_features": QuerySpec(
-        q_media_features, None, "E5: Arrow-batched decode/feature plumbing (stub codec)",
-        twin="media_decode_seeded",
+        q_media_features,
+        # r10: ORACLE-BACKED (was rows-only) — the stub feature is the
+        # byte mean of the utf-8 payload, which DuckDB recomputes by
+        # hex-exploding encode(text); one int/int division on both
+        # sides (exact sums < 2^53 -> identical correctly-rounded
+        # double). Shrinks the declared rows-only set (r9 VERDICT #3).
+        """WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS n FROM documents),
+i AS (SELECT doc_id, hx, unnest(range(0, n)) AS i FROM t WHERE n > 0),
+b AS (SELECT doc_id,
+        CAST(concat('0x', substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER) AS v
+      FROM i),
+m AS (SELECT doc_id, sum(v)*1.0/count(*) AS feat_mean FROM b GROUP BY doc_id)
+SELECT t.doc_id,
+       CASE CAST(t.doc_id % 4 AS INTEGER)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            WHEN 2 THEN 'video' ELSE 'text' END AS modality,
+       m.feat_mean, CAST(1 AS INTEGER) AS feat_dim
+FROM t LEFT JOIN m ON t.doc_id = m.doc_id""",
+        "E5: Arrow-batched decode/feature plumbing (stub codec);"
+        " r10: the stub byte-statistic is hash-checked by a"
+        " hex-exploding oracle — rows-only no longer",
     ),
     # --- analytic/relational extensions ---
     "sql_endpoint": QuerySpec(
@@ -5352,6 +5522,31 @@ u AS (SELECT doc_a AS doc_sub, doc_b AS doc_sup, inter*1.0/na AS c FROM j
 SELECT doc_sub, doc_sup, floor(c*1e4 + 0.5)/1e4 AS containment
 FROM u WHERE c >= 0.8 - 1e-9""",
         "directional Jaccard-containment pairs: subset/excerpt duplicate detection",
+    ),
+    "containment_dedup_lsh": QuerySpec(
+        q_containment_dedup_lsh,
+        f"""WITH {SHINGLE_CTES},
+{_BOILERPLATE_CAP_CTES},
+{_lsh_bands_sql(64, 2, src="she")},
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM she a JOIN she b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+      GROUP BY 1, 2),
+s AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+j AS (SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb
+      FROM p JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id),
+u AS (SELECT doc_a AS doc_sub, doc_b AS doc_sup, inter*1.0/na AS c FROM j
+      UNION ALL
+      SELECT doc_b AS doc_sub, doc_a AS doc_sup, inter*1.0/nb AS c FROM j)
+SELECT doc_sub, doc_sup, floor(c*1e4 + 0.5)/1e4 AS containment
+FROM u WHERE c >= 0.8 - 1e-9""",
+        "E15': LSH-banded containment dedup — MinHash 64 perms banded"
+        " 32x2 tuned to the subset-aware bound J >= tau/(1+rho-tau),"
+        " exact directional verify on survivors; the 100 TB path where"
+        " the exact key's candidate set is floor-bound",
     ),
     "winnow_overlap": QuerySpec(
         q_winnow_overlap,

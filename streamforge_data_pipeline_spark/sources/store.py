@@ -86,12 +86,24 @@ class TableStore:
         write targets the stage path, the source may lazily READ the
         table being replaced without the materialize-first caveat.
         Not concurrent-reader-safe across the swap instant — the
-        standard OPTIMIZE-style maintenance contract."""
+        standard OPTIMIZE-style maintenance contract.
+
+        Crash window (r9 ADVICE): between ``rename(final, old)`` and
+        ``rename(stage, final)`` NO table sits at the final path — both
+        complete copies are parked in ``__replaced``/``__stage``. Entry
+        therefore SELF-HEALS before any cleanup: if the final path is
+        missing, promote the staged copy when its ``_SUCCESS`` commit
+        marker proves the write finished (the marker is written by
+        Spark's output committer strictly before the old table is moved
+        aside, so ``old``-present implies ``stage``-complete), else
+        restore the parked old table. Only after the heal are the
+        scratch directories cleared."""
         import shutil
 
         final = self.path(table)
         stage = final + "__stage"
         old = final + "__replaced"
+        self._heal_swap(final, stage, old)
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(stage)
@@ -99,6 +111,23 @@ class TableStore:
             os.rename(final, old)
         os.rename(stage, final)
         shutil.rmtree(old, ignore_errors=True)
+
+    @staticmethod
+    def _heal_swap(final: str, stage: str, old: str) -> None:
+        """Recover from a crash inside the rename-swap window: a
+        missing final path with a parked copy beside it means the
+        previous swap died between its two renames. Prefer the staged
+        NEW table when its Spark ``_SUCCESS`` marker is present (the
+        swap only moves the old table aside after the stage write
+        committed); a stage directory without the marker is a
+        partial first-ever write and is never promoted. One atomic
+        rename either way — re-crash-safe."""
+        if os.path.exists(final):
+            return
+        if os.path.exists(os.path.join(stage, "_SUCCESS")):
+            os.rename(stage, final)
+        elif os.path.exists(old):
+            os.rename(old, final)
 
     def write_json(self, df: DataFrame, table: str) -> None:
         """JSON sink (interchange format for downstream consumers)."""

@@ -1,0 +1,189 @@
+"""Continuous ANALYZE: the streaming twin of
+operators.aggregates.column_stats (E49), r9 VERDICT #7.
+
+Every batch-key statistic decomposes into a mergeable partial:
+
+- n_rows / n_nulls are sums;
+- min/max commute with merging, and the batch key's presentation
+  transforms (round(.., 4) on numerics, to_date on temporals, string
+  cast otherwise) are MONOTONE, so applying them at READ time to the
+  merged raw min/max equals the batch key's aggregate-then-transform
+  (round and date-truncate are non-decreasing; min/max of a monotone
+  image is the image of min/max);
+- exact ndv is NOT additive — the journal therefore carries each
+  batch's per-column DISTINCT VALUE SET (cast to string; injective per
+  column type) and the read counts distinct over the union. That keeps
+  the twin EXACT and oracle-shared with the batch key; its cost is a
+  value log proportional to per-column cardinality — the bounded
+  100 TB alternative is the repo's mergeable KMV/HLL pair
+  (stream_kmv_distinct / approx_count_distinct), per the established
+  exact/approx pairing (the batch key's own docstring states the same
+  swap).
+
+Per micro-batch (foreachBatch, per-batch atomic): both tables are
+batch_id-partitioned and written with dynamic partition overwrite, so
+an at-least-once redelivery rewrites its own partition with identical
+rows — replay-idempotent by construction (the journal algebra of
+stream_domain_share / stream_shard_export).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from streamforge_data_pipeline_spark.sources.store import TableStore
+
+PARTIALS_TABLE = "column_stats_partials"
+VALUES_TABLE = "column_stats_values"
+
+
+def _kind(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(
+        dt,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+         T.DoubleType, T.FloatType, T.DecimalType),
+    ):
+        return "num"
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "date"
+    return "str"
+
+
+def _commit_batch(
+    batch_df: DataFrame, store: TableStore, batch_id: int
+) -> None:
+    bdf = batch_df.localCheckpoint(eager=True)  # feeds 2N jobs below
+    partials = None
+    values = None
+    for f in bdf.schema.fields:
+        c = F.col("__c")
+        kind = _kind(f.dataType)
+        # raw (untransformed) min/max merge exactly; the batch key's
+        # round/to_date presentation is applied at read time
+        if kind == "num":
+            mn, mx = F.min(c).cast("double"), F.max(c).cast("double")
+            mns = mxs = F.lit(None).cast("string")
+        elif kind == "date":
+            mn = mx = F.lit(None).cast("double")
+            mns = F.min(c).cast("string")
+            mxs = F.max(c).cast("string")
+        else:
+            mn = mx = F.lit(None).cast("double")
+            mns, mxs = F.min(c.cast("string")), F.max(c.cast("string"))
+        one = bdf.select(F.col(f.name).alias("__c"))
+        row = one.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            mn.alias("min_num"),
+            mx.alias("max_num"),
+            mns.alias("min_str"),
+            mxs.alias("max_str"),
+        ).select(
+            F.lit(f.name).alias("column"),
+            F.lit(kind).alias("kind"),
+            "n_rows", "n_nulls", "min_num", "max_num", "min_str", "max_str",
+        )
+        partials = row if partials is None else partials.unionAll(row)
+        vals = (
+            one.filter(c.isNotNull())
+            .select(
+                F.lit(f.name).alias("column"), c.cast("string").alias("val")
+            )
+            .distinct()
+        )
+        values = vals if values is None else values.unionAll(vals)
+    for df, table in ((partials, PARTIALS_TABLE), (values, VALUES_TABLE)):
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store.path(table))
+        )
+
+
+def read_column_stats(
+    spark: SparkSession, store: TableStore, numeric_round: int = 4
+) -> DataFrame:
+    """Merged ANALYZE table over everything ever ingested — equals the
+    batch column_stats on the union corpus (same columns, same
+    rounding, same kind dispatch). One sum/min/max over the partials
+    journal + one distinct count over the value log."""
+    p = store.read(spark, PARTIALS_TABLE)
+    merged = p.groupBy("column", "kind").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_nulls").cast("long").alias("n_nulls"),
+        F.min("min_num").alias("__mn"),
+        F.max("max_num").alias("__mx"),
+        F.min("min_str").alias("__mns"),
+        F.max("max_str").alias("__mxs"),
+    )
+    ndv = (
+        store.read(spark, VALUES_TABLE)
+        .select("column", "val")
+        .distinct()
+        .groupBy("column")
+        .agg(F.count(F.lit(1)).cast("long").alias("ndv"))
+    )
+    # the batch key's presentation transforms, applied to merged raws;
+    # 'date' partials journal the full timestamp string (min/max of the
+    # ISO string == min/max of the timestamp), truncated to DATE here
+    return (
+        merged.join(ndv, "column", "left")
+        .select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            F.round(F.col("n_nulls") / F.col("n_rows"), 4).alias("null_frac"),
+            F.coalesce("ndv", F.lit(0)).cast("long").alias("ndv"),
+            F.round("__mn", numeric_round).alias("min_num"),
+            F.round("__mx", numeric_round).alias("max_num"),
+            F.when(
+                F.col("kind") == "date",
+                F.to_date("__mns").cast("string"),
+            )
+            .otherwise(F.col("__mns"))
+            .alias("min_str"),
+            F.when(
+                F.col("kind") == "date",
+                F.to_date("__mxs").cast("string"),
+            )
+            .otherwise(F.col("__mxs"))
+            .alias("max_str"),
+        )
+    )
+
+
+def start_stream_column_stats(
+    spark: SparkSession,
+    input_dir: str,
+    store: TableStore,
+    checkpoint_dir: str,
+    schema: str,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    path_glob_filter: str | None = None,
+) -> StreamingQuery:
+    """Tail ``input_dir`` for parquet and maintain the ANALYZE table
+    incrementally."""
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if path_glob_filter:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
+    stream = reader.parquet(input_dir)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        _commit_batch(batch_df, store, batch_id)
+
+    writer = stream.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

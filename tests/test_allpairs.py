@@ -164,9 +164,9 @@ def test_prefix_join_is_smaller_than_naive(spark):
 def test_fuzzy_lsh_full_recall_on_planted_ocr(spark):
     """The LSH fuzzy twin's recall contract at realistic corruption
     (r~0.02, the planted-OCR case): every pair the exact verifier
-    emits must also come out of the 8x2-banded candidate stage, with
-    identical verified values (the banding curve puts r=0.02 at ~100%
-    — the operator docstring's stated regime)."""
+    emits must also come out of the char-9-gram 16x4-banded (64-perm)
+    candidate stage, with identical verified values (the banding curve
+    puts r=0.02 at ~100% — the operator docstring's stated regime)."""
     import random
 
     rng = random.Random(9)

