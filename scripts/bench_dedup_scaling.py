@@ -91,6 +91,9 @@ KEYS = [
     "stream_decayed_counts",
     "column_stats",
     "eval_split",
+    # r10 streaming twins
+    "stream_eval_split",
+    "stream_column_stats",
 ]
 
 # sf1 MUST be the multi-file layout (sf1mf): the single-file sf1 dir

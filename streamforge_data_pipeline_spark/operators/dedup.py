@@ -599,7 +599,18 @@ def pagerank_canonical(
     heuristic that the most-linked version of a page is the best
     representative. Returns one row per node in the dup graph:
     (doc_id, cluster_id, score, keep). Docs in no dup pair trivially
-    keep and are out of scope here (same contract as the pair stage)."""
+    keep and are out of scope here (same contract as the pair stage).
+
+    The pair stream is flattened ONCE up front: both consumers below
+    (the CC fixpoint and the rank rounds' edge build) would otherwise
+    re-evaluate the caller's pair-generation subtree — for the exact
+    embedding key that subtree is the quadratic all-pairs matmul, and
+    the double evaluation was the dominant term in the r10 isolated
+    sf2 row (measured: 91.6 s -> 35.2 s sf2, 26.2 -> 7.9 s sf1,
+    SCALING_ISOLATED_r10.json; the pair OUTPUT is small by
+    construction, 4.3k rows at sf2, so the checkpoint is cheap —
+    the iterative-lineage lesson)."""
+    pairs = pairs.localCheckpoint(eager=True)
     comps = connected_components(pairs, a=a, b=b)
     scores = pagerank_scores(pairs, a=a, b=b, iters=iters)
     w = Window.partitionBy("cluster_id").orderBy(
