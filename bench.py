@@ -120,6 +120,9 @@ HEADLINE = [
     # utilities (r9 VERDICT #7)
     "stream_eval_split",
     "stream_column_stats",
+    # r10: training-sequence packing (batch + accounting-journal twin)
+    "sequence_pack",
+    "stream_sequence_pack",
 ]
 
 

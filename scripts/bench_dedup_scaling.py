@@ -94,6 +94,9 @@ KEYS = [
     # r10 streaming twins
     "stream_eval_split",
     "stream_column_stats",
+    # r10 sequence packing
+    "sequence_pack",
+    "stream_sequence_pack",
 ]
 
 # sf1 MUST be the multi-file layout (sf1mf): the single-file sf1 dir

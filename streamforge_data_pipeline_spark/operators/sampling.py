@@ -235,3 +235,109 @@ def per_stratum_bottomk(
         .filter(F.col("rk") <= k)
         .select(stratum, id_col, "h", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def sequence_pack(
+    df: DataFrame,
+    ctx_len: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Training-sequence packing: concatenate each shard's documents
+    (one EOS slot appended per doc) into a token stream and split it
+    into fixed ``ctx_len`` sequences, documents crossing boundaries —
+    the standard GPT-pretraining packing (Brown et al. 2020 §2.1;
+    docs joined by a delimiter, examples cut at the context length,
+    no padding waste). Output is the PACK PLAN, one row per
+    (document, sequence) slice:
+
+      (shard, seq_id, doc_id, seq_start, seq_end, doc_start)
+
+    meaning sequence ``seq_id`` of ``shard`` takes the doc's tokens
+    [doc_start, doc_start + seq_end - seq_start) into its positions
+    [seq_start, seq_end). A trainer (or the shard writer) joins the
+    plan back to the tokenized text to materialize examples; emitting
+    the plan instead of token arrays keeps the operator output ~1% of
+    corpus size and engine-checkable exactly.
+
+    Shards follow the :func:`shard_manifest` rule (hash60(id) %
+    n_shards), order within a shard is the samplers' (hash, id) — so
+    the plan is deterministic across reruns, cluster layouts, and
+    engines, and each shard packs independently: ONE hash-partitioned
+    window sort is the entire shuffle cost, shards are the parallel
+    unit at 100 TB. All arithmetic is integer (DIV, never /): a
+    cumulative-sum window gives each doc its absolute slot
+    [start, start + n_toks + 1) in the shard stream, and the covered
+    sequences are just start DIV L .. (start + slot - 1) DIV L —
+    exploded with F.sequence, at most 1 + slot/L rows per doc."""
+    return pack_plan(
+        pack_accounting(df, n_shards=n_shards, id_col=id_col, text=text),
+        ctx_len=ctx_len,
+        id_col=id_col,
+    )
+
+
+def pack_accounting(
+    df: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """The per-doc accounting row :func:`pack_plan` packs from:
+    (id, shard, h, slot) where slot = n_toks + 1 (the EOS). This is
+    the only pass that touches text — ~16 bytes a doc out of it —
+    which is what the streaming twin journals so the plan re-derives
+    without re-reading the corpus."""
+    from streamforge_data_pipeline_spark.functions import tokens
+
+    h = hash60(F.col(id_col).cast("string"))
+    return df.select(
+        F.col(id_col),
+        (h % n_shards).cast("int").alias("shard"),
+        h.alias("h"),
+        (F.size(tokens(text)) + 1).cast("long").alias("slot"),
+    )
+
+
+def pack_plan(
+    acct: DataFrame, ctx_len: int = 2048, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pack-plan arithmetic over :func:`pack_accounting` rows — the
+    window cumsum + integer-DIV boundary explode shared by the batch
+    key and the streaming journal read."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = acct.select(
+        "shard",
+        id_col,
+        "slot",
+        F.coalesce(F.sum("slot").over(w), F.lit(0))
+        .cast("long")
+        .alias("start"),
+    )
+    L = F.lit(int(ctx_len))
+    first = F.expr(f"start DIV {int(ctx_len)}")
+    last = F.expr(f"(start + slot - 1) DIV {int(ctx_len)}")
+    seq = F.col("seq_id")
+    lo = F.greatest(F.col("start"), seq * L)
+    hi = F.least(F.col("start") + F.col("slot"), (seq + 1) * L)
+    return spans.select(
+        "shard",
+        id_col,
+        "start",
+        "slot",
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    ).select(
+        "shard",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        id_col,
+        (lo - seq * L).cast("int").alias("seq_start"),
+        (hi - seq * L).cast("int").alias("seq_end"),
+        (lo - F.col("start")).cast("long").alias("doc_start"),
+    )

@@ -2451,6 +2451,51 @@ def q_curation_funnel(spark, sf_dir):
     return curation_funnel(docs, _with_urls(docs))
 
 
+# Shared verbatim by sequence_pack (batch) and stream_sequence_pack
+# (journal drain) — one string, one truth. All-integer arithmetic:
+# cumulative slot sums, truncating integer division (// here, DIV in
+# Spark; every operand is non-negative so the two agree), GREATEST/
+# LEAST boundary clips. `strt`, not `start`: generate_series makes
+# start a tempting-but-reserved name in DuckDB window contexts.
+_SEQUENCE_PACK_SQL = f"""WITH t AS (SELECT doc_id,
+        {sql_hash60("CAST(doc_id AS VARCHAR)")} AS h,
+        CAST(len({SQL_TOKENS.format(x="text")}) + 1 AS BIGINT) AS slot
+      FROM documents),
+c AS (SELECT doc_id, CAST(h % 16 AS INTEGER) AS shard, h, slot,
+        CAST(COALESCE(SUM(slot) OVER (
+          PARTITION BY h % 16 ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS strt
+      FROM t),
+e AS (SELECT *, UNNEST(generate_series(strt // 128,
+                       (strt + slot - 1) // 128)) AS seq_id FROM c)
+SELECT shard,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       doc_id,
+       CAST(GREATEST(strt, seq_id * 128) - seq_id * 128 AS INTEGER)
+         AS seq_start,
+       CAST(LEAST(strt + slot, (seq_id + 1) * 128) - seq_id * 128 AS INTEGER)
+         AS seq_end,
+       CAST(GREATEST(strt, seq_id * 128) - strt AS BIGINT) AS doc_start
+FROM e"""
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Training-sequence pack plan: each shard's documents concatenated
+    (one EOS slot per doc) and cut into fixed 128-token sequences,
+    docs crossing boundaries — the GPT-pretraining packing step
+    (sampling.sequence_pack). One window shuffle; the plan rows (not
+    token arrays) are the output, so both engines check the packing
+    arithmetic exactly."""
+    from streamforge_data_pipeline_spark.operators.sampling import (
+        sequence_pack,
+    )
+
+    return sequence_pack(
+        load(spark, sf_dir, "documents"), ctx_len=128, n_shards=16
+    )
+
+
 def q_shard_manifest(spark, sf_dir):
     """Deterministic training-shard manifest: hash-assigned shards +
     order-independent member checksums (sampling.shard_manifest) —
@@ -2537,6 +2582,48 @@ def q_stream_eval_split(spark, sf_dir):
         )
         q.awaitTermination()
         return read_assignments(spark, store).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_stream_sequence_pack(spark, sf_dir):
+    """Continuous pack-accounting drained: each batch tokenizes its
+    docs once and journals (doc_id, shard, h, slot); the pack plan
+    re-derives at read by one window over the journal — no text
+    re-read, plans pinnable by batch high-water mark (E51's streaming
+    twin, r10). A one-batch drain equals batch sequence_pack, so it
+    shares its oracle verbatim."""
+    import shutil
+    import tempfile
+
+    from streamforge_data_pipeline_spark.sources.store import TableStore
+    from streamforge_data_pipeline_spark.streaming.sequence_pack_stream import (
+        read_pack_plan,
+        start_stream_sequence_pack,
+    )
+
+    work = tempfile.mkdtemp(prefix="sfdp_sspk_")
+    try:
+        store = TableStore(os.path.join(work, "store"))
+        table_path = os.path.join(sf_dir, "documents.parquet")
+        if os.path.isdir(table_path):
+            src, glob = table_path, None
+        else:
+            src, glob = sf_dir, "documents.parquet"
+        q = start_stream_sequence_pack(
+            spark,
+            src,
+            store,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            schema="doc_id long, text string",
+            n_shards=16,
+            max_files_per_trigger=10_000,
+            path_glob_filter=glob,
+        )
+        q.awaitTermination()
+        return read_pack_plan(spark, store, ctx_len=128).localCheckpoint(
+            eager=True
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -4083,6 +4170,22 @@ FROM w, t""",
         "stream): per-batch journaled per-stage accounting, cross-batch"
         " dedup + domain-cap state; one-batch drain equals the batch"
         " funnel so it shares its chained oracle verbatim (r9)",
+    ),
+    "sequence_pack": QuerySpec(
+        q_sequence_pack,
+        _SEQUENCE_PACK_SQL,
+        "training-sequence packing: per-shard concat-and-split at the"
+        " context length (docs cross boundaries, one EOS slot each);"
+        " emits the exact (doc, sequence) slice plan — one window"
+        " shuffle, all-integer arithmetic",
+    ),
+    "stream_sequence_pack": QuerySpec(
+        q_stream_sequence_pack,
+        _SEQUENCE_PACK_SQL,
+        "continuous pack accounting: per-batch tokenize-once journal"
+        " (doc_id, shard, h, slot), plan re-derived at read over the"
+        " bounded journal — pinnable by batch high-water mark; drain"
+        " equals batch sequence_pack (shared oracle)",
     ),
     "shard_manifest": QuerySpec(
         q_shard_manifest,
