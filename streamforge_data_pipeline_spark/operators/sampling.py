@@ -256,7 +256,10 @@ def sequence_pack(
 
     meaning sequence ``seq_id`` of ``shard`` takes the doc's tokens
     [doc_start, doc_start + seq_end - seq_start) into its positions
-    [seq_start, seq_end). A trainer (or the shard writer) joins the
+    [seq_start, seq_end). (Distinct from text.pack_sequences /
+    `seq_packing`, the whole-doc streaming-fill bin assignment whose
+    bins may overfill by one doc: this plan is token-exact — every
+    sequence is full, zero padding — at the price of split docs.) A trainer (or the shard writer) joins the
     plan back to the tokenized text to materialize examples; emitting
     the plan instead of token arrays keeps the operator output ~1% of
     corpus size and engine-checkable exactly.

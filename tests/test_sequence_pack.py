@@ -80,3 +80,45 @@ def test_partitioning_invariant(spark):
         map(tuple, sequence_pack(docs.repartition(7), 128, 16).collect())
     )
     assert a == b
+
+
+def test_materialized_sequences_are_the_concat_stream(spark):
+    """The plan is not just self-consistent — its slices materialize to
+    the actual tokens: rebuilding every sequence from (plan x tokenized
+    docs) yields each shard's EOS-joined concatenation, cut at CTX."""
+    docs = load(spark, SF_MED, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    toks = {r["doc_id"]: r["toks"] + ["<EOS>"] for r in docs.collect()}
+    seqs: dict[tuple[int, int], list[tuple[int, list]]] = defaultdict(list)
+    for r in _plan(spark).collect():
+        n = r["seq_end"] - r["seq_start"]
+        piece = toks[r["doc_id"]][r["doc_start"]: r["doc_start"] + n]
+        assert len(piece) == n  # slices never run past the doc's slot
+        seqs[(r["shard"], r["seq_id"])].append((r["seq_start"], piece))
+    for (shard, seq), parts in sorted(seqs.items()):
+        parts.sort()
+        flat = [t for _, piece in parts for t in piece]
+        assert len(flat) <= CTX
+    # shard-level: concatenating the sequences in order reproduces the
+    # EOS-joined doc stream in (hash, id) order exactly
+    from streamforge_data_pipeline_spark.functions import hash60
+
+    order = load(spark, SF_MED, "documents").select(
+        "doc_id", hash60(F.col("doc_id").cast("string")).alias("h")
+    ).collect()
+    by_shard: dict[int, list] = defaultdict(list)
+    for r in order:
+        by_shard[r["h"] % 16].append((r["h"], r["doc_id"]))
+    for shard, members in by_shard.items():
+        stream = [
+            t for _, d in sorted(members) for t in toks[d]
+        ]
+        rebuilt = [
+            t
+            for (sh, _), parts in sorted(seqs.items())
+            if sh == shard
+            for _, piece in sorted(parts)
+            for t in piece
+        ]
+        assert rebuilt == stream, f"shard {shard}"
