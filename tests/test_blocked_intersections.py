@@ -17,6 +17,7 @@ from streamforge_data_pipeline_spark.operators.minhash import (
     _blocked_intersections,
     _single_shingle_pairs,
     auto_boilerplate_max_df,
+    containment_lsh_pairs,
     containment_pairs,
     fuzzy_dedup,
     shingles,
@@ -138,6 +139,8 @@ def test_capped_oracle_parity_on_boilerplate_corpus(spark, key, fn_kwargs):
 
     if key == "containment_dedup":
         out = containment_pairs(docs, **fn_kwargs)
+    elif key == "containment_dedup_lsh":
+        out = containment_lsh_pairs(docs, **fn_kwargs)
     else:
         out = fuzzy_dedup(docs, **fn_kwargs)
 
