@@ -1843,6 +1843,7 @@ def containment_lsh_pairs(
     max_df: int | None | str = "auto",
     bands: int = 32,
     rows_per_band: int = 2,
+    band_cap: int | None = 8,
 ) -> DataFrame:
     """The 100 TB path for containment dedup (r9 VERDICT #1) — the
     asymmetric analog of :func:`fuzzy_dedup_lsh`: MinHash banding as
@@ -1894,41 +1895,80 @@ def containment_lsh_pairs(
     if max_df == "auto":
         max_df = _auto_cap_from_profile(_stage_profile(sh))
     sh_ev = drop_boilerplate_shingles(sh, max_df) if max_df else sh
-    cand = candidate_pairs(
-        band_keys(
-            signatures(sh_ev, n_perms=bands * rows_per_band),
-            bands=bands,
-            rows_per_band=rows_per_band,
-        )
+    bk = band_keys(
+        signatures(sh_ev, n_perms=bands * rows_per_band),
+        bands=bands,
+        rows_per_band=rows_per_band,
     )
-    # exact directional verify on survivors: semi-join the evidence to
-    # candidate ids FIRST (the exact_jaccard discipline — the pair
-    # filter alone would not stop Catalyst from materializing every
-    # co-shingle pair), intersections over capped evidence, sizes over
-    # the FULL sets.
+    if band_cap:
+        # band-bucket width cap (r10): in the saturating-vocabulary
+        # regime many docs share their minimum shingles, so a few band
+        # buckets go 100+ docs wide and contribute C(w,2) coincidental
+        # candidates each — 87% of the sf1 flood came from the 0.09%
+        # of buckets wider than 10 (PERF_NOTES r10.9). A true pair at
+        # J >= 0.8 (the measured corpus floor) collides on ~20 of 32
+        # bands, so losing its hot buckets costs nothing measurable:
+        # recall vs the exact key stays 1.0 at sf1 AND sf2 for caps
+        # 8..103, with the knee measured well below (cap=4: 98.8%,
+        # cap=2: 83% at sf1) — default 8 sits 2x above it. The df cap
+        # upstream is the same idea one level down (shingle df vs
+        # band-bucket width); both are mirrored in the oracle.
+        # width via a window over the banding relation — ONE evaluation
+        # of the signature subtree (a groupBy + semi-join back would
+        # re-run it; signatures are the stage's expensive aggregate)
+        from pyspark.sql import Window
+
+        wspec = Window.partitionBy("band", "band_sig")
+        bk = (
+            bk.withColumn("__w", F.count(F.lit(1)).over(wspec))
+            .filter(F.col("__w") <= band_cap)
+            .drop("__w")
+        )
+    # candidate set is small by construction (banding prices pairs by
+    # true similarity; the cap kills the coincidental-minima flood) and
+    # referenced twice below — flatten once (the iterative-lineage
+    # lesson; without this the banding subtree re-evaluates per use,
+    # measured +12s at sf1)
+    cand = candidate_pairs(bk).localCheckpoint(eager=True)
+    # exact directional verify on survivors, PER CANDIDATE PAIR (r10):
+    # each candidate doc's capped evidence is collected into one
+    # bounded array (set semantics; |array| <= doc shingle count) and
+    # inter = size(array_intersect) per candidate row — O(candidates x
+    # doc_len), all codegen built-ins. The previous evidence SELF-join
+    # was co-shingle-floor-bound: with the flood touching 92% of docs
+    # it re-did the exact key's whole quadratic (measured 28.8s sf1 /
+    # 87.4s sf2 vs exact 19.3/55.3 — slower than what it twins,
+    # PERF_NOTES r10.9). Sizes stay full-set (sh, pre-cap): the exact
+    # key's lower-bound semantics.
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    ev_c = sh_ev.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    ev_arr = (
+        sh_ev.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("__ev"))
+    )
     inter = (
-        ev_c.alias("x")
-        .join(
-            ev_c.alias("y"),
-            (F.col("x.sh") == F.col("y.sh"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        cand.join(
+            ev_arr.select(
+                F.col("doc_id").alias("doc_a"), F.col("__ev").alias("__ea")
+            ),
+            "doc_a",
         )
         .join(
-            cand,
-            (F.col("x.doc_id") == cand["doc_a"])
-            & (F.col("y.doc_id") == cand["doc_b"]),
-            "left_semi",
+            ev_arr.select(
+                F.col("doc_id").alias("doc_b"), F.col("__ev").alias("__eb")
+            ),
+            "doc_b",
         )
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__ea", "__eb")).alias("inter"),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= 1)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     both = inter.join(

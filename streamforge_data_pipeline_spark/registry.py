@@ -5631,8 +5631,11 @@ FROM u WHERE c >= 0.8 - 1e-9""",
         f"""WITH {SHINGLE_CTES},
 {_BOILERPLATE_CAP_CTES},
 {_lsh_bands_sql(64, 2, src="she")},
+bw AS (SELECT band, band_sig, count(*) AS w FROM bands GROUP BY 1, 2),
+bkept AS (SELECT b.* FROM bands b JOIN bw USING (band, band_sig)
+          WHERE w <= 8),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bands a JOIN bands b
+         FROM bkept a JOIN bkept b
            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM she a JOIN she b ON a.sh = b.sh AND a.doc_id < b.doc_id
