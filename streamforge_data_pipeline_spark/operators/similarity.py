@@ -177,22 +177,30 @@ def near_dup_pairs_numpy(
         import pandas as pd
 
         all_ids, all_m = b_ids.value, b_mat.value
+        # sub-block so the (rows, N) sims buffer stays ~16 MB: a full
+        # 10k-row Arrow batch against N=40k is a 3.2 GB float64 array
+        # PER TASK, and 32 concurrent tasks thrash the allocator — the
+        # r10 SCALING diff caught this as a superlinear sf1->sf2 jump
+        # (1.1s -> 27.5s isolated) on a kernel whose FLOP count only
+        # grew 4x. Output volume per sub-block is tau-filtered, tiny.
+        step = max(64, (2 << 20) // max(1, len(all_ids)))
         for pdf in batches:
             if not len(pdf):
                 continue
             q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ all_m.T  # (batch, N)
             qids = pdf[id_col].to_numpy()
-            ai, bj = np.nonzero(sims >= tau)
-            keep = qids[ai] < all_ids[bj]
-            yield pd.DataFrame(
-                {
-                    "id_a": qids[ai][keep],
-                    "id_b": all_ids[bj][keep],
-                    "sim": np.round(sims[ai, bj][keep], 4),
-                }
-            )
+            for lo in range(0, len(qids), step):
+                sims = q[lo : lo + step] @ all_m.T  # (<=step, N)
+                ai, bj = np.nonzero(sims >= tau)
+                keep = qids[lo + ai] < all_ids[bj]
+                yield pd.DataFrame(
+                    {
+                        "id_a": qids[lo + ai][keep],
+                        "id_b": all_ids[bj][keep],
+                        "sim": np.round(sims[ai, bj][keep], 4),
+                    }
+                )
 
     return vectors.select(id_col, vec_col).mapInPandas(_block, out_schema)
 
