@@ -1407,14 +1407,31 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def _tfidf_dense_candidates(df: DataFrame, w: DataFrame, tau: float,
                             id_col: str,
-                            vocab: list[str] | None = None) -> DataFrame:
+                            vocab: list[str] | None = None,
+                            boundary_band: float = 1e-6) -> DataFrame:
     """(doc_a, doc_b, dot) for the dense small-vocabulary scheme:
     candidate pairs from a blocked NumPy cosine sweep (tau - 1e-6
-    slack, superset of the answer), each pair's dot then recomputed as
-    the SAME order-free decimal fold the sparse scheme's aggregation
-    produces — absent terms contribute exact 0.0 products, so the
-    dense fold over the full vocabulary equals the sparse sum over
-    shared terms, decimal digit for digit."""
+    slack, superset of the answer); the decimal rerank — the SAME
+    order-free fold the sparse scheme's aggregation produces (absent
+    terms contribute exact 0.0 products, so the dense fold over the
+    full vocabulary equals the sparse sum over shared terms, decimal
+    digit for digit) — runs ONLY on boundary-band pairs (r10).
+
+    Why float may decide the rest: the kernel's float64 cosine differs
+    from the decimal-exact value by <= ~2e-14 relative (31-element
+    dot, |w| <= ~1.1e3), while the two decisions downstream have
+    granularity 1e-6-class bands — the tau cutoff (slack 1e-9) and
+    the emitted value's 1e-4 rounding grid. A pair whose float cosine
+    sits further than ``boundary_band`` (default 1e-6, margin ~5e7x
+    over the float error) from BOTH the cutoff and the nearest grid
+    half-point is therefore decided and valued identically by float
+    and decimal; only pairs inside either band go through the
+    interpreted decimal fold. On the saturated sf1 corpus that is
+    ~1e4 of 6.7e8 candidate rows — the fold had been the whole wall
+    (measured 84-160s run-to-run, pure expression-interpreter
+    variance; PERF_NOTES r10.12). Sandwich-tested: boundary_band=1.0
+    (everything decimal, the old path) and the default produce
+    identical results."""
     import numpy as np
 
     from pyspark.sql import types as T
@@ -1459,13 +1476,36 @@ def _tfidf_dense_candidates(df: DataFrame, w: DataFrame, tau: float,
         [
             T.StructField("doc_a", id_type),
             T.StructField("doc_b", id_type),
+            T.StructField("dot", T.DoubleType()),
         ]
     )
+    band = float(boundary_band)
 
     def _cands(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
         import pandas as pd
 
         bids, bmat, bnorm = b.value
+        Q = Decimal("1e-10")
+
+        def decimal_dot(va, vb):
+            # bit-identical to Spark's fold: per-product cast(double as
+            # decimal(28,10)) == BigDecimal.valueOf(d).setScale(10,
+            # HALF_UP); Python's repr(d) parses to the same decimal
+            # value as Double.toString(d) (500k-sample differential
+            # over the weight-product domain: 0 mismatches), and
+            # scale-10 decimal addition is exact, so the sum matches
+            # digit for digit; float() is the same nearest-double cast.
+            acc = Decimal(0)
+            for x, y in zip(va, vb):
+                p = x * y
+                if p:
+                    acc += Decimal(repr(p)).quantize(
+                        Q, rounding=ROUND_HALF_UP
+                    )
+            return float(acc)
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1477,38 +1517,32 @@ def _tfidf_dense_candidates(df: DataFrame, w: DataFrame, tau: float,
             step = max(1, 200_000_000 // (8 * max(len(bids), 1)))
             for s in range(0, len(v), step):
                 blk = v[s : s + step]
-                sims = (blk @ bmat.T) / (vn[s : s + step, None] * bnorm[None, :])
+                dots = blk @ bmat.T
+                sims = dots / (vn[s : s + step, None] * bnorm[None, :])
                 ai, bi = np.nonzero(sims >= thr)
                 da, db = vids[s + ai], bids[bi]
                 keep = da < db
-                if keep.any():
-                    yield pd.DataFrame({"doc_a": da[keep], "doc_b": db[keep]})
+                if not keep.any():
+                    continue
+                ai, bi = ai[keep], bi[keep]
+                cs = sims[ai, bi]
+                out_dot = dots[ai, bi].copy()
+                # float decides pairs far from the tau cutoff AND from
+                # the nearest 1e-4 rounding half-point; the boundary
+                # band gets the exact decimal fold (a handful of rows)
+                grid = cs * 1e4 + 0.5
+                risky = (np.abs(cs - tau) <= band) | (
+                    np.abs(grid - np.rint(grid)) <= band
+                )
+                for j in np.nonzero(risky)[0]:
+                    out_dot[j] = decimal_dot(blk[ai[j]], bmat[bi[j]])
+                yield pd.DataFrame(
+                    {
+                        "doc_a": da[keep],
+                        "doc_b": db[keep],
+                        "dot": out_dot,
+                    }
+                )
 
-    cands = dense.select("doc_id", "vec").mapInPandas(_cands, schema)
-    # exact decimal rerank: fold the two dense vectors with per-product
-    # DECIMAL(28,10) casts — identical digits to the sparse aggregation
-    av = dense.select(F.col("doc_id").alias("doc_a"), F.col("vec").alias("__va"))
-    bv = dense.select(F.col("doc_id").alias("doc_b"), F.col("vec").alias("__vb"))
-    out = (
-        cands.join(av, "doc_a")
-        .join(bv, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.aggregate(
-                F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
-                F.lit(0).cast("decimal(28,10)"),
-                # the per-step re-cast keeps the accumulator type fixed
-                # (Spark's aggregate() requires it); weights are O(1e3)
-                # so the running sum never leaves decimal(28,10) range
-                # and the re-cast is lossless — digits identical to the
-                # sparse SUM(CAST(..)) aggregation
-                lambda acc, v: (acc + v.cast("decimal(28,10)")).cast(
-                    "decimal(28,10)"
-                ),
-            )
-            .cast("double")
-            .alias("dot"),
-        )
-    )
+    out = dense.select("doc_id", "vec").mapInPandas(_cands, schema)
     return finalize_released(out, dense)

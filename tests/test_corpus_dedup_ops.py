@@ -745,3 +745,64 @@ def test_minhash_estimate_exact_dup_and_bounds(spark):
         j = r["jaccard"]
         se = (j * (1 - j) / 16) ** 0.5
         assert abs(r["est_jaccard"] - j) <= 4 * se + 0.26, r
+
+
+def test_tfidf_dense_boundary_band_sandwich(spark):
+    """The r10 float-decides/decimal-boundary rerank, sandwiched:
+    boundary_band=1.0 forces EVERY candidate through the in-kernel
+    Python-decimal fold (the strongest check that it replicates
+    Spark's cast+fold digit-for-digit), boundary_band=0.0 forces pure
+    float — both must equal the sparse scheme's decimal aggregation
+    exactly, as must the default band."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from streamforge_data_pipeline_spark.operators.text import (
+        _tfidf_dense_candidates,
+        tfidf_cosine_pairs,
+    )
+    from streamforge_data_pipeline_spark.functions import tokens
+
+    rng = random.Random(43)
+    rows = [
+        (d, " ".join(rng.choice([f"s{i}" for i in range(14)]) for _ in range(25)))
+        for d in range(50)
+    ]
+    df = _docs(spark, rows)
+    want = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(df, tau=0.5, scheme="sparse").collect()
+    }
+
+    toks = df.select(F.col("doc_id"), F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .filter(F.col("df") < F.col("n_docs"))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("w"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(28,10)")  # noqa: E731
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(dec(F.col("w") * F.col("w"))).cast("double")).alias("nrm")
+    )
+    for band in (1.0, 0.0, 1e-6):
+        dots = _tfidf_dense_candidates(df, w, 0.5, "doc_id", boundary_band=band)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["cosine"]
+            for r in (
+                dots.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")), "doc_a")
+                .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")), "doc_b")
+                .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+                .filter(F.col("cos") >= F.lit(0.5) - F.lit(1e-9))
+                .select("doc_a", "doc_b", (F.floor(F.col("cos") * 1e4 + 0.5) / 1e4).alias("cosine"))
+            ).collect()
+        }
+        assert got == want and got, band
