@@ -120,6 +120,31 @@ def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
     return z
 
 
+def fan_out(df):
+    """Spread a narrow scan across the cluster before an explode-heavy
+    map stage — scale-adaptively (r10, guide §2.4).
+
+    A small parquet table arrives as ONE input split (default
+    maxPartitionBytes 128 MB), so everything upstream of the first
+    shuffle — explode, substr, hashing — runs on a single core no
+    matter how many the session has; measured 6.5x on the sf0.1
+    char-shingle chain (PERF_NOTES r10.14). The repartition is
+    conditional on the SCAN's split count, not on a tuned constant: a
+    production-size input already has >= defaultParallelism splits and
+    the call is a no-op, so nothing here is local-mode tuning — and
+    when it does fire, the relation is by construction smaller than
+    one split, so the added shuffle moves < 128 MB once.
+
+    Row-level results are unaffected (repartition permutes rows;
+    every caller feeds set/aggregate semantics downstream).
+    """
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def finalize_released(out, *intermediates):
     """Materialize ``out`` eagerly (localCheckpoint) and UNPERSIST the
     cached intermediates that fed it — the house cache-lifecycle rule

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from streamforge_data_pipeline_spark.functions import tokens
+from streamforge_data_pipeline_spark.functions import fan_out, tokens
 
 
 def learn_bpe_merges(
@@ -70,7 +70,7 @@ def learn_bpe_merges(
 
     spark = df.sparkSession
     vocab = (
-        df.select(F.explode(tokens(text)).alias("word"))
+        fan_out(df).select(F.explode(tokens(text)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
@@ -153,7 +153,7 @@ def apply_bpe_merges(
       occurrences per word at long merge lists) — kept selectable for
       that regime, with the crossover stated instead of assumed."""
     word = F.explode(tokens(text)).alias("word")
-    base = df.select("*", word)
+    base = fan_out(df).select("*", word)
     sym = F.concat(
         F.lit("  "),
         F.trim(F.regexp_replace("word", "(.)", "$1  ")),

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from streamforge_data_pipeline_spark.functions import hash60, hash60_hi, tokens
+from streamforge_data_pipeline_spark.functions import fan_out, hash60, hash60_hi, tokens
 
 
 def anti_join_dedup(incoming: DataFrame, existing: DataFrame, key: str) -> DataFrame:
@@ -85,7 +85,7 @@ def simhash(df: DataFrame, text: str, doc_id: str) -> DataFrame:
     import functools
     import operator
 
-    tok = df.select(doc_id, F.explode(tokens(text)).alias("tok"))
+    tok = fan_out(df).select(doc_id, F.explode(tokens(text)).alias("tok"))
     h = tok.withColumn("h", hash60("tok")).withColumn("h2", hash60_hi("tok"))
 
     def bit_src(b: int):

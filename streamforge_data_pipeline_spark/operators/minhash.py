@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from streamforge_data_pipeline_spark.functions import finalize_released, hash60, minhash_perm, tokens
+from streamforge_data_pipeline_spark.functions import fan_out, finalize_released, hash60, minhash_perm, tokens
 
 NUM_PERMS = 16
 ROWS_PER_BAND = 4
@@ -44,7 +44,7 @@ def shingles_raw(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> D
     """
     from pyspark.sql import Window
 
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(text)).alias("pos", "tok"),
     )
@@ -1211,12 +1211,17 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     if max_df == "auto":
         max_df = auto_boilerplate_max_df(sh)
     sig_input = drop_boilerplate_shingles(sh, max_df) if max_df else sh
-    cands = candidate_pairs(band_keys(signatures(sig_input)))  # one shuffle to sigs
+    # persist the signature table (doc_count x NUM_PERMS longs): the
+    # candidate self-join otherwise evaluates the signature
+    # aggregation once per join side (r10.14, measured on the fuzzy
+    # twin's 64-perm variant: 2.7 s -> 0.7 s at sf0.1)
+    sigs = signatures(sig_input).persist()
+    cands = candidate_pairs(band_keys(sigs))  # one shuffle to sigs
     verified = exact_jaccard(sh, cands, tau=tau if size_prune else None)
     out = verified.filter(F.col("jaccard") >= tau).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     )
-    return finalize_released(out, sh)
+    return finalize_released(out, sh, sigs)
 
 
 def minhash_estimate_pairs(
@@ -1261,7 +1266,10 @@ def minhash_estimate_pairs(
     import operator
 
     sh = shingles_raw(df, id_col, text).persist()
-    cands = candidate_pairs(band_keys(signatures(sh)))
+    # persisted for the same per-join-side reason as minhash_lsh_dedup
+    # (r10.14): candidate_pairs self-joins the banded relation
+    bsigs = signatures(sh).persist()
+    cands = candidate_pairs(band_keys(bsigs))
     isigs = sh.groupBy("doc_id").agg(
         *[
             F.min(hash60(F.concat(F.col("sh"), F.lit(f"#{j}")))).alias(f"m{j}")
@@ -1296,7 +1304,7 @@ def minhash_estimate_pairs(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     )
     out = est.join(exact, ["doc_a", "doc_b"])
-    return finalize_released(out, sh, isigs)
+    return finalize_released(out, sh, bsigs, isigs)
 
 
 def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
@@ -1325,7 +1333,7 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(text)).alias("pos", "tok"),
     )
@@ -1579,7 +1587,7 @@ def char_shingles(
     """
     t = F.lower(F.col(text))
     return (
-        df.select(
+        fan_out(df).select(
             F.col(id_col).alias("doc_id"),
             t.alias("__t"),
             F.explode(
@@ -1824,15 +1832,18 @@ def fuzzy_dedup_lsh(
     AND verification end-to-end — same discipline as
     minhash_lsh_dedup."""
     sh = char_shingles(df, id_col, text, n=char_n).persist()
+    # candidate_pairs self-joins the banded relation: without a
+    # materialization boundary the 64-perm signature aggregation is
+    # evaluated once PER JOIN SIDE (measured 2.7 s vs 0.7 s at sf0.1,
+    # PERF_NOTES r10.14). The signature table is doc_count x 64 longs
+    # — result-sized — so persisting it is the cheap side of that
+    # trade at any scale.
+    sigs = signatures(sh, n_perms=bands * rows_per_band).persist()
     cand = candidate_pairs(
-        band_keys(
-            signatures(sh, n_perms=bands * rows_per_band),
-            bands=bands,
-            rows_per_band=rows_per_band,
-        )
+        band_keys(sigs, bands=bands, rows_per_band=rows_per_band)
     )
     out = _edit_distance_verify(df, cand, id_col, text, max_rel_ed, banded=True)
-    return finalize_released(out, sh)
+    return finalize_released(out, sh, sigs)
 
 
 def containment_lsh_pairs(
@@ -1895,11 +1906,11 @@ def containment_lsh_pairs(
     if max_df == "auto":
         max_df = _auto_cap_from_profile(_stage_profile(sh))
     sh_ev = drop_boilerplate_shingles(sh, max_df) if max_df else sh
-    bk = band_keys(
-        signatures(sh_ev, n_perms=bands * rows_per_band),
-        bands=bands,
-        rows_per_band=rows_per_band,
-    )
+    # persist the signature table (doc_count x 64 longs): the candidate
+    # self-join below otherwise evaluates the signature aggregation
+    # once per join side (r10.14)
+    sigs = signatures(sh_ev, n_perms=bands * rows_per_band).persist()
+    bk = band_keys(sigs, bands=bands, rows_per_band=rows_per_band)
     if band_cap:
         # band-bucket width cap (r10): in the saturating-vocabulary
         # regime many docs share their minimum shingles, so a few band
@@ -1979,4 +1990,4 @@ def containment_lsh_pairs(
         "doc_b",
     )
     out = _emit_directional_containment(both, tau)
-    return finalize_released(out, sh)
+    return finalize_released(out, sh, sigs)

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from streamforge_data_pipeline_spark.functions import tokens
+from streamforge_data_pipeline_spark.functions import fan_out, tokens
 
 # Fixed probe queries over the synthetic corpus vocabulary — literal,
 # so the operator (and its SQL oracle) is fully deterministic.
@@ -84,7 +84,7 @@ def bm25_topk(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     # OUTPUT row (per token — measured 3.4 s of a 4.2 s sf0.1 run);
     # against a named array column both size() and explode() are
     # per-input-row references.
-    base = df.select(F.col(id_col).alias("doc_id"), tokens(text).alias("__ts"))
+    base = fan_out(df).select(F.col(id_col).alias("doc_id"), tokens(text).alias("__ts"))
     tok = base.select(
         "doc_id", F.size("__ts").alias("dl"), F.explode("__ts").alias("term")
     )

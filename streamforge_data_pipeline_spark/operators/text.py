@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from streamforge_data_pipeline_spark.functions import finalize_released, tokens
+from streamforge_data_pipeline_spark.functions import fan_out, finalize_released, tokens
 
 # Tiny function-word marker sets for deterministic language ID.
 # (A production pipeline would use fastText/CLD3 via a Pandas UDF; the
@@ -26,7 +26,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 def term_counts(df: DataFrame, text: str = "text") -> DataFrame:
     """E4: tokenize -> explode -> hash-agg count per term."""
     return (
-        df.select(F.explode(tokens(text)).alias("term"))
+        fan_out(df).select(F.explode(tokens(text)).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -126,7 +126,7 @@ def repetition_filter(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     from pyspark.sql import Window
 
     toks = tokens(text)
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col), F.posexplode(toks).alias("pos", "tok")
     )
     w = Window.partitionBy(id_col).orderBy("pos")
@@ -299,7 +299,7 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    toks = df.select(id_col, F.explode(tokens(text)).alias("term"))
+    toks = fan_out(df).select(id_col, F.explode(tokens(text)).alias("term"))
     # tf feeds both the df aggregation and the score join — persist so
     # tokenization+agg run once.
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
@@ -348,7 +348,7 @@ def chunk_docs(
     starts = F.sequence(
         F.lit(1), F.greatest(F.lit(1), n - F.lit(overlap)), F.lit(stride)
     )
-    chunks = df.select(id_col, text, F.explode(starts).alias("start"))
+    chunks = fan_out(df).select(id_col, text, F.explode(starts).alias("start"))
     piece = F.expr(f"substring({text}, start, {width})")
     return chunks.select(
         id_col,
@@ -546,7 +546,7 @@ def source_overlap(df: DataFrame, text: str = "text",
     sh3 = F.concat_ws(
         " ", F.col("__t0"), F.col("__t1"), F.col("__t2")
     )
-    toks = df.select(F.col(group).alias("__g"), tokens(text).alias("__ts"))
+    toks = fan_out(df).select(F.col(group).alias("__g"), tokens(text).alias("__ts"))
     idx = toks.select(
         "__g",
         F.posexplode(
@@ -678,7 +678,7 @@ def inverted_index(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     """
     from pyspark.sql import Window
 
-    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("term")).distinct()
+    toks = fan_out(df).select(F.col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("term")).distinct()
     rn = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
     ranked = toks.withColumn("rn", rn)
     grouped = ranked.groupBy("term").agg(
@@ -919,7 +919,7 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     back to the input restores all-lines-removed docs; it joins on the
     doc key, co-partitioned with the reassembly output.
     """
-    lines = df.select(
+    lines = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text), "\n")).alias("line_no", "line"),
     )
@@ -998,7 +998,7 @@ def ngram_lm_score(df: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(text)).alias("pos", "tok"),
     )
@@ -1119,7 +1119,7 @@ def vocab_coverage(df: DataFrame, text: str = "text", k: int = 1000) -> DataFram
     from pyspark.sql import Window
 
     counts = (
-        df.select(F.explode(tokens(text)).alias("term"))
+        fan_out(df).select(F.explode(tokens(text)).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1174,7 +1174,7 @@ def dup_span_removal(df: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(text)).alias("pos", "tok"),
     )
@@ -1341,7 +1341,7 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
     with df > max_df, whose weights are ~0 anyway) bounds bucket
     width the same way the shingle pipeline's boilerplate cap does.
     """
-    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("term"))
+    toks = fan_out(df).select(F.col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streamforge_data_pipeline_spark.functions import (
     SQL_TOKENS,
+    fan_out,
     sql_hash60,
     sql_minhash_perm,
 )
@@ -445,8 +446,16 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> str:
 
     work = tempfile.mkdtemp(prefix="sfdp_evstage_")
     path = os.path.join(work, "events")
-    load(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
+    # fan_out (r10.14): the source arrives as ONE split at bench SFs,
+    # so the staging write was a single task — and the staged table a
+    # single FILE, serializing every downstream stream scan. Identical
+    # rows, now written (and later stream-read) with cluster-wide
+    # parallelism; no-op once the source has >= defaultParallelism
+    # splits.
+    fan_out(
+        load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     ).write.mode("overwrite").parquet(path)
     _EVENTS_STAGE[tag] = path
     atexit.register(shutil.rmtree, work, ignore_errors=True)

@@ -55,48 +55,84 @@ def _kind(dt) -> str:
 def _commit_batch(
     batch_df: DataFrame, store: TableStore, batch_id: int
 ) -> None:
-    bdf = batch_df.localCheckpoint(eager=True)  # feeds 2N jobs below
-    partials = None
-    values = None
-    for f in bdf.schema.fields:
-        c = F.col("__c")
+    # ONE aggregation pass + ONE distinct pass (r10.14): the previous
+    # shape unioned a per-COLUMN aggregate branch per table — 2N jobs
+    # each rescanning the batch (measured +2 s/batch at sf0.1 once the
+    # staged input arrived 32-partitioned instead of 1). All column
+    # partials now come from a single wide agg (one scan), unfolded to
+    # the journal's long format from that one row; the value log
+    # stacks (column, val) pairs in the same scan and runs one global
+    # distinct. Journal schema and row content are unchanged — the
+    # per-column distinct-then-union equals the stacked
+    # global-distinct because the column name is part of the key.
+    bdf = batch_df.localCheckpoint(eager=True)  # feeds the 2 jobs below
+    fields = bdf.schema.fields
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, f in enumerate(fields):
+        c = F.col(f.name)
         kind = _kind(f.dataType)
+        aggs.append(
+            F.sum(F.when(c.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nn{i}")
+        )
         # raw (untransformed) min/max merge exactly; the batch key's
         # round/to_date presentation is applied at read time
         if kind == "num":
-            mn, mx = F.min(c).cast("double"), F.max(c).cast("double")
-            mns = mxs = F.lit(None).cast("string")
+            aggs += [
+                F.min(c).cast("double").alias(f"__mn{i}"),
+                F.max(c).cast("double").alias(f"__mx{i}"),
+            ]
         elif kind == "date":
-            mn = mx = F.lit(None).cast("double")
-            mns = F.min(c).cast("string")
-            mxs = F.max(c).cast("string")
+            aggs += [
+                F.min(c).cast("string").alias(f"__mns{i}"),
+                F.max(c).cast("string").alias(f"__mxs{i}"),
+            ]
         else:
-            mn = mx = F.lit(None).cast("double")
-            mns, mxs = F.min(c.cast("string")), F.max(c.cast("string"))
-        one = bdf.select(F.col(f.name).alias("__c"))
-        row = one.agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum(F.when(c.isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_nulls"),
-            mn.alias("min_num"),
-            mx.alias("max_num"),
-            mns.alias("min_str"),
-            mxs.alias("max_str"),
-        ).select(
-            F.lit(f.name).alias("column"),
-            F.lit(kind).alias("kind"),
-            "n_rows", "n_nulls", "min_num", "max_num", "min_str", "max_str",
-        )
-        partials = row if partials is None else partials.unionAll(row)
-        vals = (
-            one.filter(c.isNotNull())
-            .select(
-                F.lit(f.name).alias("column"), c.cast("string").alias("val")
+            aggs += [
+                F.min(c.cast("string")).alias(f"__mns{i}"),
+                F.max(c.cast("string")).alias(f"__mxs{i}"),
+            ]
+    wide = bdf.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for i, f in enumerate(fields):
+        kind = _kind(f.dataType)
+        num = kind == "num"
+        structs.append(
+            F.struct(
+                F.lit(f.name).alias("column"),
+                F.lit(kind).alias("kind"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nn{i}").alias("n_nulls"),
+                (F.col(f"__mn{i}") if num else null_d).alias("min_num"),
+                (F.col(f"__mx{i}") if num else null_d).alias("max_num"),
+                (null_s if num else F.col(f"__mns{i}")).alias("min_str"),
+                (null_s if num else F.col(f"__mxs{i}")).alias("max_str"),
             )
-            .distinct()
         )
-        values = vals if values is None else values.unionAll(vals)
+    partials = wide.select(
+        F.explode(F.array(*structs)).alias("__s")
+    ).select("__s.*")
+    values = (
+        bdf.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f.name).alias("column"),
+                            F.col(f.name).cast("string").alias("val"),
+                        )
+                        for f in fields
+                    ]
+                )
+            ).alias("__s")
+        )
+        .select("__s.*")
+        .filter(F.col("val").isNotNull())
+        .distinct()
+    )
     for df, table in ((partials, PARTIALS_TABLE), (values, VALUES_TABLE)):
         (
             df.withColumn("batch_id", F.lit(int(batch_id)))
