@@ -1832,15 +1832,20 @@ def q_stream_running_totals(spark, sf_dir):
     # nanos-parquet adapter: the raw stream reads ts as long; the
     # stateful op only touches value/event_id, so no rebuild needed
     name = "stream_running_totals_" + uuid.uuid4().hex[:8]
-    q = (
-        running_user_totals(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    from streamforge_data_pipeline_spark.streaming.drain_conf import (
+        scaled_drain_conf,
     )
-    q.awaitTermination()
+
+    with scaled_drain_conf(spark, table_path):
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -2017,15 +2022,20 @@ def q_stream_session_window(spark, sf_dir):
         "10 minutes",
     )
     name = "stream_session_window_" + uuid.uuid4().hex[:8]
-    q = (
-        session_counts(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from streamforge_data_pipeline_spark.streaming.drain_conf import (
+        scaled_drain_conf,
     )
-    q.awaitTermination()
+
+    with scaled_drain_conf(spark, src):
+        q = (
+            session_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).localCheckpoint(eager=True)
 
 
@@ -2829,14 +2839,19 @@ def q_stream_interval_join(spark, sf_dir):
         F.col("r.event_id").alias("purchase_id"),
     )
     name = "stream_interval_join_" + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from streamforge_data_pipeline_spark.streaming.drain_conf import (
+        scaled_drain_conf,
     )
-    q.awaitTermination()
+
+    with scaled_drain_conf(spark, src):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).localCheckpoint(eager=True)
 
 
@@ -3033,15 +3048,20 @@ def q_stream_exact_dedup(spark, sf_dir):
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir)
         )
-    q = (
-        dedup_stream(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    from streamforge_data_pipeline_spark.streaming.drain_conf import (
+        scaled_drain_conf,
     )
-    q.awaitTermination()
+
+    with scaled_drain_conf(spark, table_path):
+        q = (
+            dedup_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 

@@ -232,14 +232,22 @@ def drain_interval_join_spread(
         delay, spread_seconds,
     ).toDF(*lcols, *rcols_out)
     name = "spread_drain_" + uuid.uuid4().hex[:8]
-    q = (
-        inner_q.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from streamforge_data_pipeline_spark.streaming.drain_conf import (
+        scaled_drain_conf,
     )
-    q.awaitTermination()
+
+    # Stream-stream joins open FOUR state stores per partition; the
+    # partition count must track input bytes, not cores (drain_conf
+    # module docstring — r11, measured 2.7x inversion at 32 cores).
+    with scaled_drain_conf(spark, left_batch, right_batch):
+        q = (
+            inner_q.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     inner = spark.table(name).localCheckpoint(eager=True)
     if how == "inner":
         return inner
