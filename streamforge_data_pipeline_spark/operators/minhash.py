@@ -180,6 +180,17 @@ def exact_jaccard(sh: DataFrame, pairs: DataFrame, tau: float | None = None) -> 
         pairs.select(F.col("doc_b").alias("doc_id"))
     ).distinct()
     sh_c = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi").distinct()
+    if tau is None:
+        # materialize the candidate shingle set ONCE (r11): the
+        # intersection self-join reads it twice and `sizes` a third
+        # time, and without the tau path's persist each reference
+        # re-evaluated the semi-join+distinct — measured as ~6 extra
+        # near-empty AQE query stages per call at ~200 ms scheduler
+        # latency each (stage dump in plans/r11). Candidate shingles
+        # are bounded by the candidates themselves; localCheckpoint
+        # blocks are GC-managed, so the lazy return below still honors
+        # the cache-lifecycle rule (no cache-manager entry to leak).
+        sh_c = sh_c.localCheckpoint(eager=True)
     # sizes of the FULL distinct shingle sets (pre-prune) — the final
     # jaccard denominator must not see a pruned relation
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1216,7 +1227,12 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     # aggregation once per join side (r10.14, measured on the fuzzy
     # twin's 64-perm variant: 2.7 s -> 0.7 s at sf0.1)
     sigs = signatures(sig_input).persist()
-    cands = candidate_pairs(band_keys(sigs))  # one shuffle to sigs
+    # eager checkpoint (r11): exact_jaccard references the candidate
+    # relation twice (id-set union + the pair semi-join); lazy, each
+    # reference re-ran the band self-join + distinct — the same
+    # re-evaluation containment_dedup_lsh's candidate checkpoint
+    # removed in r10. Candidates are true-pair scale by construction.
+    cands = candidate_pairs(band_keys(sigs)).localCheckpoint(eager=True)
     verified = exact_jaccard(sh, cands, tau=tau if size_prune else None)
     out = verified.filter(F.col("jaccard") >= tau).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
@@ -1269,7 +1285,9 @@ def minhash_estimate_pairs(
     # persisted for the same per-join-side reason as minhash_lsh_dedup
     # (r10.14): candidate_pairs self-joins the banded relation
     bsigs = signatures(sh).persist()
-    cands = candidate_pairs(band_keys(bsigs))
+    # eager checkpoint (r11): referenced three times below (the est
+    # join input + exact_jaccard's two reads) — see minhash_lsh_dedup
+    cands = candidate_pairs(band_keys(bsigs)).localCheckpoint(eager=True)
     isigs = sh.groupBy("doc_id").agg(
         *[
             F.min(hash60(F.concat(F.col("sh"), F.lit(f"#{j}")))).alias(f"m{j}")

@@ -1544,5 +1544,16 @@ def _tfidf_dense_candidates(df: DataFrame, w: DataFrame, tau: float,
                     }
                 )
 
-    out = dense.select("doc_id", "vec").mapInPandas(_cands, schema)
+    # Spread the kernel input across the cluster (r11): `dense` rides
+    # the documents scan's partitioning — ONE split at bench SFs — so
+    # the matmul + candidate emission ran as a single task (measured
+    # 3.05 s single-task stage at sf0.1, ~all of it Python-side
+    # emission). Unconditional repartition is scale-safe here because
+    # the caller's dense_cells_limit gate bounds this relation to
+    # driver-collectable size (~256 MB); the exchange reads the
+    # already-materialized cache.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    out = dense.select("doc_id", "vec").repartition(par).mapInPandas(
+        _cands, schema
+    )
     return finalize_released(out, dense)

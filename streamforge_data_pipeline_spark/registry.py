@@ -52,6 +52,9 @@ from streamforge_data_pipeline_spark.operators.multimodal import (
 from streamforge_data_pipeline_spark.operators.validate import split_valid
 from streamforge_data_pipeline_spark.plans import analytics, behavior
 from streamforge_data_pipeline_spark.plans.intake import INTAKE_CTES, intake, validated_intake
+from streamforge_data_pipeline_spark.streaming.drain_conf import (
+    scaled_drain_conf,
+)
 from streamforge_data_pipeline_spark.session import load
 from streamforge_data_pipeline_spark.sources.datagen import generate_intake
 from streamforge_data_pipeline_spark.sources.error_report import error_report
@@ -1771,15 +1774,24 @@ def _drain_documents_stream(spark, sf_dir, start_fn, log_table, prefix,
         src, glob = table_path, None
     else:
         src, glob = sf_dir, f"{table}.parquet"
-    q = start_fn(
-        spark,
-        src,
-        store,
-        checkpoint_dir=os.path.join(work, "ckpt"),
-        max_files_per_trigger=10_000,  # one batch: deterministic + oracle-able
-        path_glob_filter=glob,
-    )
-    q.awaitTermination()
+    # In-batch shuffle partitioning tracks the drained input's bytes
+    # (r11, drain_conf docstring): every foreachBatch aggregation,
+    # join, checkpoint and store append otherwise runs core-count
+    # partitions over a micro-batch-sized relation — pure per-task
+    # fixed cost (measured: a 32-partition tiny append is ~2.5x a
+    # 1-partition one). No-op at production input sizes; the compute
+    # kernels stay wide via fan_out (keyed to defaultParallelism, not
+    # shuffle partitions).
+    with scaled_drain_conf(spark, table_path):
+        q = start_fn(
+            spark,
+            src,
+            store,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            max_files_per_trigger=10_000,  # one batch: deterministic + oracle-able
+            path_glob_filter=glob,
+        )
+        q.awaitTermination()
     # pin the result into block-manager storage so the scratch dir can
     # be deleted before returning (the caller collects lazily)
     log = store.read(spark, log_table).localCheckpoint(eager=True)
@@ -1832,10 +1844,6 @@ def q_stream_running_totals(spark, sf_dir):
     # nanos-parquet adapter: the raw stream reads ts as long; the
     # stateful op only touches value/event_id, so no rebuild needed
     name = "stream_running_totals_" + uuid.uuid4().hex[:8]
-    from streamforge_data_pipeline_spark.streaming.drain_conf import (
-        scaled_drain_conf,
-    )
-
     with scaled_drain_conf(spark, table_path):
         q = (
             running_user_totals(stream)
@@ -1955,16 +1963,17 @@ def q_stream_semantic_dedup_trained_seeded(spark, sf_dir):
         src = os.path.join(work, "qvecs")
         qdf.write.mode("overwrite").parquet(src)
         store = TableStore(os.path.join(work, "store"))
-        q = start_stream_semantic_dedup(
-            spark,
-            src,
-            store,
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            max_files_per_trigger=10_000,  # one batch: deterministic
-            quantizer="trained",
-            train_iters=0,
-        )
-        q.awaitTermination()
+        with scaled_drain_conf(spark, src):
+            q = start_stream_semantic_dedup(
+                spark,
+                src,
+                store,
+                checkpoint_dir=os.path.join(work, "ckpt"),
+                max_files_per_trigger=10_000,  # one batch: deterministic
+                quantizer="trained",
+                train_iters=0,
+            )
+            q.awaitTermination()
         return store.read(spark, "semantic_dup_log").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -2022,10 +2031,6 @@ def q_stream_session_window(spark, sf_dir):
         "10 minutes",
     )
     name = "stream_session_window_" + uuid.uuid4().hex[:8]
-    from streamforge_data_pipeline_spark.streaming.drain_conf import (
-        scaled_drain_conf,
-    )
-
     with scaled_drain_conf(spark, src):
         q = (
             session_counts(stream)
@@ -2081,14 +2086,15 @@ def q_stream_scd2_merge(spark, sf_dir):
         src = os.path.join(work, "updates")
         updates.write.mode("overwrite").parquet(src)
         schema = spark.read.parquet(src).schema
-        q = start_scd2_maintenance(
-            spark.readStream.schema(schema).parquet(src),
-            store_root=store,
-            checkpoint=os.path.join(work, "ckpt"),
-            key="c_custkey",
-            attrs=["c_mktsegment", "c_acctbal"],
-        )
-        q.awaitTermination()
+        with scaled_drain_conf(spark, src):
+            q = start_scd2_maintenance(
+                spark.readStream.schema(schema).parquet(src),
+                store_root=store,
+                checkpoint=os.path.join(work, "ckpt"),
+                key="c_custkey",
+                attrs=["c_mktsegment", "c_acctbal"],
+            )
+            q.awaitTermination()
         out = (
             read_current(spark, store)
             .select(
@@ -2302,14 +2308,15 @@ def q_stream_curation_funnel(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="sfdp_scf_")
     try:
         store = TableStore(os.path.join(work, "store"))
-        q = start_stream_curation_funnel(
-            spark,
-            src,
-            store,
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            max_files_per_trigger=10_000,  # one batch: deterministic
-        )
-        q.awaitTermination()
+        with scaled_drain_conf(spark, src):
+            q = start_stream_curation_funnel(
+                spark,
+                src,
+                store,
+                checkpoint_dir=os.path.join(work, "ckpt"),
+                max_files_per_trigger=10_000,  # one batch: deterministic
+            )
+            q.awaitTermination()
         return read_funnel(spark, store).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -2336,16 +2343,17 @@ def q_stream_domain_caps(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="sfdp_sdc_")
     try:
         store = TableStore(os.path.join(work, "store"))
-        q = start_stream_domain_caps(
-            spark,
-            src,
-            store,
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            schema="doc_id long, url string",
-            k=20,
-            max_files_per_trigger=10_000,  # one batch: deterministic
-        )
-        q.awaitTermination()
+        with scaled_drain_conf(spark, src):
+            q = start_stream_domain_caps(
+                spark,
+                src,
+                store,
+                checkpoint_dir=os.path.join(work, "ckpt"),
+                schema="doc_id long, url string",
+                k=20,
+                max_files_per_trigger=10_000,  # one batch: deterministic
+            )
+            q.awaitTermination()
         return (
             store.read(spark, LOG_TABLE)
             # batch_id is the journal partition key, not part of the
@@ -2444,15 +2452,16 @@ def q_stream_decayed_counts(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="sfdp_sdecay_")
     try:
         store = TableStore(os.path.join(work, "store"))
-        q = start_stream_decayed_counts(
-            spark,
-            src,
-            store,
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            schema=schema,
-            max_files_per_trigger=10_000,
-        )
-        q.awaitTermination()
+        with scaled_drain_conf(spark, src):
+            q = start_stream_decayed_counts(
+                spark,
+                src,
+                store,
+                checkpoint_dir=os.path.join(work, "ckpt"),
+                schema=schema,
+                max_files_per_trigger=10_000,
+            )
+            q.awaitTermination()
         return read_decayed_counts(spark, store).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -2550,17 +2559,18 @@ def q_stream_shard_export(spark, sf_dir):
             src, glob = table_path, None
         else:
             src, glob = sf_dir, "documents.parquet"
-        q = start_stream_shard_export(
-            spark,
-            src,
-            store,
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            schema="doc_id long, text string",
-            n_shards=64,
-            max_files_per_trigger=10_000,
-            path_glob_filter=glob,
-        )
-        q.awaitTermination()
+        with scaled_drain_conf(spark, table_path):
+            q = start_stream_shard_export(
+                spark,
+                src,
+                store,
+                checkpoint_dir=os.path.join(work, "ckpt"),
+                schema="doc_id long, text string",
+                n_shards=64,
+                max_files_per_trigger=10_000,
+                path_glob_filter=glob,
+            )
+            q.awaitTermination()
         return read_manifest(spark, store).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -2590,16 +2600,17 @@ def q_stream_eval_split(spark, sf_dir):
             src, glob = table_path, None
         else:
             src, glob = sf_dir, "documents.parquet"
-        q = start_stream_eval_split(
-            spark,
-            src,
-            store,
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            schema="doc_id long, text string, lang string, source string, n_chars long",
-            max_files_per_trigger=10_000,
-            path_glob_filter=glob,
-        )
-        q.awaitTermination()
+        with scaled_drain_conf(spark, table_path):
+            q = start_stream_eval_split(
+                spark,
+                src,
+                store,
+                checkpoint_dir=os.path.join(work, "ckpt"),
+                schema="doc_id long, text string, lang string, source string, n_chars long",
+                max_files_per_trigger=10_000,
+                path_glob_filter=glob,
+            )
+            q.awaitTermination()
         return read_assignments(spark, store).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -2629,17 +2640,18 @@ def q_stream_sequence_pack(spark, sf_dir):
             src, glob = table_path, None
         else:
             src, glob = sf_dir, "documents.parquet"
-        q = start_stream_sequence_pack(
-            spark,
-            src,
-            store,
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            schema="doc_id long, text string",
-            n_shards=16,
-            max_files_per_trigger=10_000,
-            path_glob_filter=glob,
-        )
-        q.awaitTermination()
+        with scaled_drain_conf(spark, table_path):
+            q = start_stream_sequence_pack(
+                spark,
+                src,
+                store,
+                checkpoint_dir=os.path.join(work, "ckpt"),
+                schema="doc_id long, text string",
+                n_shards=16,
+                max_files_per_trigger=10_000,
+                path_glob_filter=glob,
+            )
+            q.awaitTermination()
         return read_pack_plan(spark, store, ctx_len=128).localCheckpoint(
             eager=True
         )
@@ -2664,18 +2676,19 @@ def q_stream_column_stats(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="sfdp_scst_")
     try:
         store = TableStore(os.path.join(work, "store"))
-        q = start_stream_column_stats(
-            spark,
-            _staged_events(spark, sf_dir),
-            store,
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            schema=(
-                "event_id long, ts timestamp_ntz, user_id long,"
-                " event_type string, value double, props string"
-            ),
-            max_files_per_trigger=10_000,
-        )
-        q.awaitTermination()
+        with scaled_drain_conf(spark, _staged_events(spark, sf_dir)):
+            q = start_stream_column_stats(
+                spark,
+                _staged_events(spark, sf_dir),
+                store,
+                checkpoint_dir=os.path.join(work, "ckpt"),
+                schema=(
+                    "event_id long, ts timestamp_ntz, user_id long,"
+                    " event_type string, value double, props string"
+                ),
+                max_files_per_trigger=10_000,
+            )
+            q.awaitTermination()
         return read_column_stats(spark, store).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -2702,15 +2715,16 @@ def q_stream_domain_share(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="sfdp_sdsh_")
     try:
         store = TableStore(os.path.join(work, "store"))
-        q = start_stream_domain_share(
-            spark,
-            src,
-            store,
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            schema="doc_id long, url string",
-            max_files_per_trigger=10_000,
-        )
-        q.awaitTermination()
+        with scaled_drain_conf(spark, src):
+            q = start_stream_domain_share(
+                spark,
+                src,
+                store,
+                checkpoint_dir=os.path.join(work, "ckpt"),
+                schema="doc_id long, url string",
+                max_files_per_trigger=10_000,
+            )
+            q.awaitTermination()
         return read_shares(spark, store).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -2745,17 +2759,18 @@ def q_stream_bottomk_sample(spark, sf_dir):
         # pytest pins
         docs.coalesce(4).write.mode("overwrite").parquet(src)
         store = TableStore(os.path.join(work, "store"))
-        q = start_stream_bottomk_sample(
-            spark,
-            src,
-            store,
-            os.path.join(work, "ckpt"),
-            schema=spark.read.parquet(src).schema,
-            id_col="doc_id",
-            k=100,
-            max_files_per_trigger=1,
-        )
-        q.awaitTermination()
+        with scaled_drain_conf(spark, src):
+            q = start_stream_bottomk_sample(
+                spark,
+                src,
+                store,
+                os.path.join(work, "ckpt"),
+                schema=spark.read.parquet(src).schema,
+                id_col="doc_id",
+                k=100,
+                max_files_per_trigger=1,
+            )
+            q.awaitTermination()
         out = read_sample(spark, store).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -2784,16 +2799,17 @@ def q_stream_kmv_distinct(spark, sf_dir):
         src = os.path.join(work, "docs")
         docs.coalesce(4).write.mode("overwrite").parquet(src)
         store = TableStore(os.path.join(work, "store"))
-        q = start_stream_bottomk_sample(
-            spark,
-            src,
-            store,
-            os.path.join(work, "ckpt"),
-            schema=spark.read.parquet(src).schema,
-            id_col="doc_id",
-            k=100,
-        )
-        q.awaitTermination()
+        with scaled_drain_conf(spark, src):
+            q = start_stream_bottomk_sample(
+                spark,
+                src,
+                store,
+                os.path.join(work, "ckpt"),
+                schema=spark.read.parquet(src).schema,
+                id_col="doc_id",
+                k=100,
+            )
+            q.awaitTermination()
         out = distinct_estimate(spark, store, k=100).localCheckpoint(
             eager=True
         )
@@ -2839,10 +2855,6 @@ def q_stream_interval_join(spark, sf_dir):
         F.col("r.event_id").alias("purchase_id"),
     )
     name = "stream_interval_join_" + uuid.uuid4().hex[:8]
-    from streamforge_data_pipeline_spark.streaming.drain_conf import (
-        scaled_drain_conf,
-    )
-
     with scaled_drain_conf(spark, src):
         q = (
             out.writeStream.format("memory")
@@ -2897,15 +2909,16 @@ def q_stream_decontaminate(spark, sf_dir):
         src = os.path.join(work, "train")
         docs.filter(is_train).write.mode("overwrite").parquet(src)
         store = TableStore(os.path.join(work, "store"))
-        q = start_stream_decontaminate(
-            spark,
-            src,
-            store,
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            eval_docs=docs.filter(~is_train),
-            max_files_per_trigger=10_000,  # one batch: deterministic
-        )
-        q.awaitTermination()
+        with scaled_drain_conf(spark, src):
+            q = start_stream_decontaminate(
+                spark,
+                src,
+                store,
+                checkpoint_dir=os.path.join(work, "ckpt"),
+                eval_docs=docs.filter(~is_train),
+                max_files_per_trigger=10_000,  # one batch: deterministic
+            )
+            q.awaitTermination()
         return store.read(spark, "decontam_log").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -2932,17 +2945,18 @@ def q_stream_heavy_hitters(spark, sf_dir):
         src = os.path.join(work, "events")
         ev.write.mode("overwrite").parquet(src)
         store = TableStore(os.path.join(work, "store"))
-        q = start_stream_heavy_hitters(
-            spark,
-            src,
-            store,
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            schema="event_id long, user_id long",
-            key="user_id",
-            capacity=1 << 20,
-            max_files_per_trigger=10_000,  # one batch: exact counters
-        )
-        q.awaitTermination()
+        with scaled_drain_conf(spark, src):
+            q = start_stream_heavy_hitters(
+                spark,
+                src,
+                store,
+                checkpoint_dir=os.path.join(work, "ckpt"),
+                schema="event_id long, user_id long",
+                key="user_id",
+                capacity=1 << 20,
+                max_files_per_trigger=10_000,  # one batch: exact counters
+            )
+            q.awaitTermination()
         return top_k(spark, store, k=20).withColumn(
             "n", F.col("n").cast("long")
         ).localCheckpoint(eager=True)
@@ -3048,10 +3062,6 @@ def q_stream_exact_dedup(spark, sf_dir):
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir)
         )
-    from streamforge_data_pipeline_spark.streaming.drain_conf import (
-        scaled_drain_conf,
-    )
-
     with scaled_drain_conf(spark, table_path):
         q = (
             dedup_stream(stream)
