@@ -137,9 +137,51 @@ def fan_out(df):
 
     Row-level results are unaffected (repartition permutes rows;
     every caller feeds set/aggregate semantics downstream).
+
+    Probe contract (r10 ADVICE): pass SCAN-LEVEL inputs — a freshly
+    read file source, or at most narrow projections/filters over one.
+    The split count is derived from the scan's input FILES (an upper
+    bound, sum of per-file ceil(size/maxPartitionBytes) — file packing
+    can only merge below it, so "upper bound < parallelism" implies
+    the scan is narrow and firing is safe, while at production file
+    counts the bound exceeds parallelism and the call is a structural
+    no-op). Only when the frame exposes no input files (in-memory
+    relations, post-shuffle frames) does the probe fall back to
+    ``df.rdd.getNumPartitions()`` — which on a frame with upstream
+    shuffles EXECUTES those stages under AQE, the misuse the contract
+    exists to prevent.
     """
+    import os
+
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover — probe is best-effort
+        files = []
+    if files:
+        try:
+            mpb = int(
+                sc._jvm.org.apache.spark.network.util.JavaUtils
+                .byteStringAsBytes(
+                    df.sparkSession.conf.get(
+                        "spark.sql.files.maxPartitionBytes", "128m"
+                    )
+                )
+            )
+        except Exception:  # pragma: no cover
+            mpb = 128 * 1024 * 1024
+        splits_upper = 0
+        for f in files:
+            path = f.removeprefix("file://").removeprefix("file:")
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                return df  # non-local / unreadable: assume wide enough
+            splits_upper += max(1, -(-size // mpb))
+            if splits_upper >= p:
+                return df
+        return df.repartition(p)
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)
     return df

@@ -483,9 +483,46 @@ def pagerank_scores(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    base = int(0.15 * scale)
+    # Small-graph fast path (r11) — the connected_components precedent,
+    # same 200k-edge bounded-collect gate: each distributed round is 2
+    # joins + an agg + an eager checkpoint, ~5 AQE stage-jobs of pure
+    # scheduler latency at near-dup pair volumes (the whole key
+    # measured 52 jobs / 4.8 s at sf0.1 with 2.4 s of it BETWEEN jobs).
+    # The driver replay reproduces the integer sequence BIT-IDENTICALLY
+    # because every step is exact: share = floor(r/d) with r, d < 2^53
+    # (one correctly-rounded double divide, floored — math.floor(r/d)
+    # IS that), incoming an exact int sum, r' = base +
+    # floor(0.85*incoming) the same one rounded double multiply. Above
+    # the gate the distributed loop below runs unchanged, so 100 TB
+    # pair graphs never touch the driver.
+    if edges.count() <= 200_000:
+        import math
+        from collections import Counter, defaultdict
+
+        rows = edges.collect()
+        deg_m = Counter(row["src"] for row in rows)
+        r_m = {n: scale for n in deg_m}
+        for _ in range(iters):
+            sh = {n: math.floor(r_m[n] / deg_m[n]) for n in deg_m}
+            inc: dict = defaultdict(int)
+            for row in rows:
+                inc[row["dst"]] += sh[row["src"]]
+            r_m = {n: base + math.floor(0.85 * inc.get(n, 0)) for n in deg_m}
+        from pyspark.sql import types as T
+
+        id_type = edges.schema["src"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", id_type),
+                T.StructField("score", T.LongType()),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(
+            [(n, r_m[n]) for n in sorted(deg_m)], schema
+        )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     r = deg.select(F.col("src").alias("doc_id"), F.lit(scale).cast("long").alias("r"))
-    base = int(0.15 * scale)
     prev_ckpt = None
     for _ in range(iters):
         share = (

@@ -531,7 +531,13 @@ def pq_topk_seeded(
         lambda acc, v: acc + v,
     )
 
-    q8 = quantized(vectors, id_col)
+    from streamforge_data_pipeline_spark.functions import fan_out
+
+    # fan_out both quantized sides (r11): each rides its source scan's
+    # split count — ONE split at bench SFs — so the interpreted
+    # integer folds (idot/idist2 over n x m x ks rows) ran serialized
+    # (measured: three 1-task 350-460 ms stages per run at sf0.1).
+    q8 = quantized(fan_out(vectors), id_col)
     # codebook: the ks (md5-hash, id)-smallest QUANTIZED vectors,
     # code index = that order — a bounded collect (ks rows)
     seed_rows = (
@@ -574,7 +580,7 @@ def pq_topk_seeded(
     )
 
     # query-side ADC lookup table: exact integer dots vs every codeword
-    q8q = quantized(query, "q_id")
+    q8q = quantized(fan_out(query), "q_id")
     qlut = (
         sub_explode(q8q, "q_id")
         .join(F.broadcast(cb), "sub")

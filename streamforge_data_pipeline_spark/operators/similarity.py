@@ -497,8 +497,22 @@ def _dedup_within_cells(
         # Zero vectors drop out of the pair stage here and re-enter as
         # singleton keep=True groups via the left join below.
         .filter(F.col("__n") > 0)
-        .persist()
     )
+    # Explicit cell-keyed repartition with a CORES floor (r11): the
+    # within-cell all-pairs verify below is quadratic in cell
+    # population — CPU-dense per shuffled byte — so its parallelism
+    # must not ride spark.sql.shuffle.partitions, which the streaming
+    # drains rightly derive from input BYTES (drain_conf; that
+    # derivation gave this stage 1-2 tasks for ~3 s of interpreted
+    # fold CPU). Both join sides inherit this partitioning from the
+    # cache, so the pair join adds NO further exchange — one exchange
+    # replaces the join's two.
+    spark = vectors.sparkSession
+    n_part = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    vc = vc.repartition(n_part, "cell").persist()
     a = vc.select(
         "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
         F.col("__n").alias("__na"),
