@@ -187,6 +187,54 @@ def fan_out(df):
     return df
 
 
+def _parse_ddl(schema):
+    from pyspark.sql import types as T
+
+    if isinstance(schema, T.StructType):
+        return schema
+    return T._parse_datatype_string(schema)
+
+
+def empty_df(spark, schema):
+    """Empty frame as a pure-JVM relation.
+
+    ``spark.createDataFrame([], schema)`` parallelizes the (empty!)
+    list into a defaultParallelism-slice PythonRDD, so EVERY downstream
+    action scans it with one Python-worker round trip per slice —
+    measured 0.39 s per action at 32 cores, with worker creation
+    serialized behind the SparkEnv lock (r11 thread dump: 26/32 tasks
+    blocked in PythonRunner reads). ``spark.range(0)`` + typed null
+    casts is a JVM LocalRelation: zero Python workers, one empty task.
+    """
+    from pyspark.sql import functions as F
+
+    st = _parse_ddl(schema)
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
+    )
+
+
+def local_rows(spark, rows, schema):
+    """Small driver-made table with a SIZE-derived slice count.
+
+    ``spark.createDataFrame(rows, schema)`` parallelizes into
+    defaultParallelism slices, so every action over a 1-row marker or
+    seed table costs one Python-worker round trip PER CORE (~0.45 s per
+    action at 32 cores, workers created behind the global SparkEnv
+    lock — see :func:`empty_df`). The cost recurs per ACTION, and the
+    per-batch drains scan their marker/seed frames every batch. One
+    slice per 50k rows keeps the same createDataFrame semantics
+    (schema, nullability, row values — pytest-pinned) at ~2.5x less
+    fixed cost; the bounded driver fast paths (<= 200k rows by their
+    gates) land on a handful of slices.
+    """
+    rows = list(rows)
+    slices = max(1, -(-len(rows) // 50_000))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), _parse_ddl(schema)
+    )
+
+
 def finalize_released(out, *intermediates):
     """Materialize ``out`` eagerly (localCheckpoint) and UNPERSIST the
     cached intermediates that fed it — the house cache-lifecycle rule

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from streamforge_data_pipeline_spark.functions import fan_out, tokens
+from streamforge_data_pipeline_spark.functions import fan_out, local_rows, tokens
 
 
 def learn_bpe_merges(
@@ -119,7 +119,7 @@ def learn_bpe_merges(
         ).localCheckpoint(eager=True)
         _free_local_checkpoint(prev)
 
-    return spark.createDataFrame(
+    return local_rows(spark, 
         merges, "step int, lhs string, rhs string, pair_count long"
     )
 

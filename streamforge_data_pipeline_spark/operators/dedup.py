@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from streamforge_data_pipeline_spark.functions import fan_out, hash60, hash60_hi, tokens
+from streamforge_data_pipeline_spark.functions import fan_out, hash60, hash60_hi, local_rows, tokens
 
 
 def anti_join_dedup(incoming: DataFrame, existing: DataFrame, key: str) -> DataFrame:
@@ -224,7 +224,7 @@ def connected_components(
                 T.StructField("cluster_id", src_type),
             ]
         )
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [(n, find(n)) for n in sorted(nodes)], schema
         )
     labels = (
@@ -518,7 +518,7 @@ def pagerank_scores(
                 T.StructField("score", T.LongType()),
             ]
         )
-        return pairs.sparkSession.createDataFrame(
+        return local_rows(pairs.sparkSession, 
             [(n, r_m[n]) for n in sorted(deg_m)], schema
         )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))

@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from streamforge_data_pipeline_spark.functions import local_rows
+
 
 def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     return it
@@ -559,7 +561,7 @@ def pq_topk_seeded(
             cs = r["q"][s * dsub : (s + 1) * dsub]
             cn2 = sum(int(x) * int(x) for x in cs)
             cb_rows.append((code, s, cs, cn2))
-    cb = spark.createDataFrame(
+    cb = local_rows(spark, 
         cb_rows, "code int, sub int, cs array<long>, cn2 long"
     )
 

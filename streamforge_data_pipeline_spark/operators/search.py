@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from streamforge_data_pipeline_spark.functions import fan_out, tokens
+from streamforge_data_pipeline_spark.functions import fan_out, local_rows, tokens
 
 # Fixed probe queries over the synthetic corpus vocabulary — literal,
 # so the operator (and its SQL oracle) is fully deterministic.
@@ -72,7 +72,7 @@ def bm25_topk(df: DataFrame, id_col: str = "doc_id", text: str = "text",
 
     spark = df.sparkSession
     qterms = (
-        spark.createDataFrame(
+        local_rows(spark, 
             [(qid, t) for qid, qs in queries for t in sorted(set(qs.split()))],
             "query_id int, term string",
         )

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from streamforge_data_pipeline_spark.functions import cosine
+from streamforge_data_pipeline_spark.functions import cosine, local_rows
 
 
 def topk_cosine(
@@ -1099,7 +1099,7 @@ def build_ivf_index_seeded(
     )
     n_indexed = vq.count()
     store.overwrite(
-        spark.createDataFrame(
+        local_rows(spark, 
             [
                 (i, [int(v) for v in cents[i]], int(cn2[i]), int(n_indexed))
                 for i in range(len(cents))
@@ -1207,7 +1207,7 @@ def append_ivf_index_seeded(
         ["cell"],
     )
     store.overwrite(  # sidecar LAST — see crash-atomicity note above
-        spark.createDataFrame(
+        local_rows(spark, 
             [
                 (i, [int(v) for v in cents2[i]], int(cn22[i]), int(n_total))
                 for i in range(len(cents2))

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from streamforge_data_pipeline_spark.functions import fan_out, finalize_released, tokens
+from streamforge_data_pipeline_spark.functions import fan_out, finalize_released, local_rows, tokens
 
 # Tiny function-word marker sets for deterministic language ID.
 # (A production pipeline would use fastText/CLD3 via a Pandas UDF; the
@@ -125,8 +125,24 @@ def repetition_filter(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     (boilerplate/spam indicator). Emits the fraction for inspection."""
     from pyspark.sql import Window
 
+    # ONE doc-keyed exchange with a cores floor, placed BEFORE the
+    # explode (r11, the _dedup_within_cells rule): the bigram window
+    # needs hash(id) partitioning anyway, but its shuffle count rides
+    # spark.sql.shuffle.partitions, which the streaming drains derive
+    # from input BYTES — correct for their bookkeeping stages, wrong
+    # for this CPU-dense-per-byte stage (measured 0.78 s single-task
+    # inside the funnel drain). Repartitioning the raw docs by id also
+    # spreads the explode itself (what fan_out did round-robin) and the
+    # window then reuses the partitioning — one exchange total, of doc
+    # rows rather than exploded token rows. At production confs the
+    # max() equals the conf and the plan is the window's usual shape.
+    spark = df.sparkSession
+    n_part = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     toks = tokens(text)
-    tok = fan_out(df).select(
+    tok = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col), F.posexplode(toks).alias("pos", "tok")
     )
     w = Window.partitionBy(id_col).orderBy("pos")
@@ -729,7 +745,7 @@ def corpus_mixture(df: DataFrame, budgets: dict[str, int],
     from streamforge_data_pipeline_spark.functions import hash60
 
     spark = df.sparkSession
-    b = spark.createDataFrame(
+    b = local_rows(spark, 
         [(s, int(t)) for s, t in budgets.items()], "source string, __budget long"
     )
     h = hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from streamforge_data_pipeline_spark.functions import (
     SQL_TOKENS,
     fan_out,
+    local_rows,
     sql_hash60,
     sql_minhash_perm,
 )
@@ -454,12 +455,20 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     # single FILE, serializing every downstream stream scan. Identical
     # rows, now written (and later stream-read) with cluster-wide
     # parallelism; no-op once the source has >= defaultParallelism
-    # splits.
-    fan_out(
-        load(spark, sf_dir, "events").select(
-            "event_id", "ts", "user_id", "event_type", "value", "props"
-        )
-    ).write.mode("overwrite").parquet(path)
+    # splits. RANGE-partitioned by ts, not round-robin (r10 ADVICE #2):
+    # round-robin interleaved timestamps arbitrarily across the staged
+    # files, so any future consumer with a small maxFilesPerTrigger
+    # would see ts-uncorrelated micro-batches and its watermark could
+    # drop late-arriving keys nondeterministically; per-file time
+    # locality keeps multi-batch drains ts-ordered. Current consumers
+    # drain in ONE batch, so rows and results are unchanged either way.
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    p = spark.sparkContext.defaultParallelism
+    if len(ev.inputFiles()) < p:
+        ev = ev.repartitionByRange(p, "ts")
+    ev.write.mode("overwrite").parquet(path)
     _EVENTS_STAGE[tag] = path
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     return path
@@ -982,7 +991,7 @@ def q_range_join(spark, sf_dir):
     whose [lo, hi) contains it. The binned range_join turns the theta
     predicate into a bucket equi-join (no BroadcastNestedLoopJoin)."""
     ev = load(spark, sf_dir, "events").select("event_id", "value")
-    bands = spark.createDataFrame(VALUE_BANDS, "label string, lo double, hi double")
+    bands = local_rows(spark, VALUE_BANDS, "label string, lo double, hi double")
     return joins.range_join(
         ev, bands, value_col="value", lo_col="lo", hi_col="hi", bucket_width=25.0
     ).select("event_id", "label")
@@ -2254,7 +2263,9 @@ def _staged_doc_urls(spark, sf_dir) -> str:
 
     work = tempfile.mkdtemp(prefix="sfdp_urlstage_")
     path = os.path.join(work, "doc_urls")
-    _with_urls(load(spark, sf_dir, "documents")).write.mode(
+    # fan_out (r11): single-file staging serialized every downstream
+    # batch/stream scan of this table (the _staged_events r10.14 fix)
+    fan_out(_with_urls(load(spark, sf_dir, "documents"))).write.mode(
         "overwrite"
     ).parquet(path)
     _DOC_URL_STAGE[tag] = path
@@ -2279,9 +2290,10 @@ def _staged_doc_text_urls(spark, sf_dir) -> str:
     work = tempfile.mkdtemp(prefix="sfdp_txturlstage_")
     path = os.path.join(work, "doc_text_urls")
     docs = load(spark, sf_dir, "documents")
-    _with_urls(docs).join(docs.select("doc_id", "text"), "doc_id").select(
-        "doc_id", "text", "url"
-    ).write.mode("overwrite").parquet(path)
+    # fan_out (r11): see _staged_doc_urls
+    fan_out(
+        _with_urls(docs).join(docs.select("doc_id", "text"), "doc_id")
+    ).select("doc_id", "text", "url").write.mode("overwrite").parquet(path)
     _DOC_TEXT_URL_STAGE[tag] = path
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     return path

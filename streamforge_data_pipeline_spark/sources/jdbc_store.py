@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from streamforge_data_pipeline_spark.functions import empty_df
+
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 # SQLStates meaning "relation does not exist": Derby 42X05, Postgres
@@ -154,7 +156,7 @@ class JdbcTableStore:
             return ids
         except Exception as e:  # noqa: BLE001 - SQLState-gated below
             if _is_missing_table(e):
-                return spark.createDataFrame([], "external_id string")
+                return empty_df(spark, "external_id string")
             raise
 
 

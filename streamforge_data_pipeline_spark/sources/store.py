@@ -18,6 +18,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from streamforge_data_pipeline_spark.functions import empty_df
+
 
 class TableStore:
     def __init__(self, root: str):
@@ -386,5 +388,5 @@ class TableStore:
         import os as _os
 
         if not _os.path.exists(self.path(table)):
-            return spark.createDataFrame([], "external_id string")
+            return empty_df(spark, "external_id string")
         return self.existing_ids(spark, table)

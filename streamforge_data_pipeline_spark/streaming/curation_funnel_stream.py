@@ -43,7 +43,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from streamforge_data_pipeline_spark.functions import hash60, tokens
+from streamforge_data_pipeline_spark.functions import empty_df, hash60, local_rows, tokens
 from streamforge_data_pipeline_spark.operators.text import repetition_filter
 from streamforge_data_pipeline_spark.operators.web import normalized_host
 from streamforge_data_pipeline_spark.sources.store import TableStore
@@ -89,8 +89,8 @@ def _commit_batch(
             .agg(F.count(F.lit(1)).alias("__adm"))
         )
     else:
-        seen = spark.createDataFrame([], "content_md5 string")
-        prior_counts = spark.createDataFrame([], "domain string, __adm long")
+        seen = empty_df(spark, "content_md5 string")
+        prior_counts = empty_df(spark, "domain string, __adm long")
 
     base = (
         batch_df.select(
@@ -113,12 +113,19 @@ def _commit_batch(
     )
     # stage 2: token floor
     s2 = s1.filter(F.col("__nt") >= min_toks)
-    # stage 3: Gopher top-bigram repetition gate
+    # stage 3: Gopher top-bigram repetition gate. The survivor id set
+    # is checkpointed (r11): s3 feeds both the domain-cap ranking and
+    # the log's stage marks, and lazily each consumer re-ran the whole
+    # bigram window+aggregation chain — the drain's most expensive
+    # stage, measured twice at ~0.78 s per evaluation at sf0.1.
     rep = repetition_filter(
         s2.select("doc_id", F.col("__text").alias("text")),
         max_top_bigram_frac=max_bigram_frac,
     )
-    s3 = s2.join(rep.filter(~F.col("flagged")).select("doc_id"), "doc_id")
+    rep_ok = (
+        rep.filter(~F.col("flagged")).select("doc_id").localCheckpoint(eager=True)
+    )
+    s3 = s2.join(rep_ok, "doc_id")
     # stage 4: first-come per-domain cap against prior admitted counts
     w = Window.partitionBy("domain").orderBy("__h", "doc_id")
     s4_ids = (
@@ -186,7 +193,7 @@ def read_funnel(spark: SparkSession, store: TableStore) -> DataFrame:
     """Current funnel report — one sum over the journal; matches the
     batch curation_funnel's (stage, stage_name, n_docs, n_tokens)
     contract, including zero rows for stages nothing reached."""
-    stages = spark.createDataFrame(
+    stages = local_rows(spark, 
         [(i, n) for i, n in enumerate(_STAGES)], "stage int, stage_name string"
     )
     j = (

@@ -44,6 +44,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from streamforge_data_pipeline_spark.functions import local_rows
+
 from streamforge_data_pipeline_spark.sources.store import TableStore
 
 
@@ -93,7 +95,7 @@ def _resolve_batch(
         )
     if batch_id is not None and run_id is not None:
         store.overwrite(
-            spark.createDataFrame(
+            local_rows(spark, 
                 [(run_id, batch_id, owns)],
                 "run_id string, batch_id long, owns_store boolean",
             ),
@@ -102,7 +104,11 @@ def _resolve_batch(
     batch_df = batch_df.localCheckpoint(eager=True)
 
     ev = F.broadcast(store.read(spark, eval_index_table))
-    sh = shingles(batch_df, id_col, text)
+    # persist: both aggregates below (sizes + index hits) read the
+    # batch shingle set, and lazily each re-ran the tokenize + 3-gram
+    # window + distinct chain — the batch's expensive stage (r11).
+    # Released right after the verdicts checkpoint materializes.
+    sh = shingles(batch_df, id_col, text).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = (
         sh.join(ev, "sh")
@@ -130,6 +136,7 @@ def _resolve_batch(
         # pin decisions before the two appends read through this plan
         .localCheckpoint(eager=True)
     )
+    sh.unpersist()  # both consumers materialized by the checkpoint
     store.append(verdicts, log_table)
     clean = verdicts.filter(~F.col("contaminated")).select("doc_id")
     store.append(

@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from streamforge_data_pipeline_spark.functions import hash60
+from streamforge_data_pipeline_spark.functions import empty_df, hash60
 from streamforge_data_pipeline_spark.operators.web import normalized_host
 from streamforge_data_pipeline_spark.sources.store import TableStore
 
@@ -73,8 +73,7 @@ def read_counts(spark: SparkSession, store: TableStore) -> DataFrame:
     import os
 
     if not os.path.exists(store.path(JOURNAL_TABLE)):
-        return spark.createDataFrame(
-            [], "domain string, n_seen long, n_admitted long"
+        return empty_df(spark, "domain string, n_seen long, n_admitted long"
         )
     return (
         store.read(spark, JOURNAL_TABLE)
@@ -113,8 +112,7 @@ def _commit_batch(
             )
         )
     else:
-        prior = spark.createDataFrame(
-            [], "domain string, __seen long, __adm long"
+        prior = empty_df(spark, "domain string, __seen long, __adm long"
         )
 
     d = (

@@ -80,6 +80,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from streamforge_data_pipeline_spark.functions import local_rows
+
 from streamforge_data_pipeline_spark.sources.store import TableStore
 
 
@@ -228,7 +230,7 @@ def _auto_index_buckets(
     ).localCheckpoint(eager=True)
     store.overwrite_partitioned(recast, index_table, ["hb"])
     store.overwrite(
-        spark.createDataFrame([(buckets,)], "index_buckets int"),
+        local_rows(spark, [(buckets,)], "index_buckets int"),
         layout_table,
     )
     return buckets
@@ -258,7 +260,7 @@ def _index_layout_guard(
     declared_flag = index_buckets or 0
     if not os.path.exists(store.path(index_table)):
         store.overwrite(
-            spark.createDataFrame([(declared_flag,)], "index_buckets int"),
+            local_rows(spark, [(declared_flag,)], "index_buckets int"),
             layout_table,
         )
         return
@@ -291,7 +293,7 @@ def _index_layout_guard(
             "setting."
         )
     store.overwrite(
-        spark.createDataFrame([(declared_flag,)], "index_buckets int"),
+        local_rows(spark, [(declared_flag,)], "index_buckets int"),
         layout_table,
     )
 
@@ -331,7 +333,7 @@ def _resolve_batch(
         batch_df = batch_df.join(seen, "doc_id", "left_anti")
     if batch_id is not None and run_id is not None:
         store.overwrite(
-            spark.createDataFrame(
+            local_rows(spark, 
                 [(run_id, batch_id, owns)],
                 "run_id string, batch_id long, owns_store boolean",
             ),

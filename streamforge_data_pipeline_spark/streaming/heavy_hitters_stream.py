@@ -44,6 +44,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from streamforge_data_pipeline_spark.functions import local_rows
+
 from streamforge_data_pipeline_spark.sources.store import TableStore
 
 
@@ -89,7 +91,7 @@ def _merge_batch(
         )
     store.overwrite(merged, summary_table)
     store.overwrite(
-        spark.createDataFrame([(prev_n + n_batch,)], "total_rows long"),
+        local_rows(spark, [(prev_n + n_batch,)], "total_rows long"),
         meta_table,
     )
 

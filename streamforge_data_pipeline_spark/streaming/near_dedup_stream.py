@@ -43,6 +43,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from streamforge_data_pipeline_spark.functions import local_rows
+
 from streamforge_data_pipeline_spark.operators.dedup import connected_components
 from streamforge_data_pipeline_spark.operators.minhash import (
     lsh_probe_dedup,
@@ -114,7 +116,7 @@ def _resolve_batch(
             batch_df = batch_df.join(admitted_ids, "doc_id", "left_anti")
     if batch_id is not None and run_id is not None:
         store.overwrite(
-            spark.createDataFrame(
+            local_rows(spark, 
                 [(run_id, batch_id, owns)],
                 "run_id string, batch_id long, owns_store boolean",
             ),

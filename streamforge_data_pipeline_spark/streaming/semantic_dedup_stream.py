@@ -69,7 +69,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from streamforge_data_pipeline_spark.functions import dot_double
+from streamforge_data_pipeline_spark.functions import dot_double, local_rows
 from streamforge_data_pipeline_spark.operators.similarity import (
     _dedup_within_cells,
     argmax_cell,
@@ -158,7 +158,7 @@ def _ensure_centroids(
     # deterministic retrain (same corpus -> same k-means -> same
     # cells; the re-cell overwrite is idempotent) and self-heals.
     store.overwrite(
-        spark.createDataFrame(
+        local_rows(spark, 
             [(i, [float(x) for x in cents[i]], n_train) for i in range(len(cents))],
             "cell int, centroid array<double>, trained_on long",
         ),
@@ -248,7 +248,7 @@ def _resolve_batch(
             )
     if batch_id is not None and run_id is not None:
         store.overwrite(
-            spark.createDataFrame(
+            local_rows(spark, 
                 [(run_id, batch_id, owns)],
                 "run_id string, batch_id long, owns_store boolean",
             ),
