@@ -1974,15 +1974,10 @@ def containment_lsh_pairs(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # eager checkpoint (r11, the exact_jaccard rule): referenced by
-    # BOTH pair-join sides below; lazily each side re-ran the
-    # semi-join + collect_set over the full shingle relation. Bounded:
-    # one row per candidate doc.
     ev_arr = (
         sh_ev.join(F.broadcast(cand_ids), "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("sh").alias("__ev"))
-        .localCheckpoint(eager=True)
     )
     inter = (
         cand.join(
@@ -2004,16 +1999,7 @@ def containment_lsh_pairs(
         )
         .filter(F.col("inter") >= 1)
     )
-    # full-set sizes, but only candidate docs' rows are ever joined —
-    # semi-join first so the agg runs candidate-sized, and checkpoint
-    # because both pair-join sides read it (r11; values identical, the
-    # count per doc does not depend on which docs survive the filter)
-    sizes = (
-        sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     both = inter.join(
         sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
         "doc_a",

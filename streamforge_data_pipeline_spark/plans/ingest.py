@@ -55,25 +55,65 @@ def run_upload(
     per-micro-batch commit semantics (CHUNK_COMMIT) live in the
     streaming path (streaming/ingest_stream.py).
     """
+    import os
+
     job_id = str(uuid.uuid4())
-    raw = read_intake_csv(spark, csv_path)
-    existing = store.existing_ids_or_empty(spark)
-    validated = validate(raw, existing, intake_order()).cache()
-    valid, rejected = split_valid(validated)
+    # Scale-derived CSV split size (r11, guide §6): a single staged CSV
+    # under maxPartitionBytes (the reference's flagship 50 MB upload)
+    # scans as ONE split, so parse+validate ran on one core. Derive the
+    # split size so the scan lands ~defaultParallelism tasks, floored
+    # at 4 MB and capped at the session value — at production input
+    # sizes bytes/parallelism exceeds the cap and this is a no-op.
+    # Order semantics are unaffected: the dedup key is
+    # (file, row_id) and within one file equal-size splits keep offset
+    # order (csv_intake docstring); the conf is restored on exit.
+    total = 0
+    for root_dir, _dirs, files in os.walk(csv_path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                try:
+                    total += os.path.getsize(os.path.join(root_dir, f))
+                except OSError:
+                    pass
+    if os.path.isfile(csv_path):
+        total = os.path.getsize(csv_path)
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    import re as _re
 
-    store.insert_items(to_items(valid))
-    if error_report_path:
-        write_error_report(rejected, INTAKE_COLUMNS, error_report_path, raw=CORRUPT_COL)
+    old_bytes = int(_re.sub(r"[^0-9]", "", old_mpb) or 134217728)
+    if old_mpb.rstrip("b").lower().endswith("m"):
+        old_bytes *= 1024 * 1024
+    elif old_mpb.rstrip("b").lower().endswith("g"):
+        old_bytes *= 1024 * 1024 * 1024
+    p = spark.sparkContext.defaultParallelism
+    derived = max(4 * 1024 * 1024, min(old_bytes, (total or old_bytes) // p))
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(derived))
+        raw = read_intake_csv(spark, csv_path)
+        existing = store.existing_ids_or_empty(spark)
+        validated = validate(raw, existing, intake_order()).cache()
+        valid, rejected = split_valid(validated)
 
-    # One aggregation pass serves both A1 and A2: the null-error group
-    # is the inserted count, the rest are the per-category counts.
-    by_error = {
-        r["error"]: r["cnt"]
-        for r in validated.groupBy("error").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    inserted = by_error.pop(None, 0)
-    failed = sum(by_error.values())
-    validated.unpersist()
+        store.insert_items(to_items(valid))
+        if error_report_path:
+            write_error_report(
+                rejected, INTAKE_COLUMNS, error_report_path, raw=CORRUPT_COL
+            )
+
+        # One aggregation pass serves both A1 and A2: the null-error
+        # group is the inserted count, the rest are the per-category
+        # counts.
+        by_error = {
+            r["error"]: r["cnt"]
+            for r in validated.groupBy("error")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        inserted = by_error.pop(None, 0)
+        failed = sum(by_error.values())
+        validated.unpersist()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
     return UploadResult(
         job_id=job_id,
         processed=inserted + failed,
